@@ -1,0 +1,190 @@
+"""Chunking / partitioning operators (SURVEY §2.2-2.3: P1, P5, C1, C2, C4, W4).
+
+Every operator here is a *closed-form* DataFrame transformation — the
+reference's imperative slicing loops re-expressed as window/position
+arithmetic so Catalyst can fuse them into scans (no Python in the hot path,
+no collect). Chunk ids come from position arithmetic, not ntile, so results
+are independent of physical partitioning — safe at any parallelism.
+
+Scale notes: all operators are per-document (keyed by doc_id) and shuffle at
+most once on doc_id; word explosion is a narrow transformation over the
+scan. On 100 TB the explode fan-out stays partition-local and AQE handles
+output partition sizing.
+
+Reference parallels (semantics replicated exactly):
+- sentence split: test_proactive.py:45-48 (NLTK punkt → here a
+  deterministic regex split on sentence terminators).
+- equal partition (C1): test_proactive.py:192-199 — partition_size =
+  n // num_steps; chunks i*ps:(i+1)*ps; LAST chunk takes the remainder.
+- rechunk fixed (C2): test_proactive.py:152-165 — fixed windows of
+  chunk_len; a tail shorter than 0.3*chunk_len merges into the previous
+  chunk (only when there is more than one chunk).
+- ratio schedule (C4): test_proactive.py:141-150 — linear ramp
+  min(low + i*increment, 1.0), or uniform.
+- middle-drop truncation (P5): pipeline_70b_samsum.py:155-157 — while total
+  tokens > budget: delete the middle chunk (index len//2, 0-based).
+- positional shift (W4): pipeline_70b_samsum.py:204-213 —
+  shift[i] = sum of chunk lengths 0..i-1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Sentence boundary: terminator followed by whitespace. Implemented as
+# marker-insertion + split (not regex lookbehind) so the DuckDB oracle (RE2,
+# no lookbehind) computes byte-identical results.
+_SENT_MARK = ""
+
+
+def split_sentences(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """P1: one row per sentence with its 0-based position (terminators kept)."""
+    marked = F.regexp_replace(F.col(text_col), r"([.!?])\s+", "$1" + _SENT_MARK)
+    return df.select(
+        id_col, F.posexplode(F.split(marked, _SENT_MARK)).alias("sent_pos", "sentence")
+    ).filter(F.length("sentence") > 0)
+
+
+def split_words(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per whitespace word with its 0-based position (base unit)."""
+    return df.select(id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"))
+
+
+def equal_partition_chunk_id(pos: Column, n: Column, num_steps: int) -> Column:
+    """C1 closed form: chunk of item `pos` out of `n`, last takes remainder.
+
+    partition_size = n // num_steps; ps == 0 → everything lands in the last
+    chunk (mirrors the reference loop where only the final slice is
+    non-empty).
+    """
+    ps = F.floor(n / num_steps)
+    return (
+        F.when(ps <= 0, F.lit(num_steps - 1))
+        .otherwise(F.least(F.floor(pos / ps), F.lit(num_steps - 1)))
+        .cast("int")
+    )
+
+
+def partition_equal(words_df: DataFrame, num_steps: int, id_col: str = "doc_id") -> DataFrame:
+    """C1: group word rows into `num_steps` contiguous chunks per document.
+
+    Returns (doc_id, chunk_id, chunk_text, n_words). Order inside a chunk is
+    by `pos`; the aggregation sorts (pos, word) structs so the result is
+    deterministic under any physical row order.
+    """
+    n = Window.partitionBy(id_col)
+    with_chunk = words_df.withColumn("n_words_doc", F.count("*").over(n)).withColumn(
+        "chunk_id", equal_partition_chunk_id(F.col("pos"), F.col("n_words_doc"), num_steps)
+    )
+    return (
+        with_chunk.groupBy(id_col, "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))), lambda s: s["word"]
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count("*").cast("bigint").alias("n_words"),
+        )
+    )
+
+
+def rechunk_chunk_id(pos: Column, n: Column, chunk_len: int, tail_frac: float = 0.3) -> Column:
+    """C2 closed form. Fixed windows of `chunk_len`; short tail merges back.
+
+    n_chunks = ceil(n/chunk_len); tail = n - (n_chunks-1)*chunk_len;
+    merge iff n_chunks > 1 and tail < tail_frac*chunk_len.
+    """
+    n_chunks = F.ceil(n / chunk_len)
+    tail = n - (n_chunks - 1) * chunk_len
+    merged_last = F.when(
+        (n_chunks > 1) & (tail < F.lit(tail_frac * chunk_len)), n_chunks - 2
+    ).otherwise(n_chunks - 1)
+    return F.least(F.floor(pos / chunk_len), merged_last).cast("int")
+
+
+def rechunk_fixed(
+    words_df: DataFrame, chunk_len: int, id_col: str = "doc_id", tail_frac: float = 0.3
+) -> DataFrame:
+    """C2: re-chunk word rows into fixed-size windows with tail-merge."""
+    n = Window.partitionBy(id_col)
+    with_chunk = words_df.withColumn("n_words_doc", F.count("*").over(n)).withColumn(
+        "chunk_id", rechunk_chunk_id(F.col("pos"), F.col("n_words_doc"), chunk_len, tail_frac)
+    )
+    return with_chunk.groupBy(id_col, "chunk_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.min("pos").cast("bigint").alias("start_pos"),
+    )
+
+
+def ratio_schedule(num_steps: int, low: float = 0.2, increment: float = 0.1) -> Column:
+    """C4: array of per-chunk ratios min(low + i*increment, 1.0)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_steps - 1)),
+        lambda i: F.round(F.least(F.lit(low) + i * F.lit(increment), F.lit(1.0)), 6),
+    )
+
+
+@F.udf(returnType=T.ArrayType(T.IntegerType()))
+def _middle_drop_surviving(chunk_lens: list, budget: int) -> list:
+    """P5 loop, exact reference semantics (pipeline_70b_samsum.py:155-157):
+
+        while sum(len(c) for c in chunks) > budget:
+            del chunks[len(chunks) // 2]
+
+    Returns the surviving ORIGINAL chunk indices. Runs per document over a
+    tiny array → a plain UDF is fine (not a hot path)."""
+    idx = list(range(len(chunk_lens)))
+    lens = list(chunk_lens)
+    while lens and sum(lens) > budget:
+        m = len(lens) // 2
+        del lens[m]
+        del idx[m]
+    return idx
+
+
+def middle_drop(chunks_df: DataFrame, budget: int, id_col: str = "doc_id") -> DataFrame:
+    """P5: drop middle chunks per doc until total n_tokens <= budget.
+
+    Input: (doc_id, chunk_id, n_tokens). Output: surviving rows only.
+    The per-doc fixpoint runs inside an array UDF over the (ordered) chunk
+    length list — one shuffle on doc_id, no driver loop.
+    """
+    agg = chunks_df.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("chunk_id", "n_tokens"))).alias("cl")
+    )
+    surviving = agg.select(
+        id_col,
+        F.explode(
+            _middle_drop_surviving(
+                F.transform("cl", lambda s: s["n_tokens"].cast("int")), F.lit(budget)
+            )
+        ).alias("surv_idx"),
+        F.col("cl"),
+    ).select(
+        id_col, F.col("cl")[F.col("surv_idx")]["chunk_id"].alias("chunk_id")
+    )
+    return chunks_df.join(surviving, [id_col, "chunk_id"], "inner")
+
+
+def positional_shift(chunks_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """W4: shift[i] = cumulative sum of chunk token counts 0..i-1."""
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return chunks_df.withColumn(
+        "shift", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    )
+
+
+def prompt_assemble(
+    df: DataFrame, text_col: str = "chunk_text", prefix: str = '"', suffix: str = '"'
+) -> DataFrame:
+    """P6: wrap chunk text in quotes / chat-template markers
+    (test_proactive.py:201-204)."""
+    return df.withColumn("prompt", F.concat(F.lit(prefix), F.col(text_col), F.lit(suffix)))

@@ -1,0 +1,100 @@
+"""The black-box map stage (SURVEY §2.4 M1/M2, C3 tokenizer seam).
+
+The reference's map stage is an LLM forward pass (prefill + greedy decode,
+`test_proactive.py:291-335`, `pipeline_70b_samsum.py:260-303`). In this
+engine it is a pluggable ``mapInPandas`` operator: the model function is an
+``Iterator[pd.DataFrame] -> Iterator[pd.DataFrame]`` transform that the
+engine treats as opaque. Shipping a real model means swapping
+``standin_model`` for a function that loads the model once per executor
+(inside ``mapInPandas``'s iterator closure) and processes Arrow batches.
+
+For correctness testing the stand-in "model" is deterministic AND
+SQL-expressible (reverse word order — the oracle checks it end to end):
+a translator caricature that preserves token counts, so downstream length
+arithmetic (decode speeds, token-F1) has non-trivial values.
+
+Scale notes: mapInPandas keeps batches Arrow-encoded end-to-end (~10-100×
+over row-at-a-time UDFs); partitioning is inherited, so chunk rows of one
+document need NOT be co-located — the stage is embarrassingly parallel.
+``maxRecordsPerBatch`` bounds executor memory for wide text columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.hashing import py_token_id
+
+# --- C3: stand-in tokenizer -------------------------------------------------
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def tokenize_standin(texts: pd.Series) -> pd.Series:
+    """Deterministic stand-in tokenizer: md5-derived id per whitespace word.
+
+    Mirrors the tokenizer seam at pipeline_70b_samsum.py:150,170. Equivalent
+    SQL: token = portable_hash64(word) % 32000 — so tokenize queries remain
+    oracle-checkable even though this path exercises the Arrow UDF seam.
+    """
+    return texts.map(lambda t: [py_token_id(w) for w in t.split(" ")] if t else [])
+
+
+# --- M1: pluggable model stage ----------------------------------------------
+
+
+def standin_model(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic 'LLM': reverses word order of `chunk_text` → `out_text`.
+
+    Token-count preserving; SQL equivalent is list_reverse(split(text)).
+    """
+    out = batch.copy()
+    out["out_text"] = out["chunk_text"].map(
+        lambda t: " ".join(reversed(t.split(" "))) if isinstance(t, str) else t
+    )
+    return out
+
+
+def llm_map(
+    df: DataFrame,
+    model_fn: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+    extra_fields: str = "",
+) -> DataFrame:
+    """M1: apply the black-box model over chunk rows via mapInPandas.
+
+    `df` must contain (doc_id, chunk_id, chunk_text); output adds
+    `out_text` plus `n_out_tokens`. A real model plugs in as `model_fn`
+    (called once per Arrow batch; load weights lazily per executor).
+    """
+    fn = model_fn or standin_model
+    schema = T.StructType(
+        [f for f in df.schema.fields]
+        + [
+            T.StructField("out_text", T.StringType()),
+            T.StructField("n_out_tokens", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = fn(batch)
+            if "n_out_tokens" not in out.columns:
+                out["n_out_tokens"] = out["out_text"].map(
+                    lambda t: len(t.split(" ")) if isinstance(t, str) else 0
+                )
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+# --- M2/M3: detok + first-line answer extraction ----------------------------
+
+
+def decode_first_line(df: DataFrame, out_col: str = "out_text") -> DataFrame:
+    """M2/M3: `lstrip('\\n').split('\\n')[0]` — first-line answer extraction
+    (pipeline_70b_samsum.py:302-303, test_proactive.py:85-87)."""
+    return df.withColumn("answer", F.split(F.ltrim(F.col(out_col)), "\n").getItem(0))

@@ -1,0 +1,79 @@
+"""Ordered incremental reduce (SURVEY §2.5 R1/R2, §2.10 W3/W4 windows).
+
+The reference accumulates per-stage outputs in order into one final output
+(`total_res_toks.append` across stages, test_proactive.py:327-328,373) and
+builds stage n's input from chunks 0..n (`test_proactive.py:228-233`;
+v2 re-feeds accumulated outputs, test_proactive_2.py:231).
+
+Batch form: sort-by-chunk aggregation / cumulative windows. The streaming
+form (same semantics over an unbounded source) lives in streaming/.
+
+Scale notes: R1 is a single groupBy(doc_id) — one shuffle keyed by doc_id
+with map-side partial aggregation of the (chunk_id, text) structs; R2's
+window runs inside the same doc_id partitioning, so the two share one
+exchange when composed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def incremental_concat(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "chunk_id",
+    text_col: str = "out_text",
+    sep: str = " ",
+) -> DataFrame:
+    """R1: concatenate per-chunk outputs in chunk order → one row per doc.
+
+    collect_list order is made deterministic by sorting (order, text)
+    structs inside the aggregate — physical row order never leaks through.
+    """
+    return df.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(order_col, text_col))),
+                lambda s: s[text_col],
+            ),
+            sep,
+        ).alias("final_text"),
+        F.count("*").cast("bigint").alias("n_chunks"),
+    )
+
+
+def prefix_scan_inputs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "chunk_id",
+    text_col: str = "chunk_text",
+    sep: str = " ",
+) -> DataFrame:
+    """R2: stage n's input = concat of chunks 0..n (running prefix)."""
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        "stage_input",
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct(order_col, text_col)).over(w)),
+                        lambda s: s[text_col]),
+            sep,
+        ),
+    )
+
+
+def running_mean(
+    df: DataFrame, id_col: str, order_col: str, value_col: str, out_col: str = "running_avg"
+) -> DataFrame:
+    """W3: cumulative mean in arrival order (pipeline_70b_samsum.py:312-323)."""
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.round(F.avg(value_col).over(w), 6))

@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for both local testing and large clusters.
+
+Scale notes (the configs below are chosen for 100 TB-class inputs, not just
+the local fixtures):
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting and
+  dynamic join-strategy switching replace hand-tuned partition counts when
+  the same code moves from local[32] to a 1000-executor cluster.
+- `spark.sql.shuffle.partitions` is only the *initial* value; AQE coalesces
+  down on small data and the advisory partition size governs large data.
+- Arrow enabled for every pandas-UDF seam (the map stage is Arrow-batched,
+  never row-at-a-time Python).
+- Parquet filter pushdown / column pruning are left at defaults (on); all
+  engine operators express filters/projections declaratively so Catalyst
+  can push them into the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Settable at runtime; required because the driver fixtures write
+# INT64(TIMESTAMP(NANOS)) which Spark only reads as long via this flag.
+_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply engine confs to an externally-created session (the driver's)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build — builder path sets it instead
+    return spark
+
+
+def get_spark(app_name: str = "proactive_map_reduce_spark") -> SparkSession:
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return apply_runtime_confs(builder.getOrCreate())

@@ -1,0 +1,57 @@
+"""Fixture-table loaders (SURVEY §2.1 S1-S3).
+
+The reference reads whole-file text documents (`test_proactive.py:45-48`),
+sibling ground-truth files keyed by the same index (`:371-372`) and JSON
+array datasets (`pipeline_70b_samsum.py:353-356`). The engine's sources are
+columnar parquet tables (schemas in TESTDATA.md/FIXTURES.md) read through
+`spark.read.parquet` so Catalyst gets pushdown/pruning for free.
+
+Scale note: at 100 TB these reads become multi-file partitioned scans; the
+loaders keep the scan declarative (no collect, no driver-side file loops)
+so partition pruning and `maxPartitionBytes` splitting apply unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Columns written as INT64(TIMESTAMP(NANOS)) by the fixture generator: Spark
+# reads them as long (nanos) under spark.sql.legacy.parquet.nanosAsLong and
+# we convert to microsecond timestamps (equal to what DuckDB's reader sees).
+_NANO_TS_COLS = {"events": ["ts"]}
+
+
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_nanos_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANO_TS_COLS.get(name, []):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register each fixture table as a temp view for spark.sql() use."""
+    for name in names or TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
