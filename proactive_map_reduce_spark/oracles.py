@@ -267,3 +267,339 @@ SELECT doc_id, lang, n_chunks,
        CAST(len(list_filter(g_set, x -> NOT list_contains(p, x))) = 0 AS INT) AS subset_acc
 FROM scored
 """
+
+
+# --- batch 2: scalar functions, aggregations, top-k, windows, relational ----
+
+# flagship scored rows as a reusable fragment (for metric aggregates)
+_FLAGSHIP_CTES = f"""
+{_WORDS}, {_CHUNKS}, {_MAPPED},
+fin AS (
+  SELECT doc_id, string_agg(out_text, ' ' ORDER BY chunk_id) AS final_text,
+         CAST(count(*) AS BIGINT) AS n_chunks
+  FROM mapped GROUP BY doc_id
+),
+gt AS (
+  SELECT doc_id, lang,
+         array_to_string(list_reverse(string_split(text, ' ')), ' ') AS gt_text
+  FROM documents
+),
+scored AS (
+  SELECT f.doc_id, g.lang, f.n_chunks,
+         list_distinct(string_split(f.final_text, ' ')) AS p,
+         list_distinct(string_split(g.gt_text, ' ')) AS g_set,
+         f.final_text, g.gt_text
+  FROM fin f JOIN gt g USING (doc_id)
+),
+flagship AS (
+  SELECT doc_id, lang, n_chunks,
+         {_set_f1_sql('p', 'g_set')} AS set_f1,
+         CAST({_norm('final_text')} = {_norm('gt_text')} AS INT) AS em,
+         CAST(len(list_filter(g_set, x -> NOT list_contains(p, x))) = 0 AS INT) AS subset_acc
+  FROM scored
+)
+"""
+
+ORACLES["q_normalize_text"] = f"""
+SELECT doc_id, {_norm('text')} AS norm_text FROM documents
+"""
+
+ORACLES["q_normalize_question"] = """
+WITH q0 AS (
+  SELECT doc_id, array_to_string(string_split(text, ' ')[1:5], ' ') AS q FROM documents
+),
+q1 AS (
+  SELECT doc_id, CASE WHEN q LIKE '%?' THEN q ELSE q || '?' END AS q FROM q0
+)
+SELECT doc_id, lower(substr(q, 1, 1)) || substr(q, 2) AS question FROM q1
+"""
+
+ORACLES["q_exact_match"] = f"""
+SELECT a.doc_id, CAST({_norm('a.text')} = {_norm('b.text')} AS INT) AS em
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+"""
+
+ORACLES["q_substring_match"] = f"""
+WITH g AS (
+  SELECT doc_id, text, array_to_string(string_split(text, ' ')[1:3], ' ') AS gold
+  FROM documents
+)
+SELECT doc_id, CAST(contains({_norm('text')}, {_norm('gold')}) AS INT) AS contained FROM g
+"""
+
+ORACLES["q_any_answer_contained"] = f"""
+WITH a AS (
+  SELECT doc_id, text,
+         [string_split(text, ' ')[1], 'zzz_nonexistent_token',
+          string_split(text, ' ')[-1]] AS answers
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(answers, x -> contains({_norm('text')}, {_norm('x')}))) > 0 AS INT)
+         AS has_answer
+FROM a
+"""
+
+ORACLES["q_timing_arith"] = """
+SELECT doc_id,
+       round(n_chars / CAST(100.0 AS DOUBLE), 6) AS decode_time,
+       round(len(string_split(text, ' ')) / (n_chars / CAST(100.0 AS DOUBLE)), 6) AS decoding_speed
+FROM documents
+"""
+
+ORACLES["q_hash_key"] = """
+SELECT doc_id, CAST(t.layer AS INT) AS layer,
+       sha256(text || CAST(t.layer AS VARCHAR)) AS cache_key
+FROM documents, UNNEST(generate_series(0, 3)) AS t(layer)
+"""
+
+ORACLES["q_metrics_avg"] = f"""
+WITH {_FLAGSHIP_CTES}
+SELECT lang, round(avg(set_f1), 6) AS avg_f1, round(avg(em), 6) AS em_rate,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM flagship GROUP BY lang
+"""
+
+_BEST_ANS = """
+ans AS (
+  SELECT doc_id,
+         list_distinct(string_split(text, ' ')) AS a_same,
+         list_distinct(list_reverse(string_split(text, ' '))) AS a_rev,
+         list_distinct(string_split(text, ' ')[1:10]) AS a_head
+  FROM documents
+)
+"""
+
+ORACLES["q_best_of_answers"] = f"""
+WITH {_WORDS}, {_CHUNKS}, {_MAPPED},
+fin AS (
+  SELECT doc_id, string_agg(out_text, ' ' ORDER BY chunk_id) AS final_text
+  FROM mapped GROUP BY doc_id
+),
+{_BEST_ANS},
+j AS (
+  SELECT f.doc_id, list_distinct(string_split(f.final_text, ' ')) AS p,
+         a.a_same, a.a_rev, a.a_head
+  FROM fin f JOIN ans a USING (doc_id)
+)
+SELECT doc_id,
+       greatest({_set_f1_sql('p', 'a_same')}, {_set_f1_sql('p', 'a_rev')},
+                {_set_f1_sql('p', 'a_head')}) AS best_f1
+FROM j
+"""
+
+ORACLES["q_union_outputs"] = f"""
+WITH {_FLAGSHIP_CTES}
+SELECT 'proactive' AS run, doc_id, set_f1 AS f1 FROM flagship
+UNION ALL
+SELECT 'baseline' AS run, doc_id, CAST(1.0 AS DOUBLE) AS f1 FROM documents
+"""
+
+ORACLES["q_mean_over_files"] = f"""
+WITH {_FLAGSHIP_CTES},
+u AS (
+  SELECT 'proactive' AS run, doc_id, set_f1 AS f1 FROM flagship
+  UNION ALL
+  SELECT 'baseline' AS run, doc_id, CAST(1.0 AS DOUBLE) AS f1 FROM documents
+)
+SELECT run, round(avg(f1), 6) AS avg_f1, CAST(count(*) AS BIGINT) AS n_rows
+FROM u GROUP BY run
+"""
+
+ORACLES["q_flatten_nested_times"] = f"""
+WITH {_WORDS}, {_CHUNKS}
+SELECT d.lang,
+       round(avg(round(c.n_words / CAST(4.1 AS DOUBLE), 6)), 6) AS avg_prefill,
+       CAST(count(*) AS BIGINT) AS n_times
+FROM chunks c JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
+
+ORACLES["q_token_counter_overlap"] = f"""
+WITH {_WORDS},
+pred AS (SELECT doc_id, word, count(*) AS c_pred FROM w GROUP BY doc_id, word),
+gold AS (SELECT doc_id - 1 AS doc_id, word, count(*) AS c_gold FROM w GROUP BY doc_id - 1, word),
+tp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pred FROM w GROUP BY doc_id),
+tg AS (SELECT doc_id - 1 AS doc_id, CAST(count(*) AS BIGINT) AS n_gold FROM w GROUP BY doc_id - 1),
+ov AS (
+  SELECT p.doc_id, CAST(sum(least(p.c_pred, g.c_gold)) AS BIGINT) AS n_same
+  FROM pred p JOIN gold g USING (doc_id, word) GROUP BY p.doc_id
+),
+j AS (
+  SELECT tp.doc_id, tp.n_pred, tg.n_gold, coalesce(ov.n_same, 0) AS n_same
+  FROM tp JOIN tg USING (doc_id) LEFT JOIN ov USING (doc_id)
+)
+SELECT doc_id,
+       round(n_same / CAST(n_pred AS DOUBLE), 6) AS precision,
+       round(n_same / CAST(n_gold AS DOUBLE), 6) AS recall,
+       round(CASE WHEN n_same = 0 THEN CAST(0.0 AS DOUBLE)
+                  ELSE 2.0 * (n_same / CAST(n_pred AS DOUBLE)) * (n_same / CAST(n_gold AS DOUBLE))
+                       / ((n_same / CAST(n_pred AS DOUBLE)) + (n_same / CAST(n_gold AS DOUBLE)))
+             END, 6) AS f1
+FROM j
+"""
+
+ORACLES["q_set_f1"] = f"""
+WITH pr AS (
+  SELECT a.doc_id,
+         list_distinct(string_split(a.text, ' ')) AS p,
+         list_distinct(string_split(b.text, ' ')) AS g_set
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+)
+SELECT doc_id, {_set_f1_sql('p', 'g_set')} AS set_f1 FROM pr
+"""
+
+ORACLES["q_subset_accuracy"] = """
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(string_split(text, ' ')) AS p,
+         list_distinct(string_split(text, ' ')[1:10]) AS g_set
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(g_set, x -> NOT list_contains(p, x))) = 0 AS INT) AS subset_acc
+FROM s
+"""
+
+ORACLES["q_grid_sweep"] = """
+WITH params AS (
+  SELECT CAST(r.ratio AS DOUBLE) AS ratio, CAST(l.check_layer AS INT) AS check_layer
+  FROM (VALUES (0.2), (0.5), (0.8)) r(ratio)
+  CROSS JOIN (VALUES (0), (40), (79)) l(check_layer)
+),
+d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents)
+SELECT p.ratio, p.check_layer,
+       round(avg(round(p.ratio * d.n_words)), 6) AS avg_selected,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM params p CROSS JOIN d
+GROUP BY p.ratio, p.check_layer
+"""
+
+ORACLES["q_topk_importance"] = """
+WITH e AS (
+  SELECT user_id, event_id, value,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS pos,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, pos ASC) AS rn,
+         greatest(0, least(CAST(round(CAST(0.3 AS DOUBLE) * n) AS BIGINT) - 1, n - 2)) AS k
+  FROM e
+)
+SELECT user_id, pos, event_id,
+       CASE WHEN pos >= n - 2 THEN 'tail' ELSE 'topk' END AS selected
+FROM r WHERE pos >= n - 2 OR (rn <= k AND pos < n - 2)
+"""
+
+ORACLES["q_order_preserve"] = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+         AS global_order
+FROM events
+"""
+
+ORACLES["q_running_metric"] = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+       CAST(count(*) OVER (
+         PARTITION BY user_id ORDER BY event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
+FROM events
+"""
+
+ORACLES["q_speedup_model"] = f"""
+WITH {_WORDS}, {_CHUNKS},
+t AS (
+  SELECT doc_id, chunk_id,
+         n_words / CAST(4.1 AS DOUBLE) AS ingest,
+         n_words * CAST(0.8 AS DOUBLE) AS prefill,
+         n_words * CAST(0.5 AS DOUBLE) AS decode,
+         coalesce(lead(n_words / CAST(4.1 AS DOUBLE)) OVER (
+           PARTITION BY doc_id ORDER BY chunk_id), CAST(0.0 AS DOUBLE)) AS ingest_next
+  FROM chunks
+),
+per_doc AS (
+  SELECT doc_id,
+         min(CASE WHEN chunk_id = 0 THEN ingest END)
+           + sum(greatest(ingest_next, prefill + decode)) AS e2e_proactive,
+         sum(ingest) + sum(prefill) + sum(decode) AS e2e_baseline
+  FROM t GROUP BY doc_id
+)
+SELECT doc_id, round(e2e_baseline, 6) AS e2e_baseline,
+       round(e2e_proactive, 6) AS e2e_proactive,
+       round(e2e_baseline / e2e_proactive, 6) AS speedup
+FROM per_doc
+"""
+
+ORACLES["q_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-06-30'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["q_top_revenue"] = """
+SELECT o.o_orderkey, o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey ASC
+LIMIT 10
+"""
+
+ORACLES["q_region_revenue"] = """
+SELECT r.r_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+ORACLES["q_window_tumbling"] = """
+SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS hour_bucket,
+       event_type,
+       round(avg(value), 6) AS avg_value,
+       round(sum(value), 2) AS sum_value,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+ORACLES["q_sessionize"] = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+           AS gap
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id, ts,
+         CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end
+FROM s GROUP BY user_id, session_id
+"""

@@ -282,3 +282,443 @@ REGISTRY: dict[str, object] = {
     "q_prefix_scan_inputs": q_prefix_scan_inputs,
     "q_flagship": q_flagship,
 }
+
+
+# --- §2.9 scalar text/math functions (F1-F5, F8, F10) -----------------------
+
+
+def q_normalize_text(spark, sf_dir):
+    """F1: lower → strip punct → drop articles → collapse whitespace."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", normalize_text(F.col("text")).alias("norm_text")
+    )
+
+
+def q_normalize_question(spark, sf_dir):
+    """F2: append '?' if missing, lowercase first char (first-5-words stub question)."""
+    q = F.array_join(F.slice(F.split("text", " "), 1, 5), " ")
+    return _docs(spark, sf_dir).select(
+        "doc_id", normalize_question(q).alias("question")
+    )
+
+
+def q_exact_match(spark, sf_dir):
+    """F3: normalized equality between neighbor documents."""
+    d = _docs(spark, sf_dir)
+    a = d.select("doc_id", F.col("text").alias("pred"))
+    b = d.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("gold"))
+    return a.join(b, "doc_id").select(
+        "doc_id", exact_match(F.col("pred"), F.col("gold")).alias("em")
+    )
+
+
+def q_substring_match(spark, sf_dir):
+    """F4: normalized gold (first 3 words) contained in normalized pred."""
+    d = _docs(spark, sf_dir)
+    gold = F.array_join(F.slice(F.split("text", " "), 1, 3), " ")
+    return d.select("doc_id", substring_match(F.col("text"), gold).alias("contained"))
+
+
+def q_any_answer_contained(spark, sf_dir):
+    """F5: any of a list of candidate answers contained in the text."""
+    d = _docs(spark, sf_dir)
+    ws = F.split("text", " ")
+    answers = F.array(ws.getItem(0), F.lit("zzz_nonexistent_token"), F.element_at(ws, -1))
+    return d.select("doc_id", any_answer_contained(F.col("text"), answers).alias("has_answer"))
+
+
+def q_timing_arith(spark, sf_dir):
+    """F8: decoding_speed = len(res_toks)/decode_time (test_proactive.py:332-335)."""
+    d = _docs(spark, sf_dir)
+    n_words = F.size(F.split("text", " "))
+    decode_time = F.col("n_chars") / 100.0
+    return d.select(
+        "doc_id",
+        F.round(decode_time, 6).alias("decode_time"),
+        F.round(n_words / decode_time, 6).alias("decoding_speed"),
+    )
+
+
+def q_hash_key(spark, sf_dir):
+    """F10: sha256(text + str(layer)) cache keys, one per (doc, layer)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("layer"), "text"
+    ).select(
+        "doc_id",
+        F.col("layer").cast("int").alias("layer"),
+        F.sha2(F.concat(F.col("text"), F.col("layer").cast("string")), 256).alias("cache_key"),
+    )
+
+
+# --- §2.6 aggregations (A1-A8) ----------------------------------------------
+
+
+def q_metrics_avg(spark, sf_dir):
+    """A1: aggregate means of the flagship per-doc metrics, by language."""
+    scored = q_flagship(spark, sf_dir)
+    return scored.groupBy("lang").agg(
+        F.round(F.avg("set_f1"), 6).alias("avg_f1"),
+        F.round(F.avg("em"), 6).alias("em_rate"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+
+
+def q_best_of_answers(spark, sf_dir):
+    """A2: score prediction against each gold answer, take the max
+    (pipeline_70b_samsum.py:311)."""
+    docs = _docs(spark, sf_dir)
+    mapped = mapstage.llm_map(_chunks(spark, sf_dir))
+    pred = red.incremental_concat(mapped).select("doc_id", F.col("final_text").alias("pred"))
+    gt = docs.select(
+        "doc_id",
+        F.col("text").alias("ans_same"),
+        F.array_join(F.reverse(F.split("text", " ")), " ").alias("ans_rev"),
+        F.array_join(F.slice(F.split("text", " "), 1, 10), " ").alias("ans_head"),
+    )
+    j = pred.join(gt, "doc_id")
+    p = F.split("pred", " ")
+    return j.select(
+        "doc_id",
+        F.greatest(
+            set_f1(p, F.split("ans_same", " ")),
+            set_f1(p, F.split("ans_rev", " ")),
+            set_f1(p, F.split("ans_head", " ")),
+        ).alias("best_f1"),
+    )
+
+
+def q_union_outputs(spark, sf_dir):
+    """§2.8: union of baseline and proactive result sets (compute_scores.py:20-24)."""
+    proactive = q_flagship(spark, sf_dir).select(
+        F.lit("proactive").alias("run"), "doc_id", F.col("set_f1").alias("f1")
+    )
+    baseline = _docs(spark, sf_dir).select(
+        F.lit("baseline").alias("run"), "doc_id", F.lit(1.0).alias("f1")
+    )
+    return proactive.unionByName(baseline)
+
+
+def q_mean_over_files(spark, sf_dir):
+    """A3: np.mean over each result file (compute_scores.py:56-59)."""
+    return q_union_outputs(spark, sf_dir).groupBy("run").agg(
+        F.round(F.avg("f1"), 6).alias("avg_f1"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+
+
+def q_flatten_nested_times(spark, sf_dir):
+    """A4: flatten per-stage timing lists then aggregate (compute_scores.py:32-39).
+    Per-chunk prefill time model: n_words / 4.1 tokens-per-sec."""
+    chunks = _chunks(spark, sf_dir)
+    nested = chunks.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("chunk_id", "n_words"))).alias("cl")
+    ).select(
+        "doc_id", F.transform("cl", lambda s: F.round(s["n_words"] / 4.1, 6)).alias("prefill_times")
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return (
+        nested.join(docs, "doc_id")
+        .select("lang", F.explode("prefill_times").alias("t"))
+        .groupBy("lang")
+        .agg(F.round(F.avg("t"), 6).alias("avg_prefill"), F.count("*").cast("bigint").alias("n_times"))
+    )
+
+
+def q_token_counter_overlap(spark, sf_dir):
+    """A5: multiset token-overlap F1 between neighbor docs
+    (Counter & Counter, pipeline_70b_samsum.py:83-97)."""
+    d = _docs(spark, sf_dir)
+    words = chunking.split_words(d)
+    pred_counts = words.groupBy("doc_id", "word").agg(F.count("*").alias("c_pred"))
+    gold_counts = (
+        words.select((F.col("doc_id") - 1).alias("doc_id"), "word")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c_gold"))
+    )
+    totals_pred = words.groupBy("doc_id").agg(F.count("*").alias("n_pred"))
+    totals_gold = (
+        words.select((F.col("doc_id") - 1).alias("doc_id"), "word")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_gold"))
+    )
+    overlap = (
+        pred_counts.join(gold_counts, ["doc_id", "word"])
+        .groupBy("doc_id")
+        .agg(F.sum(F.least("c_pred", "c_gold")).alias("n_same"))
+    )
+    j = (
+        totals_pred.join(totals_gold, "doc_id")
+        .join(overlap, "doc_id", "left")
+        .withColumn("n_same", F.coalesce("n_same", F.lit(0)))
+    )
+    prec = F.col("n_same") / F.col("n_pred")
+    rec = F.col("n_same") / F.col("n_gold")
+    return j.select(
+        "doc_id",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            F.when(F.col("n_same") == 0, F.lit(0.0)).otherwise(2 * prec * rec / (prec + rec)), 6
+        ).alias("f1"),
+    )
+
+
+def q_set_f1(spark, sf_dir):
+    """A6: set-based F1 between neighbor docs (test_proactive.py:110-128)."""
+    d = _docs(spark, sf_dir)
+    a = d.select("doc_id", F.col("text").alias("pred"))
+    b = d.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("gold"))
+    return a.join(b, "doc_id").select(
+        "doc_id", set_f1(F.split("pred", " "), F.split("gold", " ")).alias("set_f1")
+    )
+
+
+def q_subset_accuracy(spark, sf_dir):
+    """A7: 1 iff gold token set ⊆ pred token set (test_proactive.py:130-139)."""
+    d = _docs(spark, sf_dir)
+    gold = F.slice(F.split("text", " "), 1, 10)
+    return d.select(
+        "doc_id", subset_accuracy(F.split("text", " "), gold).alias("subset_acc")
+    )
+
+
+def q_grid_sweep(spark, sf_dir):
+    """A8: nested parameter sweep (ratios × check layers) producing one
+    metrics row per cell (pipeline_70b_samsum.py:132-137)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_words")
+    )
+    ratios = spark.range(1).select(
+        F.explode(F.array(F.lit(0.2), F.lit(0.5), F.lit(0.8))).alias("ratio")
+    )
+    layers = spark.range(1).select(
+        F.explode(F.array(F.lit(0), F.lit(40), F.lit(79))).alias("check_layer")
+    )
+    grid = ratios.crossJoin(layers)
+    cells = grid.crossJoin(docs)
+    return cells.groupBy("ratio", "check_layer").agg(
+        F.round(F.avg(F.round(F.col("ratio") * F.col("n_words"))), 6).alias("avg_selected"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+
+
+# --- §2.7 top-k / ordering (T1, T2) and §2.10 windows (W3) ------------------
+
+
+def _events_with_pos(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.withColumn("pos", (F.row_number().over(w) - 1).cast("int"))
+
+
+def q_topk_importance(spark, sf_dir):
+    """T1: per-user top-k events by score plus always the positional tail
+    (modeling_llama.py:860-869 selection semantics)."""
+    ev = _events_with_pos(spark, sf_dir).select("user_id", "pos", "event_id", "value")
+    sel = topk_ops.topk_importance(
+        ev, group_col="user_id", pos_col="pos", score_col="value",
+        ratio=TOPK_RATIO, last_len=TOPK_LAST,
+    )
+    return sel.select("user_id", "pos", "event_id", "selected")
+
+
+def q_order_preserve(spark, sf_dir):
+    """T2: tokens consumed in (stage, pos) arrival order (test_order.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = topk_ops.order_preserve(ev, "user_id", "ts", "event_id")
+    return out.select("event_id", "user_id", "global_order")
+
+
+def q_running_metric(spark, sf_dir):
+    """W3: running metric per user in arrival order
+    (pipeline_70b_samsum.py:312-323). Emits the cumulative sum and count
+    (the mean's exact numerator/denominator) rather than the quotient:
+    avg of 2-decimal values lands on exact x.5 rounding boundaries where
+    Spark's sequential and DuckDB's segment-tree summation legitimately
+    disagree in the last ulp; sum/count are boundary-free."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_sum"),
+        F.count("*").over(w).cast("bigint").alias("running_n"),
+    )
+
+
+# --- analytics (A3/A4/F9 composition) ---------------------------------------
+
+
+def q_speedup_model(spark, sf_dir):
+    """F9: analytic pipeline-overlap speedup model (compute_scores.py:62-85).
+
+    Per doc: baseline = ingest_all + prefill_total + decode_total;
+    proactive = ingest_0 + Σ_j max(ingest_{j+1}, prefill_j + decode_j).
+    Ingest/prefill/decode modeled from chunk token counts (tokens_per_sec
+    = 4.1, decode = 0.5 ms/token)."""
+    chunks = _chunks(spark, sf_dir)
+    t = chunks.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("n_words") / 4.1).alias("ingest"),
+        (F.col("n_words") * 0.8).alias("prefill"),
+        (F.col("n_words") * 0.5).alias("decode"),
+    )
+    w_next = Window.partitionBy("doc_id").orderBy("chunk_id")
+    t = t.withColumn("ingest_next", F.coalesce(F.lead("ingest").over(w_next), F.lit(0.0)))
+    per_doc = t.groupBy("doc_id").agg(
+        (
+            F.min(F.when(F.col("chunk_id") == 0, F.col("ingest")))
+            + F.sum(F.greatest(F.col("ingest_next"), F.col("prefill") + F.col("decode")))
+        ).alias("e2e_proactive"),
+        (F.sum("ingest") + F.sum("prefill") + F.sum("decode")).alias("e2e_baseline"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.round("e2e_baseline", 6).alias("e2e_baseline"),
+        F.round("e2e_proactive", 6).alias("e2e_proactive"),
+        F.round(F.col("e2e_baseline") / F.col("e2e_proactive"), 6).alias("speedup"),
+    )
+
+
+# --- relational substrate (§2.8/2.11 + bench headliners) --------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary over lineitem (bench headliner).
+
+    Scale: single scan + partial-agg shuffle on a low-cardinality key;
+    filter pushed to parquet; no joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "2001-06-30")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue(spark, sf_dir):
+    """TPC-H Q3-style: top 10 orders by revenue for one market segment.
+
+    Scale: customer dim is broadcast (no shuffle of lineitem on custkey);
+    the only wide shuffle is the groupBy(o_orderkey) aggregation."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+        li.l_orderkey == orders.o_orderkey,
+    )
+    return (
+        j.groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_region_revenue(spark, sf_dir):
+    """Star-schema rollup: revenue per region via broadcast dim chain
+    (lineitem ⋈ supplier ⋈ nation ⋈ region)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    dims = F.broadcast(
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey).join(
+            reg, nat.n_regionkey == reg.r_regionkey
+        ).select("s_suppkey", "r_name")
+    )
+    return (
+        li.join(dims, li.l_suppkey == dims.s_suppkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+def q_window_tumbling(spark, sf_dir):
+    """Tumbling 1-hour window aggregation over the events stream table
+    (batch form; the streaming mode reuses the same expression)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .select(
+            (F.unix_timestamp(F.col("w.start")) / 3600).cast("bigint").alias("hour_bucket"),
+            "event_type",
+            "avg_value",
+            "sum_value",
+            "n_events",
+        )
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Session windows: per-user sessions split at >30 min inactivity gaps
+    (engine streaming capability, batch-checkable form)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_sess = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("bigint"),
+    )
+    return with_sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.unix_timestamp(F.min("ts")).cast("bigint").alias("session_start"),
+        F.unix_timestamp(F.max("ts")).cast("bigint").alias("session_end"),
+    )
+
+
+REGISTRY.update(
+    {
+        "q_normalize_text": q_normalize_text,
+        "q_normalize_question": q_normalize_question,
+        "q_exact_match": q_exact_match,
+        "q_substring_match": q_substring_match,
+        "q_any_answer_contained": q_any_answer_contained,
+        "q_timing_arith": q_timing_arith,
+        "q_hash_key": q_hash_key,
+        "q_metrics_avg": q_metrics_avg,
+        "q_best_of_answers": q_best_of_answers,
+        "q_union_outputs": q_union_outputs,
+        "q_mean_over_files": q_mean_over_files,
+        "q_flatten_nested_times": q_flatten_nested_times,
+        "q_token_counter_overlap": q_token_counter_overlap,
+        "q_set_f1": q_set_f1,
+        "q_subset_accuracy": q_subset_accuracy,
+        "q_grid_sweep": q_grid_sweep,
+        "q_topk_importance": q_topk_importance,
+        "q_order_preserve": q_order_preserve,
+        "q_running_metric": q_running_metric,
+        "q_speedup_model": q_speedup_model,
+        "q_pricing_summary": q_pricing_summary,
+        "q_top_revenue": q_top_revenue,
+        "q_region_revenue": q_region_revenue,
+        "q_window_tumbling": q_window_tumbling,
+        "q_sessionize": q_sessionize,
+    }
+)
