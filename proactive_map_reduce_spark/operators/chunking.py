@@ -48,8 +48,18 @@ def split_sentences(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 
 def split_words(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One row per whitespace word with its 0-based position (base unit)."""
-    return df.select(id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"))
+    """One row per whitespace word with its 0-based position (base unit).
+
+    Carries `n_words_doc` computed from the array BEFORE exploding — chunk
+    assignment downstream then needs no count-over-window, so the explode →
+    chunk-id → groupBy pipeline has exactly ONE shuffle (the final group),
+    not two. At 100 TB that's the difference between one wide exchange and
+    two.
+    """
+    ws = F.split(F.col(text_col), " ")
+    return df.select(
+        id_col, F.size(ws).alias("n_words_doc"), F.posexplode(ws).alias("pos", "word")
+    )
 
 
 def equal_partition_chunk_id(pos: Column, n: Column, num_steps: int) -> Column:
@@ -74,8 +84,10 @@ def partition_equal(words_df: DataFrame, num_steps: int, id_col: str = "doc_id")
     by `pos`; the aggregation sorts (pos, word) structs so the result is
     deterministic under any physical row order.
     """
-    n = Window.partitionBy(id_col)
-    with_chunk = words_df.withColumn("n_words_doc", F.count("*").over(n)).withColumn(
+    if "n_words_doc" not in words_df.columns:
+        n = Window.partitionBy(id_col)
+        words_df = words_df.withColumn("n_words_doc", F.count("*").over(n))
+    with_chunk = words_df.withColumn(
         "chunk_id", equal_partition_chunk_id(F.col("pos"), F.col("n_words_doc"), num_steps)
     )
     return (
@@ -110,8 +122,10 @@ def rechunk_fixed(
     words_df: DataFrame, chunk_len: int, id_col: str = "doc_id", tail_frac: float = 0.3
 ) -> DataFrame:
     """C2: re-chunk word rows into fixed-size windows with tail-merge."""
-    n = Window.partitionBy(id_col)
-    with_chunk = words_df.withColumn("n_words_doc", F.count("*").over(n)).withColumn(
+    if "n_words_doc" not in words_df.columns:
+        n = Window.partitionBy(id_col)
+        words_df = words_df.withColumn("n_words_doc", F.count("*").over(n))
+    with_chunk = words_df.withColumn(
         "chunk_id", rechunk_chunk_id(F.col("pos"), F.col("n_words_doc"), chunk_len, tail_frac)
     )
     return with_chunk.groupBy(id_col, "chunk_id").agg(

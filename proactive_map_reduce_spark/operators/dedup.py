@@ -1,0 +1,257 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (north-star extras): exact dedup, MinHash
++ LSH banding, SimHash, and n-gram Jaccard near-dup — the standard suite
+for 100 TB corpus curation, built shuffle-consciously:
+
+- Exact: one groupBy on a 256-bit content hash — the only full shuffle,
+  keyed uniformly (no skew: hash keys are uniform by construction).
+- MinHash: signatures are computed with `n_hashes` min-aggregates in ONE
+  groupBy over the shingle explosion (no per-hash shuffle); LSH banding
+  turns all-pairs comparison (O(n²), impossible at 100 TB) into an
+  equi-join on (band_id, band_hash) — each bucket is tiny, and the join
+  key count grows linearly with corpus size.
+- SimHash: one explosion over (word × bit), two partial-agg groupBys.
+- n-gram Jaccard: blocking key (lang, length bucket) bounds the candidate
+  set; exact Jaccard via distinct-shingle join only within blocks.
+
+All hashes are the portable md5-derived family (functions/hashing.py), so
+every operator here is value-checkable against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64
+from ..functions.text import normalize_text
+
+# Universal-hash family for MinHash: h_j(x) = (a_j·x + b_j) mod p over the
+# base md5-derived hash. p = 2^31 − 1 keeps a_j·x < 2^62 (no int64
+# overflow in either Spark or DuckDB); constants are fixed odd/offset
+# values so signatures are deterministic and oracle-reproducible.
+MINHASH_PRIME = 2147483647
+MINHASH_A = [
+    1103515245, 1588635695, 1117695901, 1287709093, 1196314165, 1653202929,
+    1341234487, 1739581621, 1442695041, 1865811235, 1203248689, 1291394887,
+    1520944621, 1947483647, 1635213587, 1111111113,
+]
+MINHASH_B = [
+    12345, 1013904223, 56789, 987654321, 1327217885, 43210987, 246813579,
+    135792468, 864209753, 975318642, 159263487, 951357852, 753159852,
+    258741369, 369852147, 147258369,
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized content hash.
+
+    Returns one row per distinct content: representative id (min), dup
+    count. Scale: single shuffle on sha256 key; map-side partial agg.
+    """
+    keyed = df.select(
+        F.col(id_col), F.sha2(normalize_text(F.col(text_col)), 256).alias("content_key")
+    )
+    return keyed.groupBy("content_key").agg(
+        F.min(id_col).alias("rep_id"),
+        F.count("*").cast("bigint").alias("n_dups"),
+    )
+
+
+def shingle_arrays(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingle ARRAY per document (one row per doc).
+
+    Array form keeps shingling a narrow projection (no explode, no
+    shuffle); per-document arrays are bounded by document length, so this
+    holds at any corpus scale.
+    """
+    ws = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+    )
+    return df.select(F.col(id_col), F.array_distinct(grams).alias("shingles"))
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (one row per shingle)."""
+    return shingle_arrays(df, text_col, id_col, n).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
+
+
+def shingle_rows(words_df: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Word n-gram shingle rows built with window lead() — fully codegen'd
+    (array higher-order functions are interpreted in Spark; measured ~3×
+    slower for this step). The window's doc_id exchange is REUSED by the
+    downstream signature groupBy — net one shuffle for shingle→signature.
+
+    Input: exploded words with (pos, n_words_doc) from chunking.split_words.
+    Keeps the same gram set as shingle_arrays: all full n-grams, plus one
+    partial gram for docs shorter than n (concat_ws skips the null leads).
+    Output is a multiset (dedup via groupBy where needed — min-aggregation
+    for MinHash is insensitive to duplicates).
+    """
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("word")] + [F.lead("word", k).over(w) for k in range(1, n)]
+    gram = F.concat_ws(" ", *parts)
+    return (
+        words_df.withColumn("shingle", gram)
+        .filter(F.col("pos") <= F.greatest(F.col("n_words_doc") - n, F.lit(0)))
+        .select(F.col(id_col), "shingle")
+    )
+
+
+def shingle_sets(words_df: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct shingle set per doc as an array column (for pair Jaccard)."""
+    return shingle_rows(words_df, id_col, n).groupBy(id_col).agg(
+        F.collect_set("shingle").alias("shingles")
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, n_hashes: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature: for each salt j, min over shingles of h(shingle||j).
+
+    Universal hashing: ONE md5 per shingle (the expensive part), then
+    n_hashes cheap affine functions h_j = (a_j·h + b_j) mod p over it —
+    all inside a single groupBy carrying the n_hashes min-aggregates.
+    Min over a multiset equals min over the set, so the input needs no
+    dedup. One shuffle total, no per-hash row blow-up.
+    """
+    if "shingles" in shingle_df.columns:
+        shingle_df = shingle_df.select(
+            F.col(id_col), F.explode("shingles").alias("shingle")
+        )
+    base = (portable_hash64(F.col("shingle")) % MINHASH_PRIME).alias("h0")
+    rows = shingle_df.select(F.col(id_col), base)
+    aggs = [
+        F.min((F.lit(MINHASH_A[j]) * F.col("h0") + F.lit(MINHASH_B[j])) % MINHASH_PRIME).alias(
+            f"mh_{j}"
+        )
+        for j in range(n_hashes)
+    ]
+    return rows.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, n_hashes: int = 16, bands: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH banding: docs sharing any band's full sub-signature are candidates.
+
+    band_hash = h(mh_a || '|' || mh_b || ...) over the band's rows. The
+    self-join is an equi-join on (band_id, band_hash) — at scale this is a
+    shuffle join on a uniform composite key, never an all-pairs product.
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+    """
+    rows_per_band = n_hashes // bands
+    band_exprs = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        band_exprs.append(
+            portable_hash64(reduce(lambda x, y: F.concat(x, F.lit("|"), y), cols))
+        )
+    # one pass over the signatures (posexplode), then persist so the
+    # self-join's two sides share the computed banding instead of
+    # re-deriving the full shingle→minhash pipeline per side.
+    banded = sig_df.select(
+        F.col(id_col), F.posexplode(F.array(*band_exprs)).alias("band_id", "band_hash")
+    ).persist()
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingle_df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs.
+
+    |A∩B| via pair-first join order: expand candidate pairs with side A's
+    shingles (|pairs| × avg shingles — bounded), then equi-join side B on
+    (doc_b, shingle). Never materializes the full shingle×shingle product,
+    which is what makes this viable when the corpus is huge but the
+    candidate set (post-LSH/blocking) is small. |A∪B| = |A|+|B|-|A∩B|.
+    """
+    if "shingles" in shingle_df.columns:
+        a = shingle_df.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+        b = shingle_df.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        return (
+            pairs.join(a, "doc_a")
+            .join(b, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(
+                    inter / (F.size("sh_a") + F.size("sh_b") - inter), 6
+                ).alias("jaccard"),
+            )
+        )
+    sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = shingle_df.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = shingle_df.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """SimHash document fingerprint over word multiset (bits ≤ 32).
+
+    bit_b(word) = (h(word) >> b) & 1; per-doc bit b of the fingerprint is
+    the sign of Σ_words (2·bit_b − 1) = 2·Σ bit_b − n.
+
+    One word explode + ONE groupBy carrying all `bits` sum-aggregates
+    (codegen'd shiftright/mask) — no |words|×bits row blow-up, shuffle
+    width stays |words|, and the final bit assembly is plain column
+    arithmetic on the aggregated row.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).select(id_col, portable_hash64("word").alias("h"))
+    aggs = [F.count("*").cast("bigint").alias("n")] + [
+        F.sum(F.shiftright(F.col("h"), b) % 2).alias(f"ones_{b}") for b in range(bits)
+    ]
+    per_doc = words.groupBy(id_col).agg(*aggs)
+    sim = None
+    for b in range(bits):
+        bal = 2 * F.col(f"ones_{b}") - F.col("n")
+        term = F.when(bal >= 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sim = term if sim is None else sim + term
+    return per_doc.select(F.col(id_col), sim.cast("bigint").alias("simhash"))

@@ -1,0 +1,97 @@
+"""Multimodal column plumbing (north-star extras).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata. The Spark-side plumbing — schema, Arrow batch shape, mapInPandas
+signature, partition inheritance — is real and tested; the actual media
+decode is STUBBED (decode libraries are not in this container): the
+default codec raises ``NotImplementedError`` and tests/queries use the
+deterministic fake codec, which derives pseudo metadata from the payload
+hash so results are value-checkable.
+
+Scale notes: payloads stay in executor memory only for the lifetime of an
+Arrow batch (`maxRecordsPerBatch` bounds it); feature extraction is a
+narrow mapInPandas stage — no shuffle, no driver transfer. At 100 TB the
+binary column lives in its own parquet column chunk, so metadata-only
+queries never read the payload bytes (column pruning).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload_len", T.LongType()),
+        T.StructField("payload_md5", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a binary payload column from text (fixture stand-in for a
+    real media column) plus a media_type tag."""
+    return df.select(
+        "doc_id",
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+    )
+
+
+def real_decode(payload: bytes, media_type: str) -> dict:
+    """The real decode seam. Media libs are not available in this container."""
+    raise NotImplementedError(
+        "media decode requires PIL/torchaudio/ffmpeg; plug a codec into "
+        "extract_features(codec=...)"
+    )
+
+
+def fake_decode(payload: bytes, media_type: str) -> dict:
+    """Deterministic stand-in codec: metadata derived from the payload hash
+    (same values as the SQL oracle computes from md5)."""
+    h = int(hashlib.md5(payload).hexdigest()[:8], 16)
+    return {
+        "width": h % 1920 if media_type != "audio" else 0,
+        "height": (h // 1920) % 1080 if media_type != "audio" else 0,
+        "n_frames": h % 300 if media_type == "video" else 1,
+    }
+
+
+def extract_features(
+    df: DataFrame, codec: Callable[[bytes, str], dict] = fake_decode
+) -> DataFrame:
+    """mapInPandas feature extraction over (doc_id, payload, media_type)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            metas = [
+                codec(bytes(p), m) for p, m in zip(batch["payload"], batch["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "media_type": batch["media_type"],
+                    "payload_len": [len(bytes(p)) for p in batch["payload"]],
+                    "payload_md5": [
+                        hashlib.md5(bytes(p)).hexdigest() for p in batch["payload"]
+                    ],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "n_frames": [m["n_frames"] for m in metas],
+                }
+            )
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (north-star extras).
+
+Brute-force cosine top-k as the correctness baseline, and a sign-bit LSH
+bucketed variant as the 100 TB scale path.
+
+Scale design:
+- Brute force is O(|Q|·|C|): acceptable only because the query set is
+  broadcast (small); candidates stream through one narrow stage — no
+  shuffle of the corpus. Ranking shuffles only (query_id, cos) pairs.
+- The LSH variant buckets vectors by the sign pattern of their leading
+  dimensions (a deterministic random-hyperplane sketch with axis-aligned
+  planes): candidate generation becomes an equi-join on bucket id, so the
+  per-query work no longer scans the full corpus. Recall is tunable via
+  the number of sign bits (fewer bits → bigger buckets → higher recall).
+
+Floats are widened to double before any arithmetic; cosine is rounded to
+6 before ranking so both engines rank identical values (ties broken by
+vec_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    emb: DataFrame, n_queries: int = 8, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact cosine top-k of every corpus vector for the first n query vecs."""
+    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    queries = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sign_bucket(vec_col, n_bits: int = 8):
+    """Deterministic LSH bucket: sign pattern of the first n_bits dims."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(vec_col, 1, n_bits),
+            F.sequence(F.lit(0), F.lit(n_bits - 1)),
+            lambda x, i: F.when(x >= 0, F.pow(F.lit(2.0), i.cast("double"))).otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    ).cast("bigint")
+
+
+def lsh_topk(
+    emb: DataFrame, n_queries: int = 8, k: int = 5, n_bits: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: rank only candidates in the query's sign bucket."""
+    base = emb.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", sign_bucket(F.col("v"), n_bits))
+    queries = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    scored = (
+        base.join(F.broadcast(queries), F.col("bucket") == F.col("qb"))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id",
+    vec_col: str = "embedding", label_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label.
+
+    Blocking bounds the pair count (at scale: replace label with a coarse
+    LSH bucket); exact cosine verifies each candidate pair.
+    """
+    base = emb.select(
+        F.col(id_col), F.col(label_col).alias("blk"), _as_double(F.col(vec_col)).alias("v")
+    )
+    a = base.select(F.col(id_col).alias("vec_a"), F.col("blk"), F.col("v").alias("va"))
+    b = base.select(F.col(id_col).alias("vec_b"), F.col("blk"), F.col("v").alias("vb"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

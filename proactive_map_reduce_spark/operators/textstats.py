@@ -1,0 +1,104 @@
+"""Text analysis operators for corpus curation (north-star extras).
+
+Language-ID (marker-word heuristic), quality scoring (length / stopword /
+repetition features), token counting, and document fingerprinting — each a
+pure built-in column pipeline (JVM-side, whole-stage codegen), designed to
+run as a single narrow projection over the scan at 100 TB (no shuffle at
+all except the optional per-language aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64
+from ..functions.text import normalize_text
+
+# marker stopwords per language (deterministic heuristic, not a model)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "les", "et", "que"],
+    "de": ["der", "die", "das", "und", "ist"],
+}
+
+STOPWORDS = ["the", "a", "an", "of", "to", "and", "in", "is", "it", "for"]
+
+
+def _count_in(ws: Column, vocab: list[str]) -> Column:
+    return F.size(F.filter(ws, lambda w: w.isin(vocab)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: argmax of per-language marker counts.
+
+    Deterministic tie-break: higher count wins, then language code order —
+    expressed as a sorted struct array (no UDF).
+    """
+    ws = F.split(F.lower(F.col(text_col)), " ")
+    scores = F.array(
+        *[
+            F.struct(
+                (-_count_in(ws, markers)).alias("neg_score"), F.lit(code).alias("code")
+            )
+            for code, markers in sorted(LANG_MARKERS.items())
+        ]
+    )
+    best = F.array_sort(scores).getItem(0)
+    return df.withColumn("pred_lang", best["code"]).withColumn(
+        "marker_hits", (-best["neg_score"]).cast("bigint")
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features + composite score in [0, 1].
+
+    Features mirror standard corpus filters: document length, mean word
+    length, stopword ratio, distinct-word (repetition) ratio.
+    """
+    ws = F.split(F.col(text_col), " ")
+    n_words = F.size(ws)
+    avg_word_len = (F.length(F.col(text_col)) - (n_words - 1)) / n_words
+    stop_ratio = _count_in(ws, STOPWORDS) / n_words
+    distinct_ratio = F.size(F.array_distinct(ws)) / n_words
+    length_score = F.least(n_words / F.lit(100.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * length_score + F.lit(0.3) * stop_ratio + F.lit(0.3) * distinct_ratio
+    )
+    return df.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(avg_word_len, 6).alias("avg_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish subword estimate
+    (ceil(chars/4) — the standard bytes-per-token heuristic)."""
+    ws = F.split(F.col(text_col), " ")
+    return df.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_ws_tokens"),
+        F.ceil(F.length(F.col(text_col)) / 4.0).cast("bigint").alias("n_bpe_est"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", gram: int = 5) -> DataFrame:
+    """Document fingerprinting: full-content hash + winnowing-style minimum
+    over rolling word 5-gram hashes (robust to local edits)."""
+    ws = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(ws) - gram, F.lit(0))),
+        lambda i: F.array_join(F.slice(ws, i + 1, gram), " "),
+    )
+    gram_hashes = F.transform(grams, lambda g: portable_hash64(g))
+    return df.select(
+        "doc_id",
+        F.md5(normalize_text(F.col(text_col))).alias("content_md5"),
+        F.array_min(gram_hashes).alias("winnow_min"),
+        F.array_max(gram_hashes).alias("winnow_max"),
+    )

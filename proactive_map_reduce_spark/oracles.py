@@ -13,6 +13,7 @@ from __future__ import annotations
 from .queries import (
     CHUNK_LEN,
     DROP_BUDGET,
+    NEAR_DUP_COS,
     NUM_STEPS,
     RATIO_INC,
     RATIO_LOW,
@@ -602,4 +603,259 @@ SELECT user_id, session_id,
        CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
        CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end
 FROM s GROUP BY user_id, session_id
+"""
+
+
+# --- batch 3: dedup / similarity / text analysis / multimodal ---------------
+
+_SHINGLES = """
+sh AS (
+  SELECT DISTINCT d.doc_id, array_to_string(d.ws[t.i + 1 : t.i + 3], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+       UNNEST(generate_series(0, greatest(len(d.ws) - 3, 0))) AS t(i)
+)
+"""
+
+from .operators.dedup import MINHASH_A, MINHASH_B, MINHASH_PRIME  # noqa: E402
+
+_SIG = (
+    "sig AS (SELECT doc_id, "
+    + ", ".join(
+        f"min(({MINHASH_A[j]} * h0 + {MINHASH_B[j]}) % {MINHASH_PRIME}) AS mh_{j}"
+        for j in range(16)
+    )
+    + f" FROM (SELECT doc_id, {_h('shingle')} % {MINHASH_PRIME} AS h0 FROM sh) hs"
+    + " GROUP BY doc_id)"
+)
+
+_BANDED = "banded AS (" + "\nUNION ALL\n".join(
+    "SELECT doc_id, {b} AS band_id, {h} AS band_hash FROM sig".format(
+        b=b,
+        h=_h(
+            " || '|' || ".join(f"CAST(mh_{b * 4 + r} AS VARCHAR)" for r in range(4))
+        ),
+    )
+    for b in range(4)
+) + ")"
+
+_CAND = """
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r
+    ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+)
+"""
+
+
+def _jaccard_select(pairs: str) -> str:
+    return f"""
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN {pairs} c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       round(coalesce(i.n_inter, 0)
+             / CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0) AS DOUBLE), 6) AS jaccard
+FROM {pairs} c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+"""
+
+
+ORACLES["q_dedup_exact"] = f"""
+SELECT sha256({_norm('text')}) AS content_key,
+       min(doc_id) AS rep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+ORACLES["q_minhash_signatures"] = f"""
+WITH {_SHINGLES}, {_SIG}
+SELECT * FROM sig
+"""
+
+ORACLES["q_dedup_minhash_pairs"] = f"""
+WITH {_SHINGLES}, {_SIG}, {_BANDED}, {_CAND},
+{_jaccard_select('cand')}
+"""
+
+ORACLES["q_dedup_ngram_jaccard"] = f"""
+WITH {_SHINGLES},
+blocked AS (
+  SELECT doc_id, lang, n_chars // 100 AS blk_bucket FROM documents
+),
+bpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocked a JOIN blocked b
+    ON a.lang = b.lang AND a.blk_bucket = b.blk_bucket AND a.doc_id < b.doc_id
+),
+{_jaccard_select('bpairs')}
+"""
+
+ORACLES["q_simhash"] = f"""
+WITH {_WORDS},
+wh AS (SELECT doc_id, {_h('word')} AS h FROM w),
+pb AS (
+  SELECT doc_id, t.b,
+         sum(2 * ((h // CAST(pow(2, t.b) AS BIGINT)) % 2) - 1) AS bal
+  FROM wh, UNNEST(generate_series(0, 31)) AS t(b)
+  GROUP BY doc_id, t.b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN bal >= 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM pb GROUP BY doc_id
+"""
+
+# embedding base + cosine fragments
+_EMB_BASE = """
+base AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+"""
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = f"list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
+    na = f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> x * x)))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+ORACLES["q_dedup_embedding"] = f"""
+WITH {_EMB_BASE},
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({_cos_sql('a.v', 'b.v')}, 6) AS cos_sim
+  FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= {NEAR_DUP_COS}
+"""
+
+ORACLES["q_similarity_topk"] = f"""
+WITH {_EMB_BASE},
+q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({_cos_sql('q.qv', 'c.v')}, 6) AS cos_sim
+  FROM base c CROSS JOIN q WHERE c.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+ORACLES["q_similarity_lsh"] = f"""
+WITH {_EMB_BASE},
+bucketed AS (
+  SELECT vec_id, v,
+         CAST(list_sum(list_transform(generate_series(1, 4),
+              i -> CASE WHEN v[i] >= 0 THEN CAST(pow(2, i - 1) AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END)) AS BIGINT) AS bucket
+  FROM base
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM bucketed WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({_cos_sql('q.qv', 'c.v')}, 6) AS cos_sim
+  FROM bucketed c JOIN q ON c.bucket = q.qb WHERE c.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+ORACLES["q_lang_id"] = """
+WITH l AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents
+),
+c AS (
+  SELECT doc_id, lang,
+    len(list_filter(ws, x -> list_contains(['der','die','das','und','ist'], x))) AS c_de,
+    len(list_filter(ws, x -> list_contains(['the','a','of','and','is'], x))) AS c_en,
+    len(list_filter(ws, x -> list_contains(['el','la','de','que','y'], x))) AS c_es,
+    len(list_filter(ws, x -> list_contains(['le','la','les','et','que'], x))) AS c_fr
+  FROM l
+)
+SELECT doc_id, lang,
+  CASE WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+       WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+       WHEN c_es >= c_fr THEN 'es' ELSE 'fr' END AS pred_lang,
+  CAST(greatest(c_de, c_en, c_es, c_fr) AS BIGINT) AS marker_hits
+FROM c
+"""
+
+ORACLES["q_quality_score"] = """
+WITH f AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+),
+r AS (
+  SELECT doc_id,
+    len(ws) AS n,
+    (length(text) - (len(ws) - 1)) / CAST(len(ws) AS DOUBLE) AS awl,
+    len(list_filter(ws, x -> list_contains(
+      ['the','a','an','of','to','and','in','is','it','for'], x)))
+      / CAST(len(ws) AS DOUBLE) AS sr,
+    len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE) AS dr,
+    least(len(ws) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) AS ls
+  FROM f
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_words,
+  round(awl, 6) AS avg_word_len,
+  round(sr, 6) AS stopword_ratio,
+  round(dr, 6) AS distinct_ratio,
+  round(CAST(0.4 AS DOUBLE) * ls + CAST(0.3 AS DOUBLE) * sr
+        + CAST(0.3 AS DOUBLE) * dr, 6) AS quality_score
+FROM r
+"""
+
+ORACLES["q_token_stats"] = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(ceil(length(text) / CAST(4.0 AS DOUBLE)) AS BIGINT) AS n_bpe_est
+FROM documents
+"""
+
+ORACLES["q_doc_fingerprint"] = f"""
+WITH g AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+),
+h AS (
+  SELECT doc_id, text,
+         list_transform(generate_series(0, greatest(len(ws) - 5, 0)),
+                        i -> {_h("array_to_string(ws[i + 1 : i + 5], ' ')")}) AS gh
+  FROM g
+)
+SELECT doc_id, md5({_norm('text')}) AS content_md5,
+       list_min(gh) AS winnow_min, list_max(gh) AS winnow_max
+FROM h
+"""
+
+ORACLES["q_multimodal_features"] = f"""
+WITH m AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+         {_h('text')} AS h
+  FROM documents
+)
+SELECT doc_id, media_type,
+       CAST(length(text) AS BIGINT) AS payload_len,
+       md5(text) AS payload_md5,
+       CAST(CASE WHEN media_type = 'audio' THEN 0 ELSE h % 1920 END AS BIGINT) AS width,
+       CAST(CASE WHEN media_type = 'audio' THEN 0 ELSE (h // 1920) % 1080 END AS BIGINT) AS height,
+       CAST(CASE WHEN media_type = 'video' THEN h % 300 ELSE 1 END AS BIGINT) AS n_frames
+FROM m
 """

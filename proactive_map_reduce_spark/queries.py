@@ -722,3 +722,130 @@ REGISTRY.update(
         "q_sessionize": q_sessionize,
     }
 )
+
+
+# --- north-star: dedup / similarity / text analysis / multimodal ------------
+
+from .operators import dedup as dedup_ops            # noqa: E402
+from .operators import multimodal as mm_ops          # noqa: E402
+from .operators import similarity as sim_ops         # noqa: E402
+from .operators import textstats as ts_ops           # noqa: E402
+
+MINHASH_N = 16
+MINHASH_BANDS = 4
+NEAR_DUP_COS = 0.4   # fixture embeddings are random (max cos ~0.48); at this
+                     # threshold the operator returns a small nonzero pair set
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: group by normalized content hash, keep representative."""
+    return dedup_ops.exact_dedup(_docs(spark, sf_dir)).select(
+        "content_key", "rep_id", "n_dups"
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (16 portable hash functions over 3-gram shingles),
+    computed as a narrow array projection — zero shuffles."""
+    sh = dedup_ops.shingle_rows(_words(spark, sf_dir))
+    return dedup_ops.minhash_signatures(sh, MINHASH_N)
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs (4 bands × 4 rows) with exact Jaccard.
+
+    The shingle set feeds three consumers (signatures, intersection,
+    sizes) — persist it once rather than re-exploding the corpus."""
+    words = _words(spark, sf_dir)
+    sig = dedup_ops.minhash_signatures(dedup_ops.shingle_rows(words), MINHASH_N)
+    pairs = dedup_ops.lsh_candidate_pairs(sig, MINHASH_N, MINHASH_BANDS)
+    sets = dedup_ops.shingle_sets(words)
+    return dedup_ops.jaccard_pairs(sets, pairs)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup within (lang, length-bucket) blocks."""
+    d = _docs(spark, sf_dir)
+    blocked = d.withColumn("blk_bucket", (F.col("n_chars") / 100).cast("bigint"))
+    a = blocked.select(
+        F.col("doc_id").alias("doc_a"), "lang", "blk_bucket"
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("doc_b"), "lang", "blk_bucket"
+    )
+    pairs = a.join(b, ["lang", "blk_bucket"]).filter(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b"
+    )
+    sets = dedup_ops.shingle_sets(chunking.split_words(d))
+    return dedup_ops.jaccard_pairs(sets, pairs)
+
+
+def q_simhash(spark, sf_dir):
+    """32-bit SimHash fingerprint per document."""
+    return dedup_ops.simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (label-blocked)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.embedding_near_dup_pairs(emb, NEAR_DUP_COS)
+
+
+def q_similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for the first 8 query vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.brute_force_topk(emb, n_queries=8, k=5)
+
+
+def q_similarity_lsh(spark, sf_dir):
+    """Sign-bucket LSH approximate top-5 (scale path: bucket equi-join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.lsh_topk(emb, n_queries=8, k=5, n_bits=4)
+
+
+def q_lang_id(spark, sf_dir):
+    """Marker-word language identification."""
+    return ts_ops.lang_id(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "pred_lang", "marker_hits"
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality-scoring features + composite score."""
+    return ts_ops.quality_features(_docs(spark, sf_dir))
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish estimate)."""
+    return ts_ops.token_stats(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Content hash + winnowing-style rolling-hash extremes."""
+    return ts_ops.fingerprint(_docs(spark, sf_dir))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-payload feature extraction through the mapInPandas seam
+    (deterministic fake codec; real decode is the documented stub)."""
+    payloads = mm_ops.attach_payload(_docs(spark, sf_dir))
+    return mm_ops.extract_features(payloads)
+
+
+REGISTRY.update(
+    {
+        "q_dedup_exact": q_dedup_exact,
+        "q_minhash_signatures": q_minhash_signatures,
+        "q_dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "q_simhash": q_simhash,
+        "q_dedup_embedding": q_dedup_embedding,
+        "q_similarity_topk": q_similarity_topk,
+        "q_similarity_lsh": q_similarity_lsh,
+        "q_lang_id": q_lang_id,
+        "q_quality_score": q_quality_score,
+        "q_token_stats": q_token_stats,
+        "q_doc_fingerprint": q_doc_fingerprint,
+        "q_multimodal_features": q_multimodal_features,
+    }
+)
