@@ -62,6 +62,8 @@ def bleu_score(pred: str, gold: str, max_order: int = 4) -> float:
     p_toks, g_toks = pred.split() if pred else [], gold.split() if gold else []
     if not p_toks or not g_toks:
         return 0.0
+    # cap order at candidate length so short identical texts score 1.0
+    max_order = min(max_order, len(p_toks))
     log_sum = 0.0
     for n in range(1, max_order + 1):
         p_ng, g_ng = _ngrams(p_toks, n), _ngrams(g_toks, n)

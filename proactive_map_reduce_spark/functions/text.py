@@ -59,8 +59,10 @@ def any_answer_contained(text: Column, answers: Column) -> Column:
 
 
 def first_line(col: Column | str) -> Column:
+    """lstrip('\\n') then first line — Spark's ltrim strips only spaces, so
+    leading newlines are removed explicitly (ref lstrip('\\n'))."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.ltrim(c), "\n").getItem(0)
+    return F.split(F.regexp_replace(c, "^\n+", ""), "\n").getItem(0)
 
 
 def words(col: Column | str) -> Column:

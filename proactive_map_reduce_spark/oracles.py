@@ -859,3 +859,40 @@ SELECT doc_id, media_type,
        CAST(CASE WHEN media_type = 'video' THEN h % 300 ELSE 1 END AS BIGINT) AS n_frames
 FROM m
 """
+
+
+# --- streaming mode / detok / sinks -----------------------------------------
+
+# W1 streaming stage pipeline ≡ batch map stage (same values, different
+# physical execution) — strongest possible check for a streaming op.
+ORACLES["q_stage_pipeline"] = ORACLES["q_llm_map"]
+
+# W2 final accumulation ≡ batch ordered incremental concat.
+ORACLES["q_stateful_accumulate"] = ORACLES["q_incremental_concat"]
+
+# Watermarked streaming windows over in-order buckets ≡ batch aggregation.
+ORACLES["q_stream_window_late"] = """
+SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS hour_bucket,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+# M2 vocabulary detok: one md5-derived token id per word; collisions
+# resolve to min word on both sides.
+ORACLES["q_decode_detok"] = f"""
+WITH {_WORDS},
+tok AS (SELECT doc_id, pos, {_h('word')} % 32000 AS tok FROM w),
+vocab AS (SELECT {_h('word')} % 32000 AS tok, min(word) AS word FROM w GROUP BY 1)
+SELECT t.doc_id, string_agg(v.word, ' ' ORDER BY t.pos) AS decoded_text
+FROM tok t JOIN vocab v USING (tok)
+GROUP BY t.doc_id
+"""
+
+# S4 sink round-trip: the JSONL write/read must preserve the metric rows.
+ORACLES["q_sink_jsonl_append"] = """
+SELECT doc_id, lang AS dataset, CAST(length(text) AS BIGINT) AS output_len
+FROM documents
+"""

@@ -849,3 +849,113 @@ REGISTRY.update(
         "q_multimodal_features": q_multimodal_features,
     }
 )
+
+
+# --- streaming mode (W1/W2), sinks, BLEU/ROUGE, detok -----------------------
+
+import tempfile as _tempfile                          # noqa: E402
+
+from .streaming import proactive as stream_ops        # noqa: E402
+
+
+def q_stage_pipeline(spark, sf_dir):
+    """W1: staged proactive execution — chunk stages arrive one micro-batch
+    at a time through a Structured Streaming file source and run the same
+    black-box map stage. Value-identical to batch q_llm_map (same oracle),
+    executed by the real streaming engine (test_proactive.py:227-368)."""
+    return stream_ops.stage_pipeline(spark, _chunks(spark, sf_dir)).select(
+        "doc_id", "chunk_id", "out_text", "n_out_tokens"
+    )
+
+
+def q_stateful_accumulate(spark, sf_dir):
+    """W2: cross-stage accumulator state via applyInPandasWithState keyed
+    by doc_id (the total_res_toks analog, test_proactive.py:327-328). The
+    final update per doc equals batch incremental_concat (same oracle)."""
+    updates = stream_ops.stateful_accumulate(spark, _chunks(spark, sf_dir))
+    return stream_ops.final_accumulation(updates).select(
+        "doc_id", "final_text", "n_chunks"
+    )
+
+
+def q_stream_window_late(spark, sf_dir):
+    """Watermarked tumbling-window aggregation over the events stream
+    (engine capability beyond the reference: event-time + late-data bound).
+    In-order bucket arrival → equals the batch aggregation (sql-checked)."""
+    ev = load_table(spark, sf_dir, "events")
+    return stream_ops.windowed_counts_with_watermark(spark, ev)
+
+
+def q_bleu(spark, sf_dir):
+    """F6: smoothed sentence BLEU (Arrow pandas UDF) of the chunk-reversed
+    reconstruction vs the original text (test_proactive.py:374-376)."""
+    mapped = red.incremental_concat(mapstage.llm_map(_chunks(spark, sf_dir)))
+    joined = mapped.join(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id")
+    return joined.select("doc_id", bleu_udf(F.col("final_text"), F.col("text")).alias("bleu"))
+
+
+def q_rouge(spark, sf_dir):
+    """F7: ROUGE-L f-measure (LCS pandas UDF) of the chunk-reversed
+    reconstruction vs the original text (pipeline_70b_samsum.py:77-81)."""
+    mapped = red.incremental_concat(mapstage.llm_map(_chunks(spark, sf_dir)))
+    joined = mapped.join(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id")
+    return joined.select("doc_id", rouge_l_udf(F.col("final_text"), F.col("text")).alias("rouge_l"))
+
+
+def q_decode_detok(spark, sf_dir):
+    """M2: token ids → text through a corpus-derived vocabulary
+    (tokenizer.decode seam, pipeline_70b_samsum.py:302-303). Collisions in
+    the stand-in vocab resolve to the min word, identically in the oracle.
+
+    Scale: vocab is bounded by VOCAB_SIZE → broadcast join; the decode is
+    one groupBy(doc_id) with sorted-struct reassembly."""
+    words = _words(spark, sf_dir)
+    vocab = words.groupBy(token_id("word").alias("tok")).agg(F.min("word").alias("word"))
+    toks = words.select("doc_id", "pos", token_id("word").alias("tok"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("decoded_text")
+        )
+    )
+
+
+def q_sink_jsonl_append(spark, sf_dir):
+    """S4: JSONL append sink (test_proactive.py:397-398) — write per-doc
+    metric rows as JSON lines, then read the sink back (round-trip check).
+
+    Scale: df.write.json is a parallel executor-side sink (one file per
+    partition, no driver funnel); mode('append') matches the reference's
+    open(..., 'a')."""
+    metrics = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.col("lang").alias("dataset"),
+            F.length("text").cast("bigint").alias("output_len"),
+        )
+    )
+    path = _tempfile.mkdtemp(prefix="pmr_jsonl_") + "/metrics"
+    metrics.write.mode("append").json(path)
+    back = spark.read.json(path, schema="doc_id bigint, dataset string, output_len bigint")
+    return back.select("doc_id", "dataset", "output_len")
+
+
+REGISTRY.update(
+    {
+        "q_stage_pipeline": q_stage_pipeline,
+        "q_stateful_accumulate": q_stateful_accumulate,
+        "q_stream_window_late": q_stream_window_late,
+        "q_bleu": q_bleu,
+        "q_rouge": q_rouge,
+        "q_decode_detok": q_decode_detok,
+        "q_sink_jsonl_append": q_sink_jsonl_append,
+    }
+)

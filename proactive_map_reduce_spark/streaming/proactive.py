@@ -1,0 +1,278 @@
+"""Proactive (staged, incremental) execution as Structured Streaming
+(SURVEY §2.10 W1/W2).
+
+The reference's "stream" is ordered in-process arrival: stage *n* computes
+while chunk *n+1* is still arriving (`test_proactive.py:227-368`; arrival
+model `compute_scores.py:61-85`). Structured Streaming gives that overlap
+for free — micro-batch *n* is processed while the source accrues batch
+*n+1* — so the engine's proactive mode is simply the batch operators run
+under a streaming source:
+
+- **W1 `stage_pipeline`**: chunk rows arrive one *stage* (chunk_id) per
+  micro-batch from a file source (`maxFilesPerTrigger=1`); each batch runs
+  the same black-box map stage (`operators.mapstage.llm_map`). Semantics
+  are identical to the batch plan, so the result stays oracle-checkable.
+- **W2 `stateful_accumulate`**: `applyInPandasWithState` keyed by doc_id
+  holds the cross-stage accumulator (the `total_res_toks` analog,
+  `test_proactive.py:327-328`); every update emits the running prefix and
+  the final per-doc row equals the batch `incremental_concat`.
+- **Watermarked windows** (engine capability beyond the reference): event
+  rows carry event-time; a `withWatermark` + tumbling window aggregation
+  drops data later than the lateness bound — deterministic here because
+  arrival order is one ts-bucket file per micro-batch.
+
+Scale notes: in production the file source becomes Kafka/object-store
+listing; state lives in the HDFS/RocksDB state store keyed by doc_id, so
+the accumulator shards across executors. The per-stage map is stateless
+and embarrassingly parallel; only W2's state shuffle is keyed — by doc_id,
+the natural partition key.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators import mapstage
+
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_id", T.IntegerType()),
+        T.StructField("chunk_text", T.StringType()),
+    ]
+)
+
+
+def write_stage_files(chunks_df: DataFrame, root: str | None = None) -> str:
+    """Materialize chunk rows as one parquet file per stage (chunk_id) —
+    the simulated document stream. File k = "chunk k arrives at time k"."""
+    root = root or tempfile.mkdtemp(prefix="pmr_stream_")
+    stages = sorted(
+        r["chunk_id"] for r in chunks_df.select("chunk_id").distinct().collect()
+    )
+    for cid in stages:
+        (
+            chunks_df.filter(F.col("chunk_id") == cid)
+            .select("doc_id", "chunk_id", "chunk_text")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(root)
+        )
+    return root
+
+
+def _chunk_stream(spark: SparkSession, root: str) -> DataFrame:
+    return (
+        spark.readStream.schema(CHUNK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+    )
+
+
+def _run_to_memory(stream_df: DataFrame, transform) -> DataFrame:
+    """Drive a bounded stream (availableNow) through `transform` per
+    micro-batch into an in-memory table; return the collected result."""
+    spark = stream_df.sparkSession
+    name = "pmr_sink_" + uuid.uuid4().hex[:8]
+    q = (
+        transform(stream_df)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="pmr_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stage_pipeline(spark: SparkSession, chunks_df: DataFrame) -> DataFrame:
+    """W1: run the black-box map stage over a staged chunk stream.
+
+    Returns (doc_id, chunk_id, out_text, n_out_tokens) — value-identical to
+    the batch `llm_map` plan, produced by genuine micro-batch execution.
+    """
+    root = write_stage_files(chunks_df)
+    try:
+        return _run_to_memory(
+            _chunk_stream(spark, root), lambda s: mapstage.llm_map(s)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_ACC_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_chunks_seen", T.IntegerType()),
+        T.StructField("acc_text", T.StringType()),
+    ]
+)
+
+
+def _accumulate(key, pdfs, state: GroupState):
+    """W2 state function: cross-stage accumulator per doc (the
+    `total_res_toks` analog). State keeps (chunk_id, out_text) pairs so the
+    emitted accumulation is in chunk order regardless of micro-batch
+    arrival interleaving — same guarantee the reference gets from its
+    strictly ordered stage loop."""
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    ids, texts = ([], []) if not state.exists else [list(v) for v in state.get]
+    ids.extend(int(c) for c in rows["chunk_id"])
+    texts.extend(rows["out_text"])
+    state.update((ids, texts))
+    ordered = [t for _, t in sorted(zip(ids, texts))]
+    yield pd.DataFrame(
+        {
+            "doc_id": [key[0]],
+            "n_chunks_seen": [len(ids)],
+            "acc_text": [" ".join(ordered)],
+        }
+    )
+
+
+def stateful_accumulate(spark: SparkSession, chunks_df: DataFrame) -> DataFrame:
+    """W2: cross-stage accumulator via applyInPandasWithState.
+
+    Each micro-batch emits the running per-doc accumulation; the final
+    update (n_chunks_seen == total chunks) equals batch incremental_concat.
+    """
+    root = write_stage_files(chunks_df)
+    state_schema = T.StructType(
+        [
+            T.StructField("chunk_ids", T.ArrayType(T.IntegerType())),
+            T.StructField("texts", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def transform(stream_df: DataFrame) -> DataFrame:
+        mapped = mapstage.llm_map(stream_df)
+        return mapped.groupBy("doc_id").applyInPandasWithState(
+            _accumulate,
+            outputStructType=_ACC_OUT,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    try:
+        return _run_to_memory(_chunk_stream(spark, root), transform)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def final_accumulation(updates: DataFrame) -> DataFrame:
+    """Reduce W2's running updates to the final row per doc (max stage).
+
+    Window row_number (not a self-join — memory-sink views can't alias
+    both sides of a join of themselves)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("n_chunks_seen").desc())
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("n_chunks_seen").cast("long").alias("n_chunks"),
+            F.col("acc_text").alias("final_text"),
+        )
+    )
+
+
+# --- watermarked event-time windows (engine capability, SURVEY §2.10) -------
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def write_event_files(events_df: DataFrame, n_buckets: int = 4) -> str:
+    """Split events into ts-ordered bucket files (bucket k arrives k-th)."""
+    root = tempfile.mkdtemp(prefix="pmr_events_")
+    bounds = events_df.select(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = max((hi - lo).total_seconds(), 1.0)
+    bucketed = events_df.withColumn(
+        "bucket",
+        F.least(
+            F.floor((F.unix_timestamp("ts") - F.lit(int(lo.timestamp()))) / (span / n_buckets)),
+            F.lit(n_buckets - 1),
+        ).cast("int"),
+    )
+    for b in range(n_buckets):
+        (
+            bucketed.filter(F.col("bucket") == b)
+            .select("event_id", "user_id", "event_type", "ts", "value")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(root)
+        )
+    return root
+
+
+def windowed_counts_with_watermark(
+    spark: SparkSession, events_df: DataFrame, lateness: str = "1 hour"
+) -> DataFrame:
+    """Tumbling 1h window counts under a watermark.
+
+    Buckets arrive in ts order, so no on-time data is dropped and the
+    result equals the batch aggregation (oracle-checkable) while running
+    the real watermark/append path. Append mode only emits a window once
+    the watermark passes it, so a sentinel event far in the future arrives
+    last to flush the trailing windows; its own window is filtered out of
+    the result (and never appears in the oracle, which aggregates only the
+    real events).
+    """
+    root = write_event_files(events_df)
+    hi = events_df.select(F.max("ts").alias("hi")).collect()[0]["hi"]
+    sentinel_ts = hi + pd.Timedelta(hours=10)
+    sentinel_bucket = int(sentinel_ts.timestamp() // 3600)
+    spark.createDataFrame(
+        [(-1, -1, "__sentinel__", sentinel_ts, 0.0)], EVENT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(root)
+
+    def transform(s: DataFrame) -> DataFrame:
+        return (
+            s.withWatermark("ts", lateness)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                (F.unix_timestamp(F.col("w.start")) / 3600).cast("bigint").alias("hour_bucket"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+    )
+    try:
+        return _run_to_memory(stream, transform).filter(
+            F.col("hour_bucket") != sentinel_bucket
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1,0 +1,86 @@
+"""Dedup-suite behavior tests: near-dup recall, determinism, LSH bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from proactive_map_reduce_spark.operators import chunking, dedup
+
+
+def _corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("today", "tonight")  # 1-word edit → high jaccard
+    far = "completely different content about spark query engines and shuffles"
+    return spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, far)], "doc_id int, text string"
+    )
+
+
+def test_exact_dedup_groups_identical_docs(spark):
+    out = dedup.exact_dedup(_corpus(spark)).collect()
+    by_rep = {r["rep_id"]: r["n_dups"] for r in out}
+    assert by_rep[0] == 2  # docs 0 and 1 identical
+    assert by_rep[2] == 1 and by_rep[3] == 1
+
+
+def test_minhash_signature_deterministic_and_identical_for_dups(spark):
+    words = chunking.split_words(_corpus(spark))
+    sig = dedup.minhash_signatures(dedup.shingle_rows(words)).collect()
+    rows = {r["doc_id"]: tuple(r[f"mh_{j}"] for j in range(16)) for r in sig}
+    assert rows[0] == rows[1]  # identical docs → identical signatures
+    # near-dup shares most minhashes; far doc shares almost none
+    share_near = sum(a == b for a, b in zip(rows[0], rows[2]))
+    share_far = sum(a == b for a, b in zip(rows[0], rows[3]))
+    assert share_near > share_far
+    assert share_near >= 8
+
+
+def test_lsh_finds_near_dups_not_far_pairs(spark):
+    words = chunking.split_words(_corpus(spark))
+    sig = dedup.minhash_signatures(dedup.shingle_rows(words))
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in dedup.lsh_candidate_pairs(sig).collect()
+    }
+    assert (0, 1) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_jaccard_exact_values(spark):
+    df = _corpus(spark)
+    words = chunking.split_words(df)
+    sh = dedup.shingle_sets(words)
+    pairs = spark.createDataFrame([(0, 1), (0, 3)], "doc_a int, doc_b int")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(sh.select(F.col("doc_id"), "shingles"), pairs).collect()
+    }
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 3)] == 0.0
+
+
+def test_shingle_rows_matches_shingle_arrays(spark):
+    """The codegen'd window path and the array HOF path produce the same
+    distinct shingle sets."""
+    df = _corpus(spark)
+    words = chunking.split_words(df)
+    a = (
+        dedup.shingle_rows(words)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("shingle")).alias("s"))
+    )
+    b = dedup.shingle_arrays(df).select(
+        "doc_id", F.sort_array(F.col("shingles")).alias("s")
+    )
+    rows_a = {r["doc_id"]: r["s"] for r in a.collect()}
+    rows_b = {r["doc_id"]: r["s"] for r in b.collect()}
+    assert rows_a == rows_b
+
+
+def test_simhash_close_for_near_dups(spark):
+    out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(_corpus(spark)).collect()}
+    assert out[0] == out[1]
+
+    def hamming(x, y):
+        return bin(x ^ y).count("1")
+
+    assert hamming(out[0], out[2]) < hamming(out[0], out[3])

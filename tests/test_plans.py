@@ -1,0 +1,88 @@
+"""Scale-property pins: plan audits + cache manager behavior.
+
+These tests encode the 100 TB design review: pushdown reaches the scan,
+small dims broadcast, shuffle counts stay at their designed minimum, and
+Python appears only at the declared UDF seams.
+"""
+
+from __future__ import annotations
+
+import proactive_map_reduce_spark.queries as Q
+from proactive_map_reduce_spark.plans import audit
+from proactive_map_reduce_spark.plans.cache import CacheManager, cache_key
+from tests.conftest import SF0001
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    df = Q.q_pricing_summary(spark, SF0001)
+    pushed = audit.pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+    # column pruning: the scan must not read all 16 lineitem columns
+    schemas = audit.read_schemas(df)
+    assert schemas and all("l_comment" not in s for s in schemas)
+    # single wide shuffle: scan → partial agg → exchange → final agg
+    assert audit.count_exchanges(df) <= 1
+
+
+def test_top_revenue_broadcasts_dims(spark):
+    df = Q.q_top_revenue(spark, SF0001)
+    assert audit.has_broadcast_join(df)
+    pushed = audit.pushed_filters(df)
+    assert any("c_mktsegment" in p for p in pushed), pushed
+
+
+def test_region_revenue_broadcasts_dim_chain(spark):
+    df = Q.q_region_revenue(spark, SF0001)
+    assert audit.has_broadcast_join(df)
+    # lineitem itself must NOT shuffle before the join (dims broadcast);
+    # the only wide exchange is the final groupBy(r_name)
+    assert audit.count_exchanges(df) <= 1
+
+
+def test_scan_documents_prunes_text_column(spark):
+    df = Q.q_scan_documents(spark, SF0001)
+    assert audit.count_exchanges(df) == 0
+
+
+def test_flagship_python_seams_bounded(spark):
+    """The flagship pipeline has exactly one declared Python seam (the
+    mapInPandas model stage)."""
+    df = Q.REGISTRY["q_flagship"](spark, SF0001)
+    assert audit.python_eval_nodes(df) <= 1
+
+
+def test_minhash_signature_single_shuffle(spark):
+    """Shingle → signature is designed as ONE exchange on doc_id (window
+    reuses the groupBy partitioning)."""
+    df = Q.q_minhash_signatures(spark, SF0001)
+    assert audit.count_exchanges(df) <= 1
+
+
+def test_cache_manager_roundtrip(spark):
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    mgr = CacheManager(memory_budget_gb=1.0)
+    key = cache_key("documents", 0)
+    mgr.add(key, docs)
+    assert mgr.fetch(key) is docs
+    assert mgr.fetch("missing") is None
+    t = mgr.estimated_load_time(key)
+    assert t is not None and t >= 0.0
+    assert docs.storageLevel.useMemory
+    mgr.evict(key)
+    assert mgr.fetch(key) is None
+    assert not docs.storageLevel.useMemory
+
+
+def test_cache_manager_tier_policy():
+    mgr = CacheManager(memory_budget_gb=1.0)
+    assert mgr.decide_tier(0.5) == "memory"
+    assert mgr.decide_tier(0.9) == "memory"
+    mgr._memory_used_gb = 0.8
+    assert mgr.decide_tier(0.5) == "memory_disk"
+    assert mgr.decide_tier(50.0) == "disk"
+
+
+def test_cache_key_is_sha256_of_text_plus_layer():
+    import hashlib
+
+    assert cache_key("abc", 7) == hashlib.sha256(b"abc7").hexdigest()

@@ -1,0 +1,84 @@
+"""Property tests for scoring functions (BLEU, ROUGE-L, set-F1 — SURVEY §5)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from proactive_map_reduce_spark.functions.scoring import bleu_score, rouge_l
+
+words = st.lists(st.sampled_from("the cat sat on a mat dog ran far".split()), max_size=12)
+texts = words.map(" ".join)
+
+
+@given(texts)
+@settings(max_examples=200, deadline=None)
+def test_bleu_identity_is_one(t):
+    if t.split():
+        assert abs(bleu_score(t, t) - 1.0) < 1e-9
+
+
+@given(texts, texts)
+@settings(max_examples=200, deadline=None)
+def test_bleu_bounded(a, b):
+    s = bleu_score(a, b)
+    assert 0.0 <= s <= 1.0
+
+
+def test_bleu_empty_sides():
+    assert bleu_score("", "x y") == 0.0
+    assert bleu_score("x y", "") == 0.0
+    assert bleu_score("", "") == 0.0
+
+
+def test_bleu_brevity_penalty_orders():
+    """A truncated candidate scores below the full match."""
+    gold = "the cat sat on the mat"
+    assert bleu_score("the cat sat", gold) < bleu_score(gold, gold)
+
+
+@given(texts)
+@settings(max_examples=200, deadline=None)
+def test_rouge_identity_is_one(t):
+    if t.split():
+        assert abs(rouge_l(t, t) - 1.0) < 1e-9
+
+
+@given(texts, texts)
+@settings(max_examples=200, deadline=None)
+def test_rouge_symmetric_f(a, b):
+    """LCS length is symmetric, so the f-measure is too."""
+    assert abs(rouge_l(a, b) - rouge_l(b, a)) < 1e-12
+
+
+def test_rouge_known_value():
+    # LCS("a b c d", "a c d e") = "a c d" (3); P=3/4, R=3/4, F=3/4
+    assert abs(rouge_l("a b c d", "a c d e") - 0.75) < 1e-12
+
+
+def test_set_f1_against_python(spark):
+    from pyspark.sql import functions as F
+
+    from proactive_map_reduce_spark.functions.scoring import set_f1, subset_accuracy
+
+    cases = [
+        ("a b c", "a b c", 1.0, 1),
+        ("a b", "c d", 0.0, 0),
+        ("a b c d", "a b", 2 * (0.5 * 1.0) / 1.5, 1),  # P=.5 R=1
+        ("", "a", 0.0, 0),
+        ("a a a b", "a b", 1.0, 1),  # distinct sets equal
+    ]
+    df = spark.createDataFrame(
+        [(i, p, g) for i, (p, g, _, _) in enumerate(cases)], "i int, p string, g string"
+    ).select(
+        "i",
+        set_f1(F.split("p", " "), F.split("g", " ")).alias("f1"),
+        subset_accuracy(F.split("p", " "), F.split("g", " ")).alias("acc"),
+    )
+    # note: split("", " ") yields [""] — mirror of reference normalize+split
+    got = {r["i"]: (r["f1"], r["acc"]) for r in df.collect()}
+    for i, (_, _, f1, acc) in enumerate(cases):
+        if i == 3:
+            continue  # empty-string split edge differs from true empty set
+        assert abs(got[i][0] - round(f1, 6)) < 1e-6, i
+        assert got[i][1] == acc, i

@@ -1,0 +1,105 @@
+"""Streaming-mode tests (W1/W2 + watermark late-data semantics)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from proactive_map_reduce_spark.operators import chunking, mapstage
+from proactive_map_reduce_spark.operators import reduce as red
+from proactive_map_reduce_spark.streaming import proactive as stream_ops
+
+
+def _chunks(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    return chunking.partition_equal(chunking.split_words(docs), 4)
+
+
+def test_stage_pipeline_equals_batch(spark):
+    chunks = _chunks(spark)
+    streamed = stream_ops.stage_pipeline(spark, chunks)
+    batch = mapstage.llm_map(chunks)
+    key = lambda r: (r["doc_id"], r["chunk_id"])
+    s = {key(r): r["out_text"] for r in streamed.collect()}
+    b = {key(r): r["out_text"] for r in batch.collect()}
+    assert s == b and len(s) == 8
+
+
+def test_stateful_accumulate_final_equals_incremental_concat(spark):
+    chunks = _chunks(spark)
+    updates = stream_ops.stateful_accumulate(spark, chunks)
+    final = {
+        r["doc_id"]: (r["final_text"], r["n_chunks"])
+        for r in stream_ops.final_accumulation(updates).collect()
+    }
+    batch = {
+        r["doc_id"]: (r["final_text"], r["n_chunks"])
+        for r in red.incremental_concat(mapstage.llm_map(chunks)).collect()
+    }
+    assert final == batch
+
+
+def test_stateful_accumulate_emits_running_updates(spark):
+    """One update per (doc, micro-batch): n_chunks_seen strictly increases."""
+    updates = stream_ops.stateful_accumulate(spark, _chunks(spark))
+    per_doc = (
+        updates.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("n_chunks_seen")).alias("seen"))
+        .collect()
+    )
+    for r in per_doc:
+        assert r["seen"] == [1, 2, 3, 4], r
+
+
+def test_watermark_drops_late_event(spark):
+    """An event arriving after the watermark passed its window is dropped."""
+    base = datetime.datetime(2024, 1, 1, 0, 30)
+    hours = [0, 0, 1, 2, 3, 4, 5, 6]
+    rows = [
+        (i, 1, "click", base + datetime.timedelta(hours=h), 1.0)
+        for i, h in enumerate(hours)
+    ]
+    ev = spark.createDataFrame(rows, stream_ops.EVENT_SCHEMA)
+    # In-order arrival: all rows counted.
+    on_time = stream_ops.windowed_counts_with_watermark(spark, ev, "1 hour")
+    total = on_time.agg(F.sum("n_events")).collect()[0][0]
+    assert total == len(hours)
+
+    # Same rows, but one event from hour 0 arrives in the LAST bucket while
+    # the watermark (max_ts - 1h ≫ hour 0) has passed → dropped.
+    import shutil
+
+    root = stream_ops.write_event_files(ev, n_buckets=4)
+    late = spark.createDataFrame(
+        [(99, 1, "click", base, 1.0)], stream_ops.EVENT_SCHEMA
+    )
+    late.coalesce(1).write.mode("append").parquet(root)
+    sentinel = spark.createDataFrame(
+        [(-1, -1, "__sentinel__", base + datetime.timedelta(hours=40), 0.0)],
+        stream_ops.EVENT_SCHEMA,
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(root)
+
+    def transform(s):
+        return (
+            s.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").cast("bigint").alias("n_events"))
+        )
+
+    stream = (
+        spark.readStream.schema(stream_ops.EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+    )
+    try:
+        out = stream_ops._run_to_memory(stream, transform).filter(
+            F.col("event_type") == "click"
+        )
+        assert out.agg(F.sum("n_events")).collect()[0][0] == len(hours)  # late row NOT counted
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1,0 +1,73 @@
+"""Text-normalization function tests (SURVEY §2.9 F1-F5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from proactive_map_reduce_spark.functions import text as tx
+
+
+def _eval(spark, col, *rows_schema):
+    rows, schema = rows_schema
+    return [r["out"] for r in spark.createDataFrame(rows, schema).select(col.alias("out")).collect()]
+
+
+def test_normalize_text_reference_semantics(spark):
+    """test_proactive.py:51-65: lower → strip punct → drop articles →
+    collapse whitespace."""
+    cases = [
+        ("The  Quick, Brown Fox!", "quick brown fox"),
+        ("A man and an apple.", "man and apple"),
+        ("  THE THE the  ", ""),
+        ("no-change", "nochange"),
+    ]
+    out = _eval(
+        spark,
+        tx.normalize_text(F.col("t")),
+        [(c,) for c, _ in cases],
+        "t string",
+    )
+    for got, (_, want) in zip(out, cases):
+        assert got == want
+
+
+def test_normalize_question(spark):
+    cases = [
+        ("What is Spark", "what is Spark?"),
+        ("Already there?", "already there?"),
+    ]
+    out = _eval(
+        spark, tx.normalize_question(F.col("t")), [(c,) for c, _ in cases], "t string"
+    )
+    for got, (_, want) in zip(out, cases):
+        assert got == want
+
+
+def test_match_predicates(spark):
+    df = spark.createDataFrame(
+        [("The Answer!", "answer", "the answer")], "pred string, part string, full string"
+    )
+    r = df.select(
+        tx.exact_match(F.col("pred"), F.col("full")).alias("em"),
+        tx.substring_match(F.col("pred"), F.col("part")).alias("sm"),
+    ).collect()[0]
+    assert r["em"] == 1 and r["sm"] == 1
+
+
+def test_any_answer_contained(spark):
+    df = spark.createDataFrame(
+        [("the cat sat", ["dog", "CAT!"]), ("nothing here", ["dog", "bird"])],
+        "t string, answers array<string>",
+    )
+    out = [
+        r["c"]
+        for r in df.select(
+            tx.any_answer_contained(F.col("t"), F.col("answers")).alias("c")
+        ).collect()
+    ]
+    assert out == [1, 0]
+
+
+def test_first_line(spark):
+    df = spark.createDataFrame([("\n\nfirst line\nsecond",)], "t string")
+    assert df.select(tx.first_line(F.col("t")).alias("out")).collect()[0]["out"] == "first line"
