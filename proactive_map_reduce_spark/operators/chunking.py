@@ -56,8 +56,10 @@ def split_words(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     not two. At 100 TB that's the difference between one wide exchange and
     two.
     """
+    from ..sources.tables import ensure_parallelism
+
     ws = F.split(F.col(text_col), " ")
-    return df.select(
+    return ensure_parallelism(df).select(
         id_col, F.size(ws).alias("n_words_doc"), F.posexplode(ws).alias("pos", "word")
     )
 

@@ -114,6 +114,29 @@ def shingle_sets(words_df: DataFrame, id_col: str = "doc_id", n: int = 3) -> Dat
     )
 
 
+def minhash_with_sets(
+    shingle_df: DataFrame, n_hashes: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signatures AND the distinct shingle set in ONE aggregation.
+
+    The LSH pair pipeline needs both (signatures → banding, sets → exact
+    Jaccard of candidates); computing them in one groupBy(doc_id) halves
+    the heavy path — one word explosion, one shingle window, one md5 per
+    shingle, one shuffle — instead of two full passes. At 100 TB the
+    shingle explosion dominates everything downstream, so never do it
+    twice.
+    """
+    base = (portable_hash64(F.col("shingle")) % MINHASH_PRIME).alias("h0")
+    rows = shingle_df.select(F.col(id_col), F.col("shingle"), base)
+    aggs = [
+        F.min((F.lit(MINHASH_A[j]) * F.col("h0") + F.lit(MINHASH_B[j])) % MINHASH_PRIME).alias(
+            f"mh_{j}"
+        )
+        for j in range(n_hashes)
+    ] + [F.collect_set("shingle").alias("shingles")]
+    return rows.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures(
     shingle_df: DataFrame, n_hashes: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -242,7 +265,9 @@ def simhash(
     width stays |words|, and the final bit assembly is plain column
     arithmetic on the aggregated row.
     """
-    words = df.select(
+    from ..sources.tables import ensure_parallelism
+
+    words = ensure_parallelism(df).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
     ).select(id_col, portable_hash64("word").alias("h"))
     aggs = [F.count("*").cast("bigint").alias("n")] + [

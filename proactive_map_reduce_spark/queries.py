@@ -754,13 +754,17 @@ def q_minhash_signatures(spark, sf_dir):
 def q_dedup_minhash_pairs(spark, sf_dir):
     """MinHash-LSH candidate pairs (4 bands × 4 rows) with exact Jaccard.
 
-    The shingle set feeds three consumers (signatures, intersection,
-    sizes) — persist it once rather than re-exploding the corpus."""
-    words = _words(spark, sf_dir)
-    sig = dedup_ops.minhash_signatures(dedup_ops.shingle_rows(words), MINHASH_N)
-    pairs = dedup_ops.lsh_candidate_pairs(sig, MINHASH_N, MINHASH_BANDS)
-    sets = dedup_ops.shingle_sets(words)
-    return dedup_ops.jaccard_pairs(sets, pairs)
+    Signatures and shingle sets come from ONE combined aggregation
+    (persisted): one word explosion, one shingle window, one md5 pass,
+    one shuffle — the banding self-join and the candidate Jaccard both
+    reuse it instead of re-deriving the corpus pipeline."""
+    combined = dedup_ops.minhash_with_sets(
+        dedup_ops.shingle_rows(_words(spark, sf_dir)), MINHASH_N
+    ).persist()
+    pairs = dedup_ops.lsh_candidate_pairs(combined, MINHASH_N, MINHASH_BANDS)
+    return dedup_ops.jaccard_pairs(
+        combined.select("doc_id", "shingles"), pairs
+    )
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):

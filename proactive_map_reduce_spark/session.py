@@ -27,6 +27,10 @@ _RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Don't coalesce small shuffles below 64 KB partitions: CPU-heavy
+    # Python/regex stages need parallelism even when shuffle bytes are
+    # small. At production partition sizes (≫1 MB) this has no effect.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",

@@ -51,6 +51,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
+    """Round-robin repartition when the scan can't provide enough splits.
+
+    The local fixtures are single-file/single-row-group parquet, so Spark
+    gets ONE input split and every pre-shuffle operator (explode, md5,
+    regex) runs on one core. Real 100 TB inputs arrive as thousands of
+    splits, making this a no-op there (getNumPartitions >= cores) — the
+    repartition exists so CPU-heavy fan-out operators saturate the machine
+    regardless of input file layout. Only explode/hash-heavy document
+    pipelines call this; plain columnar scans (lineitem aggregations) skip
+    it because the extra exchange costs more than it saves.
+    """
+    try:
+        from ..session import default_parallelism
+
+        target = default_parallelism()
+        if df.rdd.getNumPartitions() < max(1, int(target * min_fraction)):
+            return df.repartition(target)
+    except Exception:
+        pass
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     """Register each fixture table as a temp view for spark.sql() use."""
     for name in names or TABLES:
