@@ -95,3 +95,74 @@ def extract_features(
             )
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("out_width", T.LongType()),
+        T.StructField("out_height", T.LongType()),
+        T.StructField("out_payload", T.BinaryType()),
+    ]
+)
+
+
+def fake_resize(payload: bytes, w: int, h: int, target_w: int) -> tuple[int, int, bytes]:
+    """Stand-in resize: scale-to-width with integer aspect math; the
+    'resized' payload is a deterministic tag (real codec would re-encode).
+    out_h = h * target_w // w — same integer division in the SQL oracle."""
+    if w <= 0:
+        return 0, 0, b""
+    out_w = min(w, target_w)
+    out_h = h * out_w // w
+    return out_w, out_h, b"resized:%d:%d" % (out_w, out_h)
+
+
+def resize_media(
+    df: DataFrame, target_w: int = 512, codec: Callable[[bytes, str], dict] = fake_decode
+) -> DataFrame:
+    """Resize stage over (doc_id, payload, media_type) via mapInPandas.
+
+    Audio rows pass through with 0×0 dims. A real implementation swaps
+    fake_decode/fake_resize for PIL/ffmpeg inside the same batch loop;
+    schema, Arrow batch shape and partition inheritance stay identical.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = {k: [] for k in RESIZE_SCHEMA.fieldNames()}
+            for doc_id, p, m in zip(batch["doc_id"], batch["payload"], batch["media_type"]):
+                meta = codec(bytes(p), m)
+                ow, oh, op = fake_resize(bytes(p), meta["width"], meta["height"], target_w)
+                rows["doc_id"].append(doc_id)
+                rows["media_type"].append(m)
+                rows["width"].append(meta["width"])
+                rows["height"].append(meta["height"])
+                rows["out_width"].append(ow)
+                rows["out_height"].append(oh)
+                rows["out_payload"].append(op)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(features: DataFrame, every: int = 30) -> DataFrame:
+    """Frame sampling for video rows: one output row per every-th frame.
+
+    Pure built-in explode over `sequence` — the frame *extraction* (the
+    stubbed decode) happens downstream per sampled frame id, so at scale
+    the expensive decode touches only sampled frames, not all of them.
+    """
+    vids = features.filter(
+        (F.col("media_type") == "video") & (F.col("n_frames") > 0)
+    )
+    return vids.select(
+        "doc_id",
+        F.col("n_frames"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every))
+        ).alias("frame_id"),
+    )

@@ -896,3 +896,63 @@ ORACLES["q_sink_jsonl_append"] = """
 SELECT doc_id, lang AS dataset, CAST(length(text) AS BIGINT) AS output_len
 FROM documents
 """
+
+
+# --- R3 / multimodal resize / frame sampling --------------------------------
+
+ORACLES["q_kv_concat"] = f"""
+WITH {_WORDS}, {_CHUNKS.replace("string_agg(word, ' ' ORDER BY pos) AS chunk_text",
+                                "1 AS chunk_text")}
+, toks AS (
+  SELECT doc_id, pos, {_h('word')} % 32000 AS tok,
+    CAST(CASE WHEN n // {NUM_STEPS} <= 0 THEN {NUM_STEPS - 1}
+              ELSE least(pos // (n // {NUM_STEPS}), {NUM_STEPS - 1}) END AS INT) AS chunk_id
+  FROM w
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(tok) AS BIGINT) AS tok_checksum
+FROM toks GROUP BY doc_id
+"""
+
+# fake decode dims from md5(payload) — payload is utf-8 text bytes, so
+# md5(payload) == md5(text); integer aspect math mirrored exactly.
+_MM_META = """
+m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+         CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS h,
+         CAST(length(text) AS BIGINT) AS payload_len
+  FROM documents
+)
+"""
+
+ORACLES["q_multimodal_resize"] = f"""
+WITH {_MM_META},
+dims AS (
+  SELECT doc_id, media_type,
+         CAST(CASE WHEN media_type = 'audio' THEN 0 ELSE h % 1920 END AS BIGINT) AS width,
+         CAST(CASE WHEN media_type = 'audio' THEN 0 ELSE (h // 1920) % 1080 END AS BIGINT) AS height
+  FROM m
+)
+SELECT doc_id, media_type, width, height,
+       CAST(CASE WHEN width <= 0 THEN 0 ELSE least(width, 512) END AS BIGINT) AS out_width,
+       CAST(CASE WHEN width <= 0 THEN 0
+                 ELSE height * least(width, 512) // width END AS BIGINT) AS out_height,
+       CAST(CASE WHEN width <= 0 THEN 0
+                 ELSE length('resized:' || CAST(least(width, 512) AS VARCHAR) || ':'
+                      || CAST(height * least(width, 512) // width AS VARCHAR)) END AS BIGINT)
+         AS out_payload_len
+FROM dims
+"""
+
+ORACLES["q_multimodal_frames"] = f"""
+WITH {_MM_META},
+vids AS (
+  SELECT doc_id, CAST(h % 300 AS BIGINT) AS n_frames
+  FROM m WHERE media_type = 'video' AND h % 300 > 0
+)
+SELECT doc_id, n_frames, CAST(t.f AS BIGINT) AS frame_id
+FROM vids, UNNEST(generate_series(0, n_frames - 1, 30)) AS t(f)
+"""

@@ -618,8 +618,13 @@ def q_top_revenue(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # Broadcast the DIM side (segment-filtered orders⋈customer), never the
+    # fact table: without the hint Spark's size estimate can pick BuildLeft
+    # on lineitem's 3-column projection — fine at sf0.1, catastrophic at
+    # 100 TB where lineitem is the big table. At even larger orders
+    # cardinality AQE's runtime stats would fall back to shuffle join.
     j = li.join(
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
         li.l_orderkey == orders.o_orderkey,
     )
     return (
@@ -961,5 +966,71 @@ REGISTRY.update(
         "q_rouge": q_rouge,
         "q_decode_detok": q_decode_detok,
         "q_sink_jsonl_append": q_sink_jsonl_append,
+    }
+)
+
+
+# --- R3 ordered state concat + multimodal resize / frame sampling -----------
+
+
+def q_kv_concat(spark, sf_dir):
+    """R3: per-chunk state slices concatenated in chunk order
+    (pipeline_70b_samsum.py:217-243 torch.cat along the sequence dim) —
+    data-plane analog: per-doc ordered flatten of per-chunk token arrays.
+
+    Scale: two groupBys sharing the doc_id exchange; arrays bounded by
+    document length."""
+    words = _words(spark, sf_dir)
+    with_chunk = words.withColumn(
+        "chunk_id",
+        chunking.equal_partition_chunk_id(F.col("pos"), F.col("n_words_doc"), NUM_STEPS),
+    ).withColumn("tok", token_id("word"))
+    per_chunk = with_chunk.groupBy("doc_id", "chunk_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+        ).alias("toks")
+    )
+    return (
+        per_chunk.groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "toks"))),
+                    lambda s: s["toks"],
+                )
+            ).alias("kv")
+        )
+        .select(
+            "doc_id",
+            F.size("kv").cast("bigint").alias("n_tokens"),
+            F.aggregate("kv", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("tok_checksum"),
+        )
+    )
+
+
+def q_multimodal_resize(spark, sf_dir):
+    """Resize stage (stub codec, real mapInPandas plumbing): scale-to-width
+    with integer aspect math, audio passes through 0x0."""
+    payloads = mm_ops.attach_payload(_docs(spark, sf_dir))
+    out = mm_ops.resize_media(payloads, target_w=512)
+    return out.select(
+        "doc_id", "media_type", "width", "height", "out_width", "out_height",
+        F.length("out_payload").cast("bigint").alias("out_payload_len"),
+    )
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Frame sampling: every 30th frame id of each video payload."""
+    feats = mm_ops.extract_features(mm_ops.attach_payload(_docs(spark, sf_dir)))
+    return mm_ops.sample_frames(feats, every=30).select(
+        "doc_id", F.col("n_frames"), F.col("frame_id").cast("bigint").alias("frame_id")
+    )
+
+
+REGISTRY.update(
+    {
+        "q_kv_concat": q_kv_concat,
+        "q_multimodal_resize": q_multimodal_resize,
+        "q_multimodal_frames": q_multimodal_frames,
     }
 )
