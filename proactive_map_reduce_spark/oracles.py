@@ -956,3 +956,35 @@ vids AS (
 SELECT doc_id, n_frames, CAST(t.f AS BIGINT) AS frame_id
 FROM vids, UNNEST(generate_series(0, n_frames - 1, 30)) AS t(f)
 """
+
+
+# --- skew mitigation / rollup / text-corpus source --------------------------
+
+ORACLES["q_salted_agg"] = """
+SELECT event_type, round(sum(value), 2) AS sum_value,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM events GROUP BY event_type
+"""
+
+ORACLES["q_salted_join"] = """
+SELECT s.s_nationkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+"""
+
+ORACLES["q_rollup_multi"] = """
+SELECT event_type,
+       CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+"""
+
+ORACLES["q_scan_text_corpus"] = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+FROM documents
+"""

@@ -1034,3 +1034,93 @@ REGISTRY.update(
         "q_multimodal_frames": q_multimodal_frames,
     }
 )
+
+
+# --- skew mitigation, rollups, text-corpus source, IVF similarity -----------
+
+from .operators import skew as skew_ops               # noqa: E402
+from .sources import text_corpus as txt_src           # noqa: E402
+
+N_SALTS = 8
+
+
+def q_salted_agg(spark, sf_dir):
+    """Skew-safe two-phase aggregation: per-event_type value sum/count via
+    a deterministic salt (hot keys spread across N_SALTS reducers).
+    Value-identical to the plain groupBy — the oracle IS the plain SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    out = skew_ops.salted_agg(
+        ev, ["event_type"], "value", salt_source="event_id", n_salts=N_SALTS
+    )
+    return out.select("event_type", F.round("sum_value", 2).alias("sum_value"), "n_rows")
+
+
+def q_salted_join(spark, sf_dir):
+    """Skew-safe fact⋈dim join with N_SALTS-fold dim replication instead of
+    broadcast: lineitem ⋈ supplier on (suppkey, salt)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    j = skew_ops.salted_join(
+        li, sup, "l_suppkey", "s_suppkey", salt_source="l_orderkey", n_salts=N_SALTS
+    )
+    return j.groupBy("s_nationkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").cast("bigint").alias("n_items"),
+    )
+
+
+def q_rollup_multi(spark, sf_dir):
+    """Multi-granularity rollup over events: (event_type, day) → event_type
+    → grand total in one pass (hypertable-style continuous-aggregate
+    shape; partial aggregation handles all levels in a single shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    return (
+        ev.select(F.col("event_type"), day, F.col("value"))
+        .rollup("event_type", "day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp("day").cast("bigint").alias("day_epoch"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_scan_text_corpus(spark, sf_dir):
+    """S1 production path: ingest a directory of {doc_id}.txt files via
+    spark.read.text(wholetext) + input_file_name parsing. The corpus is
+    materialized from the documents fixture (same layout the reference
+    reads), then round-tripped; values must match the parquet table."""
+    d = _docs(spark, sf_dir)
+    root = _tempfile.mkdtemp(prefix="pmr_corpus_")
+    txt_src.write_text_corpus(d, root)
+    back = txt_src.read_text_corpus(spark, root)
+    return back.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("text_len"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+    )
+
+
+def q_similarity_ivf(spark, sf_dir):
+    """IVF approximate top-k (KMeans coarse quantizer, nprobe=3 of 8
+    clusters). Environment-sensitive cluster boundaries → rows-only in the
+    driver gate; recall vs brute force is pinned by tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.ivf_topk(emb, n_queries=8, k=5, n_clusters=8, nprobe=3)
+
+
+REGISTRY.update(
+    {
+        "q_salted_agg": q_salted_agg,
+        "q_salted_join": q_salted_join,
+        "q_rollup_multi": q_rollup_multi,
+        "q_scan_text_corpus": q_scan_text_corpus,
+        "q_similarity_ivf": q_similarity_ivf,
+    }
+)

