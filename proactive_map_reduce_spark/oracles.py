@@ -988,3 +988,38 @@ SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
 FROM documents
 """
+
+
+# --- set operations / corpus statistics --------------------------------------
+
+ORACLES["q_intersect_docs"] = """
+SELECT doc_id, lang FROM documents WHERE n_chars < 300
+INTERSECT
+SELECT doc_id, lang FROM documents WHERE doc_id < 250
+"""
+
+ORACLES["q_except_docs"] = """
+SELECT doc_id, lang FROM documents WHERE n_chars < 300
+EXCEPT ALL
+SELECT doc_id, lang FROM documents WHERE doc_id < 250
+"""
+
+ORACLES["q_corpus_stats"] = f"""
+WITH {_WORDS},
+wl AS (
+  SELECT d.lang, w.word
+  FROM w JOIN documents d USING (doc_id)
+),
+pw AS (
+  SELECT lang, CAST(count(DISTINCT word) AS BIGINT) AS n_distinct_words,
+         CAST(count(*) AS BIGINT) AS n_words_total
+  FROM wl GROUP BY lang
+),
+pd AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         round(quantile_cont(n_chars, 0.5), 6) AS median_chars
+  FROM documents GROUP BY lang
+)
+SELECT pd.lang, n_docs, median_chars, n_distinct_words, n_words_total
+FROM pd JOIN pw USING (lang)
+"""

@@ -1124,3 +1124,55 @@ REGISTRY.update(
         "q_similarity_ivf": q_similarity_ivf,
     }
 )
+
+
+# --- set operations (§2.8) and corpus statistics -----------------------------
+
+
+def q_intersect_docs(spark, sf_dir):
+    """§2.8: INTERSECT of two derived doc sets (short docs ∩ first-half ids)
+    — surfacing Spark's native set algebra on the fixture tables."""
+    d = _docs(spark, sf_dir)
+    short = d.filter(F.col("n_chars") < 300).select("doc_id", "lang")
+    first_half = d.filter(F.col("doc_id") < 250).select("doc_id", "lang")
+    return short.intersect(first_half)
+
+
+def q_except_docs(spark, sf_dir):
+    """§2.8: EXCEPT — short docs NOT in the first half of the id space."""
+    d = _docs(spark, sf_dir)
+    short = d.filter(F.col("n_chars") < 300).select("doc_id", "lang")
+    first_half = d.filter(F.col("doc_id") < 250).select("doc_id", "lang")
+    return short.exceptAll(first_half)
+
+
+def q_corpus_stats(spark, sf_dir):
+    """Corpus statistics per language: doc count, exact distinct word
+    count, total words, median doc length (continuous interpolation).
+
+    Scale: distinct-word counting is the expensive part — one shuffle on
+    (lang, word) with map-side partial dedup; at 100 TB swap in
+    approx_count_distinct(HLL) for a constant-memory sketch (exact kept
+    here for oracle checkability)."""
+    d = _docs(spark, sf_dir)
+    words = _words(spark, sf_dir).join(d.select("doc_id", "lang"), "doc_id")
+    per_lang_words = words.groupBy("lang").agg(
+        F.countDistinct("word").alias("n_distinct_words"),
+        F.count("*").cast("bigint").alias("n_words_total"),
+    )
+    per_lang_docs = d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("median_chars"),
+    )
+    return per_lang_docs.join(per_lang_words, "lang").select(
+        "lang", "n_docs", "median_chars", "n_distinct_words", "n_words_total"
+    )
+
+
+REGISTRY.update(
+    {
+        "q_intersect_docs": q_intersect_docs,
+        "q_except_docs": q_except_docs,
+        "q_corpus_stats": q_corpus_stats,
+    }
+)
