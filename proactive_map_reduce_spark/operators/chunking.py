@@ -106,6 +106,47 @@ def partition_equal(words_df: DataFrame, num_steps: int, id_col: str = "doc_id")
     )
 
 
+def partition_equal_arrays(
+    df: DataFrame, num_steps: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C1 via per-document array slicing — the shuffle-free form.
+
+    `partition_equal` routes through a word explosion + groupBy (useful
+    when the words are needed row-wise anyway); but C1 itself is pure
+    per-document slicing (test_proactive.py:192-199 slices a local list),
+    so this variant computes chunk_text with slice() on the split array:
+    a narrow ×num_steps explode, NO shuffle of word rows at all. At 100 TB
+    that removes the widest exchange of the pipeline. Output rows match
+    `partition_equal` exactly (empty chunks are not emitted).
+    """
+    ws = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col), ws.alias("ws"), F.size(ws).alias("n"),
+        F.floor(F.size(ws) / num_steps).alias("ps"),
+        F.explode(F.sequence(F.lit(0), F.lit(num_steps - 1))).alias("chunk_id"),
+    )
+    last = num_steps - 1
+    start = (F.col("chunk_id") * F.col("ps") + 1).cast("int")
+    length = F.when(
+        F.col("chunk_id") == last, F.col("n") - F.col("chunk_id") * F.col("ps")
+    ).otherwise(F.col("ps")).cast("int")
+    chunk = F.when(
+        F.col("ps") == 0,
+        F.when(F.col("chunk_id") == last, F.col("ws")).otherwise(
+            F.array().cast("array<string>")
+        ),
+    ).otherwise(F.slice("ws", start, length))
+    return (
+        base.select(
+            id_col,
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).cast("bigint").alias("n_words"),
+        )
+        .filter(F.col("n_words") > 0)
+    )
+
+
 def rechunk_chunk_id(pos: Column, n: Column, chunk_len: int, tail_frac: float = 0.3) -> Column:
     """C2 closed form. Fixed windows of `chunk_len`; short tail merges back.
 

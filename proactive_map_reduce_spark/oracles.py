@@ -1023,3 +1023,8 @@ pd AS (
 SELECT pd.lang, n_docs, median_chars, n_distinct_words, n_words_total
 FROM pd JOIN pw USING (lang)
 """
+
+ORACLES["q_head_cap"] = """
+SELECT event_id, event_type, round(value, 6) AS value
+FROM events ORDER BY event_id LIMIT 5
+"""

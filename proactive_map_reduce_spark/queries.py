@@ -46,8 +46,16 @@ def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C1 chunks of every document (the shared pipeline intermediate)."""
-    return chunking.partition_equal(_words(spark, sf_dir), NUM_STEPS)
+    """C1 chunks of every document (the shared pipeline intermediate).
+
+    Built with the shuffle-free array-slice form: chunk production is a
+    narrow transformation, so every consumer's first exchange is its OWN
+    aggregation key, not a word shuffle."""
+    from .sources.tables import ensure_parallelism
+
+    return chunking.partition_equal_arrays(
+        ensure_parallelism(_docs(spark, sf_dir)), NUM_STEPS
+    )
 
 
 # --- §2.1 scans / sources / sinks -------------------------------------------
@@ -1176,3 +1184,17 @@ REGISTRY.update(
         "q_corpus_stats": q_corpus_stats,
     }
 )
+
+
+def q_head_cap(spark, sf_dir):
+    """T3: fixed example-count cap (idx == 5 stop, pipeline_70b_samsum.py:
+    325-326) — deterministic limit over the ordered events stream."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy("event_id")
+        .limit(5)
+        .select("event_id", "event_type", F.round("value", 6).alias("value"))
+    )
+
+
+REGISTRY.update({"q_head_cap": q_head_cap})

@@ -171,3 +171,19 @@ def test_positional_shift_is_exclusive_prefix_sum(spark):
         for r in chunking.positional_shift(df).collect()
     }
     assert got == {(1, 0): 0, (1, 1): 10, (1, 2): 30, (2, 0): 0}
+
+
+def test_partition_equal_arrays_matches_grouped_form(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(n))) for i, n in enumerate([1, 3, 4, 5, 9, 17, 40])],
+        "doc_id long, text string",
+    )
+    a = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_words"])
+        for r in chunking.partition_equal_arrays(docs, 4).collect()
+    }
+    b = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_words"])
+        for r in chunking.partition_equal(chunking.split_words(docs), 4).collect()
+    }
+    assert a == b

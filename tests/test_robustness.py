@@ -1,0 +1,68 @@
+"""Null/empty/degenerate-input robustness for the core operators."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from proactive_map_reduce_spark.operators import chunking, dedup, mapstage
+from proactive_map_reduce_spark.operators import reduce as red
+from tests.test_chunking import ref_middle_drop
+
+
+@given(st.lists(st.integers(min_value=0, max_value=100), max_size=30),
+       st.integers(min_value=1, max_value=200))
+@settings(max_examples=150, deadline=None)
+def test_middle_drop_reference_properties(lens, budget):
+    surv = ref_middle_drop(lens, budget)
+    # survivors are a subsequence of the original indices
+    assert surv == sorted(surv)
+    kept = sum(lens[i] for i in surv)
+    # fixpoint: either within budget, or a single surviving chunk
+    # (the loop can't go below one chunk unless everything was deleted)
+    assert kept <= budget or len(surv) == 1 or all(x == 0 for x in lens)
+
+
+def test_empty_documents_flow_through(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "a b c d")], "doc_id long, text string"
+    )
+    words = chunking.split_words(docs)
+    # empty text splits to [''] → 1 word row; nothing crashes downstream
+    chunks = chunking.partition_equal(words, 4)
+    assert chunks.count() >= 3
+    mapped = mapstage.llm_map(chunks)
+    final = red.incremental_concat(mapped)
+    assert final.count() == 3
+
+
+def test_single_word_document_chunking(spark):
+    docs = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    chunks = chunking.partition_equal(chunking.split_words(docs), 4)
+    rows = chunks.collect()
+    assert len(rows) == 1
+    # ps = 0 → everything in the last chunk (reference loop semantics)
+    assert rows[0]["chunk_id"] == 3
+
+
+def test_null_text_in_map_stage(spark):
+    df = spark.createDataFrame(
+        [(1, 0, None), (1, 1, "x y")], "doc_id long, chunk_id int, chunk_text string"
+    )
+    out = {r["chunk_id"]: r["out_text"] for r in mapstage.llm_map(df).collect()}
+    assert out[1] == "y x"
+    assert out[0] is None  # nulls pass through, not crash
+
+
+def test_dedup_on_empty_dataframe(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.exact_dedup(empty).count() == 0
+    assert dedup.simhash(empty).count() == 0
+
+
+def test_minhash_single_doc_no_pairs(spark):
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    sig = dedup.minhash_with_sets(dedup.shingle_rows(chunking.split_words(docs)))
+    pairs = dedup.lsh_candidate_pairs(sig)
+    assert pairs.count() == 0
