@@ -180,22 +180,34 @@ def lsh_candidate_pairs(
         band_exprs.append(
             portable_hash64(reduce(lambda x, y: F.concat(x, F.lit("|"), y), cols))
         )
-    # one pass over the signatures (posexplode), then persist so the
-    # self-join's two sides share the computed banding instead of
-    # re-deriving the full shingle→minhash pipeline per side.
+    # Bucket-collect instead of a banded self-join: group docs per
+    # (band_id, band_hash), then expand i<j pairs inside each bucket with
+    # array combinatorics. One shuffle on the uniform band key, no join,
+    # no persist of an intermediate both join sides would share. Bucket
+    # pair expansion is quadratic in bucket size — by construction LSH
+    # buckets are small; run exact_dedup FIRST so identical documents
+    # (the only unbounded-bucket source) never reach this operator.
     banded = sig_df.select(
         F.col(id_col), F.posexplode(F.array(*band_exprs)).alias("band_id", "band_hash")
-    ).persist()
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    )
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    n = F.size("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, n - i - 1),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
     )
 

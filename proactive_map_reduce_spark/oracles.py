@@ -1028,3 +1028,14 @@ ORACLES["q_head_cap"] = """
 SELECT event_id, event_type, round(value, 6) AS value
 FROM events ORDER BY event_id LIMIT 5
 """
+
+ORACLES["q_stream_stream_join"] = """
+SELECT l.user_id,
+       l.event_id AS l_id,
+       r.event_id AS r_id,
+       CAST(epoch_us(r.ts) - epoch_us(l.ts) AS BIGINT) AS gap_us
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'click' AND r.event_type = 'view'
+ AND r.ts BETWEEN l.ts - INTERVAL 30 MINUTE AND l.ts + INTERVAL 30 MINUTE
+"""

@@ -1198,3 +1198,15 @@ def q_head_cap(spark, sf_dir):
 
 
 REGISTRY.update({"q_head_cap": q_head_cap})
+
+
+def q_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream inner join (click×view per user within
+    ±30 min) — both sides buffer watermark-bounded state; in-order bucket
+    arrival + sentinel flush makes the streamed result equal the batch
+    interval join (sql-checked)."""
+    ev = load_table(spark, sf_dir, "events")
+    return stream_ops.stream_stream_join(spark, ev)
+
+
+REGISTRY.update({"q_stream_stream_join": q_stream_stream_join})

@@ -47,7 +47,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANO_TS_COLS.get(name, []):
         if dict(df.dtypes).get(col) == "bigint":
-            df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+            # integer DIV, not double division: nanos ~1e18 exceed double's
+            # exact-integer range, so (col/1000).cast(long) can be ±1 µs off
+            # DuckDB's exact ns→µs truncation.
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
     return df
 
 

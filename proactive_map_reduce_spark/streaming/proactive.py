@@ -55,17 +55,22 @@ def write_stage_files(chunks_df: DataFrame, root: str | None = None) -> str:
     """Materialize chunk rows as one parquet file per stage (chunk_id) —
     the simulated document stream. File k = "chunk k arrives at time k"."""
     root = root or tempfile.mkdtemp(prefix="pmr_stream_")
-    stages = sorted(
-        r["chunk_id"] for r in chunks_df.select("chunk_id").distinct().collect()
-    )
-    for cid in stages:
-        (
-            chunks_df.filter(F.col("chunk_id") == cid)
-            .select("doc_id", "chunk_id", "chunk_text")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(root)
+    # persist: each per-stage write filters the SAME upstream pipeline —
+    # without this the chunk derivation recomputes once per stage file.
+    chunks_df = chunks_df.select("doc_id", "chunk_id", "chunk_text").persist()
+    try:
+        stages = sorted(
+            r["chunk_id"] for r in chunks_df.select("chunk_id").distinct().collect()
         )
+        for cid in stages:
+            (
+                chunks_df.filter(F.col("chunk_id") == cid)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(root)
+            )
+    finally:
+        chunks_df.unpersist()
     return root
 
 
@@ -77,21 +82,33 @@ def _chunk_stream(spark: SparkSession, root: str) -> DataFrame:
     )
 
 
-def _run_to_memory(stream_df: DataFrame, transform) -> DataFrame:
+def _run_to_memory(stream_df: DataFrame, transform, shuffle_partitions: int = 8) -> DataFrame:
     """Drive a bounded stream (availableNow) through `transform` per
-    micro-batch into an in-memory table; return the collected result."""
+    micro-batch into an in-memory table; return the collected result.
+
+    Streaming queries fix their state-store partition count from
+    spark.sql.shuffle.partitions at start (AQE never applies) — every
+    micro-batch then pays one task per partition. Size it for stream
+    volume, not the batch default: at production throughput this knob
+    scales up; the fixtures want it small.
+    """
     spark = stream_df.sparkSession
     name = "pmr_sink_" + uuid.uuid4().hex[:8]
-    q = (
-        transform(stream_df)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="pmr_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            transform(stream_df)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="pmr_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
 
 
@@ -216,15 +233,18 @@ def write_event_files(events_df: DataFrame, n_buckets: int = 4) -> str:
             F.floor((F.unix_timestamp("ts") - F.lit(int(lo.timestamp()))) / (span / n_buckets)),
             F.lit(n_buckets - 1),
         ).cast("int"),
-    )
-    for b in range(n_buckets):
-        (
-            bucketed.filter(F.col("bucket") == b)
-            .select("event_id", "user_id", "event_type", "ts", "value")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(root)
-        )
+    ).persist()
+    try:
+        for b in range(n_buckets):
+            (
+                bucketed.filter(F.col("bucket") == b)
+                .select("event_id", "user_id", "event_type", "ts", "value")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(root)
+            )
+    finally:
+        bucketed.unpersist()
     return root
 
 
@@ -273,6 +293,83 @@ def windowed_counts_with_watermark(
     try:
         return _run_to_memory(stream, transform).filter(
             F.col("hour_bucket") != sentinel_bucket
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def stream_stream_join(
+    spark: SparkSession,
+    events_df: DataFrame,
+    left_type: str = "click",
+    right_type: str = "view",
+    within: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: per user, pair each
+    `left_type` event with every `right_type` event within ±`within`.
+
+    The hardest streaming feature the reference lacks entirely: both
+    sides buffer state bounded by their watermarks; the range condition
+    lets Spark evict rows once the other side's watermark passes. Bucket
+    arrival is in ts order and a far-future sentinel flushes trailing
+    state, so the streamed result equals the batch interval join — the
+    oracle checks exactly that.
+
+    Scale: state is keyed by user_id → shards across executors; watermark
+    bounds buffered rows to the `within` interval per side regardless of
+    total stream length.
+    """
+    root = write_event_files(events_df)
+    hi = events_df.select(F.max("ts").alias("hi")).collect()[0]["hi"]
+    sentinel_ts = hi + pd.Timedelta(hours=10)
+    # sentinels must carry the REAL side types (they advance each side's
+    # watermark downstream of the type filter); event_id=-1 marks them
+    # for removal from the result.
+    spark.createDataFrame(
+        [(-1, -1, left_type, sentinel_ts, 0.0), (-1, -1, right_type, sentinel_ts, 0.0)],
+        EVENT_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(root)
+
+    def transform(s: DataFrame) -> DataFrame:
+        left = (
+            s.filter(F.col("event_type") == left_type)
+            .select(
+                F.col("user_id").alias("l_user"),
+                F.col("event_id").alias("l_id"),
+                F.col("ts").alias("l_ts"),
+            )
+            .withWatermark("l_ts", within)
+        )
+        right = (
+            s.filter(F.col("event_type") == right_type)
+            .select(
+                F.col("user_id").alias("r_user"),
+                F.col("event_id").alias("r_id"),
+                F.col("ts").alias("r_ts"),
+            )
+            .withWatermark("r_ts", within)
+        )
+        joined = left.join(
+            right,
+            (F.col("l_user") == F.col("r_user"))
+            & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {within}"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        )
+        return joined.select(
+            F.col("l_user").alias("user_id"),
+            "l_id",
+            "r_id",
+            (F.unix_micros("r_ts") - F.unix_micros("l_ts")).cast("bigint").alias("gap_us"),
+        )
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+    )
+    try:
+        return _run_to_memory(stream, transform).filter(
+            (F.col("l_id") >= 0) & (F.col("r_id") >= 0)
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
