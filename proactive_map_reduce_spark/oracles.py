@@ -1039,3 +1039,13 @@ FROM events l JOIN events r
  AND l.event_type = 'click' AND r.event_type = 'view'
  AND r.ts BETWEEN l.ts - INTERVAL 30 MINUTE AND l.ts + INTERVAL 30 MINUTE
 """
+
+ORACLES["q_promo_revenue"] = """
+SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_share,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= DATE '1998-01-01' AND l.l_shipdate < DATE '1998-03-01'
+"""

@@ -1210,3 +1210,28 @@ def q_stream_stream_join(spark, sf_dir):
 
 
 REGISTRY.update({"q_stream_stream_join": q_stream_stream_join})
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-style promo revenue share: part dim broadcast into the
+    lineitem scan, one month of shipdates (filter pushed to parquet),
+    conditional aggregation — single wide shuffle of one partial-agg row
+    per partition."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-03-01")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
+            / F.sum(rev),
+            6,
+        ).alias("promo_share"),
+        F.count("*").cast("bigint").alias("n_items"),
+    )
+
+
+REGISTRY.update({"q_promo_revenue": q_promo_revenue})
