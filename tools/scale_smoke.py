@@ -1,0 +1,122 @@
+"""Scale-up smoke: do the headline plans hold at 10× data?
+
+Synthesizes a 10× copy of the sf0.1 fixtures (ids offset per replica so
+joins/dedup semantics stay non-degenerate), runs the headline queries at
+1× and 10×, and prints the per-query scaling factor. Near-linear factors
+(≈10× data → ≲10× time on a fixed machine) are the evidence that no plan
+hides a super-linear join blowup, a driver-side funnel, or a
+single-partition choke point.
+
+Usage: python tools/scale_smoke.py [replicas]   # default 10
+Writes the replicated tables to /tmp/pmr_scale_<replicas>x (reused if
+present); prints one JSON line at the end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+BASE = "/root/testdata/sf0.1"
+QUERIES = [
+    "q_pricing_summary",
+    "q_top_revenue",
+    "q_region_revenue",
+    "q_window_tumbling",
+    "q_sessionize",
+    "q_flagship",
+    "q_tokenize",
+    "q_dedup_minhash_pairs",
+    "q_simhash",
+    "q_similarity_topk",
+]
+# id column to offset per replica so replicated rows stay distinct
+OFFSETS = {
+    "documents": ("doc_id", 1_000_000),
+    "lineitem": ("l_orderkey", 10_000_000),
+    "orders": ("o_orderkey", 10_000_000),
+    "events": ("event_id", 10_000_000),
+    "embeddings": ("vec_id", 1_000_000),
+}
+SMALL = ["region", "nation", "customer", "supplier", "part"]
+
+
+def build(spark, replicas: int) -> str:
+    from pyspark.sql import functions as F
+
+    out = f"/tmp/pmr_scale_{replicas}x"
+    if os.path.isdir(out) and os.path.exists(out + "/_DONE"):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for t in SMALL:
+        spark.read.parquet(f"{BASE}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+    for t, (idc, stride) in OFFSETS.items():
+        base = spark.read.parquet(f"{BASE}/{t}.parquet")
+        parts = []
+        for r in range(replicas):
+            p = base.withColumn(idc, F.col(idc) + F.lit(r * stride))
+            if t == "documents":
+                # perturb text per replica so dedup isn't all-identical
+                p = p.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" replica{r}"))
+                )
+            parts.append(p)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.repartition(8).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    open(out + "/_DONE", "w").write("ok")
+    return out
+
+
+def run_set(spark, registry, sf_dir):
+    times = {}
+    for name in QUERIES:
+        spark.catalog.clearCache()
+        df = registry[name](spark, sf_dir)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 2)
+    return times
+
+
+def main() -> int:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    from proactive_map_reduce_spark.queries import REGISTRY
+    from proactive_map_reduce_spark.session import get_spark
+
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    big = build(spark, replicas)
+
+    # warm codegen + python workers once
+    for name in QUERIES:
+        try:
+            REGISTRY[name](spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception:
+            pass
+
+    t1 = run_set(spark, REGISTRY, BASE)
+    tn = run_set(spark, REGISTRY, big)
+    factors = {
+        k: round(tn[k] / t1[k], 1) if t1[k] > 0.05 else None for k in QUERIES
+    }
+    print(
+        json.dumps(
+            {"replicas": replicas, "t_1x": t1, "t_Nx": tn, "factor": factors}
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
