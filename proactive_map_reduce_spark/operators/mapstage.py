@@ -62,18 +62,25 @@ def standin_model(batch: pd.DataFrame) -> pd.DataFrame:
 def llm_map(
     df: DataFrame,
     model_fn: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
-    extra_fields: str = "",
 ) -> DataFrame:
     """M1: apply the black-box model over chunk rows via mapInPandas.
 
-    `df` must contain (doc_id, chunk_id, chunk_text); output adds
-    `out_text` plus `n_out_tokens`. A real model plugs in as `model_fn`
-    (called once per Arrow batch; load weights lazily per executor).
+    `df` must contain (doc_id, chunk_id, chunk_text); returns
+    (doc_id, chunk_id, out_text, n_out_tokens). A real model plugs in as
+    `model_fn` (called once per Arrow batch; load weights lazily per
+    executor).
+
+    Catalyst cannot prune columns through an opaque Python stage, so the
+    seam projects explicitly: only (ids, chunk_text) cross into Python
+    and only (ids, out_text, n_out_tokens) cross back — chunk_text is
+    NOT echoed through Arrow a second time. At 100 TB the echo would
+    double the seam's serialization volume for nothing.
     """
     fn = model_fn or standin_model
     schema = T.StructType(
-        [f for f in df.schema.fields]
-        + [
+        [
+            df.schema["doc_id"],
+            df.schema["chunk_id"],
             T.StructField("out_text", T.StringType()),
             T.StructField("n_out_tokens", T.LongType()),
         ]
@@ -86,9 +93,9 @@ def llm_map(
                 out["n_out_tokens"] = out["out_text"].map(
                     lambda t: len(t.split(" ")) if isinstance(t, str) else 0
                 )
-            yield out
+            yield out[["doc_id", "chunk_id", "out_text", "n_out_tokens"]]
 
-    return df.mapInPandas(run, schema=schema)
+    return df.select("doc_id", "chunk_id", "chunk_text").mapInPandas(run, schema=schema)
 
 
 # --- M2/M3: detok + first-line answer extraction ----------------------------
