@@ -1049,3 +1049,11 @@ SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= DATE '1998-01-01' AND l.l_shipdate < DATE '1998-03-01'
 """
+
+ORACLES["q_asof_join"] = """
+SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+       CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS age_us
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+"""

@@ -1235,3 +1235,30 @@ def q_promo_revenue(spark, sf_dir):
 
 
 REGISTRY.update({"q_promo_revenue": q_promo_revenue})
+
+
+from .operators import asof as asof_ops                # noqa: E402
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: each click matched to the user's latest view at-or-
+    before it (union + ordered carry-forward — one exchange, one sort,
+    linear cost; never a range cross-product). DuckDB oracles it with
+    native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts"
+    )
+    j = asof_ops.asof_join(clicks, views, on="user_id")
+    return j.select(
+        "user_id",
+        "click_id",
+        F.col("r_view_id").alias("view_id"),
+        (F.unix_micros("ts") - F.unix_micros("r_ts")).cast("bigint").alias("age_us"),
+    )
+
+
+REGISTRY.update({"q_asof_join": q_asof_join})

@@ -88,3 +88,21 @@ def test_text_corpus_roundtrip(spark):
         assert back == {7: "hello world", 42: "second doc text"}
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_asof_join_semantics(spark):
+    from proactive_map_reduce_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 200), (2, 5, 300)], "k int, ts int, lv int"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 15, "b"), (1, 25, "c"), (3, 1, "z")], "k int, ts int, rv string"
+    )
+    out = {
+        r["lv"]: r["r_rv"]
+        for r in asof_join(left, right, on="k", left_ts="ts", right_ts="ts").collect()
+    }
+    assert out[100] == "a"   # equality counts (<=)
+    assert out[200] == "b"   # latest at-or-before 20
+    assert out[300] is None  # no right row for key 2
