@@ -1057,3 +1057,6 @@ FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
 ASOF LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
   ON c.user_id = v.user_id AND v.ts <= c.ts
 """
+
+# batch range join shares the stream-stream join's result set
+ORACLES["q_range_join"] = ORACLES["q_stream_stream_join"]

@@ -1262,3 +1262,30 @@ def q_asof_join(spark, sf_dir):
 
 
 REGISTRY.update({"q_asof_join": q_asof_join})
+
+
+from .operators import rangejoin as range_ops          # noqa: E402
+
+
+def q_range_join(spark, sf_dir):
+    """Batch range join (click x view within ±30 min per user) via time-
+    bucket expansion — the whole range condition becomes an equi-join on
+    (user_id, bucket); same result set as the streaming q_stream_stream_
+    join (shared oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("l_id"), "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("r_id"), "ts"
+    )
+    j = range_ops.interval_join(clicks, views, on="user_id", within_us=30 * 60 * 1_000_000)
+    return j.select(
+        "user_id",
+        "l_id",
+        F.col("r_r_id").alias("r_id"),
+        (F.unix_micros("r_ts") - F.unix_micros("ts")).cast("bigint").alias("gap_us"),
+    )
+
+
+REGISTRY.update({"q_range_join": q_range_join})
