@@ -1060,3 +1060,47 @@ ASOF LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'vie
 
 # batch range join shares the stream-stream join's result set
 ORACLES["q_range_join"] = ORACLES["q_stream_stream_join"]
+
+
+ORACLES["q_qa_pipeline"] = f"""
+WITH RECURSIVE {_WORDS}, {_RECHUNK},
+base AS (
+  SELECT doc_id, list(chunk_id ORDER BY chunk_id) AS ids,
+         list(n_tokens ORDER BY chunk_id) AS lens
+  FROM rc GROUP BY doc_id
+),
+s AS (
+  SELECT doc_id, ids, lens FROM base
+  UNION ALL
+  SELECT doc_id,
+         ids[1:len(ids)//2] || ids[len(ids)//2+2:],
+         lens[1:len(lens)//2] || lens[len(lens)//2+2:]
+  FROM s WHERE len(ids) > 0 AND list_sum(lens) > {DROP_BUDGET}
+),
+fin AS (
+  SELECT doc_id, ids FROM s
+  WHERE len(ids) = 0 OR list_sum(lens) <= {DROP_BUDGET}
+),
+kept AS (SELECT doc_id, unnest(ids) AS chunk_id FROM fin),
+wc AS (
+  SELECT ra.doc_id, ra.chunk_id, w.word,
+         (k.chunk_id IS NOT NULL) AS keep
+  FROM ra JOIN w USING (doc_id, pos)
+  LEFT JOIN kept k ON k.doc_id = ra.doc_id AND k.chunk_id = ra.chunk_id
+),
+mx AS (SELECT doc_id, max(chunk_id) AS mc FROM ra GROUP BY doc_id),
+sets AS (
+  SELECT wc.doc_id,
+         list_distinct(list(word) FILTER (keep)) AS kept_set,
+         list_distinct(list(word)) AS full_set,
+         list_distinct(list(word) FILTER (wc.chunk_id = mx.mc)) AS last_set,
+         CAST(count(*) FILTER (keep) AS BIGINT) AS kept_tokens,
+         CAST(count(DISTINCT wc.chunk_id) FILTER (keep) AS BIGINT) AS n_chunks_kept
+  FROM wc JOIN mx USING (doc_id)
+  GROUP BY wc.doc_id
+)
+SELECT doc_id, n_chunks_kept, kept_tokens,
+       greatest({_set_f1_sql('kept_set', 'full_set')},
+                {_set_f1_sql('kept_set', 'last_set')}) AS best_f1
+FROM sets
+"""

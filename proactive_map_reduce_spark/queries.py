@@ -1289,3 +1289,48 @@ def q_range_join(spark, sf_dir):
 
 
 REGISTRY.update({"q_range_join": q_range_join})
+
+
+def q_qa_pipeline(spark, sf_dir):
+    """§3.2 lifecycle (pipeline_70b_samsum.py evaluate_dataset) composed
+    end-to-end: fixed rechunk (C2) → middle-drop budget truncation (P5)
+    → kept-context assembly → best-of-answers set-F1 (A2+A6) against two
+    gold candidates (full document, final chunk).
+
+    Set scoring is reversal-invariant, so the black-box map stage is
+    omitted here (q_flagship exercises that seam); this query is the
+    truncation/scoring half of the samsum flow. One doc_id exchange
+    shared by the window and both aggregations."""
+    words = _words(spark, sf_dir)
+    wc = words.withColumn(
+        "chunk_id",
+        chunking.rechunk_chunk_id(F.col("pos"), F.col("n_words_doc"), CHUNK_LEN, TAIL_FRAC),
+    )
+    surv = chunking.middle_drop(
+        chunking.rechunk_fixed(words, CHUNK_LEN, tail_frac=TAIL_FRAC), DROP_BUDGET
+    ).select("doc_id", "chunk_id", F.lit(1).alias("_keep"))
+    j = wc.join(surv, ["doc_id", "chunk_id"], "left")
+    mx = Window.partitionBy("doc_id")
+    j = j.withColumn("_mc", F.max("chunk_id").over(mx))
+    agg = j.groupBy("doc_id").agg(
+        F.array_distinct(F.collect_list(F.when(F.col("_keep") == 1, F.col("word")))).alias("kept"),
+        F.array_distinct(F.collect_list("word")).alias("full"),
+        F.array_distinct(
+            F.collect_list(F.when(F.col("chunk_id") == F.col("_mc"), F.col("word")))
+        ).alias("last"),
+        F.count(F.when(F.col("_keep") == 1, 1)).cast("bigint").alias("kept_tokens"),
+        F.size(F.collect_set(F.when(F.col("_keep") == 1, F.col("chunk_id"))))
+        .cast("bigint")
+        .alias("n_chunks_kept"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_chunks_kept",
+        "kept_tokens",
+        F.greatest(
+            set_f1(F.col("kept"), F.col("full")), set_f1(F.col("kept"), F.col("last"))
+        ).alias("best_f1"),
+    )
+
+
+REGISTRY.update({"q_qa_pipeline": q_qa_pipeline})
