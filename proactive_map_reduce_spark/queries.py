@@ -1334,3 +1334,29 @@ def q_qa_pipeline(spark, sf_dir):
 
 
 REGISTRY.update({"q_qa_pipeline": q_qa_pipeline})
+
+
+def q_sketch_stats(spark, sf_dir):
+    """Sketch statistics: HLL approximate distinct words and approximate
+    doc-length quantiles per language — the constant-memory forms of
+    q_corpus_stats' exact aggregates (what actually runs at 100 TB).
+    Sketch values are engine-specific → rows-only in the driver gate;
+    accuracy vs exact is pinned by tests."""
+    d = _docs(spark, sf_dir)
+    words = _words(spark, sf_dir).join(d.select("doc_id", "lang"), "doc_id")
+    w = words.groupBy("lang").agg(
+        F.approx_count_distinct("word", rsd=0.02).alias("approx_distinct_words")
+    )
+    q = d.groupBy("lang").agg(
+        F.percentile_approx("n_chars", [0.25, 0.5, 0.75], 10000).alias("chars_quartiles")
+    )
+    return w.join(q, "lang").select(
+        "lang",
+        "approx_distinct_words",
+        F.col("chars_quartiles")[0].cast("bigint").alias("p25"),
+        F.col("chars_quartiles")[1].cast("bigint").alias("p50"),
+        F.col("chars_quartiles")[2].cast("bigint").alias("p75"),
+    )
+
+
+REGISTRY.update({"q_sketch_stats": q_sketch_stats})

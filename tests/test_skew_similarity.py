@@ -106,3 +106,18 @@ def test_asof_join_semantics(spark):
     assert out[100] == "a"   # equality counts (<=)
     assert out[200] == "b"   # latest at-or-before 20
     assert out[300] is None  # no right row for key 2
+
+
+def test_sketch_stats_accuracy(spark):
+    """HLL distinct within 5% of exact; approx quartiles bracket exact median."""
+    from pyspark.sql import functions as F
+
+    import proactive_map_reduce_spark.queries as Q
+
+    sketch = {r["lang"]: r for r in Q.q_sketch_stats(spark, SF0001).collect()}
+    exact = {r["lang"]: r for r in Q.q_corpus_stats(spark, SF0001).collect()}
+    for lang, e in exact.items():
+        s = sketch[lang]
+        rel = abs(s["approx_distinct_words"] - e["n_distinct_words"]) / e["n_distinct_words"]
+        assert rel < 0.05, (lang, rel)
+        assert s["p25"] <= e["median_chars"] <= s["p75"]
