@@ -17,6 +17,10 @@ SF001 = "/root/testdata/sf0.01"
 def spark():
     from pyspark.sql import SparkSession
 
+    import shutil
+    import tempfile
+
+    warehouse = tempfile.mkdtemp(prefix="pmr_wh_")
     s = (
         SparkSession.builder.appName("pmr-tests")
         .master("local[4]")
@@ -25,7 +29,9 @@ def spark():
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.warehouse.dir", warehouse)
         .getOrCreate()
     )
     yield s
     s.stop()
+    shutil.rmtree(warehouse, ignore_errors=True)
