@@ -264,6 +264,60 @@ def jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 20
+) -> DataFrame:
+    """Cluster near-dup pairs into components: (doc_id, cluster_rep).
+
+    The step every dedup pipeline needs after pair detection — transitive
+    grouping so each duplicate CLUSTER keeps one representative (the min
+    id). Iterative min-label propagation: each round, every node takes
+    the min label in its neighborhood; converges in O(diameter) rounds
+    (near-dup clusters are shallow — a handful of rounds in practice).
+
+    Scale: each round is one join + one groupBy on node id — the
+    standard large-graph CC pattern (GraphX/GraphFrames do the same
+    under the hood); labels persist between rounds, and the loop stops
+    on a converged round (count of changed labels == 0, a cheap
+    aggregate action per round).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges.src == labels.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("lbl").alias("nbr_lbl"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
+                    (F.col("nbr_lbl") < F.col("lbl")).alias("_changed"),
+                )
+            ).persist()
+            changed = new_labels.filter(F.col("_changed")).count()
+            labels.unpersist()
+            labels = new_labels.drop("_changed")
+            if changed == 0:
+                break
+        return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_rep"))
+    finally:
+        edges.unpersist()
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:

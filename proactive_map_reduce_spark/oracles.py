@@ -1104,3 +1104,26 @@ SELECT doc_id, n_chunks_kept, kept_tokens,
                 {_set_f1_sql('kept_set', 'last_set')}) AS best_f1
 FROM sets
 """
+
+
+# Transitive closure of the LSH pair graph; representative = min
+# reachable node (including self). The pair derivation is the
+# q_dedup_minhash_pairs oracle minus the jaccard scoring.
+_LSH_PAIRS_SQL = ORACLES["q_dedup_minhash_pairs"]
+ORACLES["q_dedup_clusters"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_LSH_PAIRS_SQL}) base_pairs
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id,
+       least(src, min(dst)) AS cluster_rep
+FROM reach GROUP BY src
+"""

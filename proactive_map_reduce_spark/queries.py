@@ -1360,3 +1360,18 @@ def q_sketch_stats(spark, sf_dir):
 
 
 REGISTRY.update({"q_sketch_stats": q_sketch_stats})
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster formation: LSH candidate pairs → connected
+    components → (doc_id, cluster_rep) with min-id representatives.
+    Only docs that appear in some pair are emitted (singletons are their
+    own representative trivially)."""
+    combined = dedup_ops.minhash_with_sets(
+        dedup_ops.shingle_rows(_words(spark, sf_dir)), MINHASH_N
+    )
+    pairs = dedup_ops.lsh_candidate_pairs(combined, MINHASH_N, MINHASH_BANDS).persist()
+    return dedup_ops.connected_components(pairs)
+
+
+REGISTRY.update({"q_dedup_clusters": q_dedup_clusters})

@@ -84,3 +84,15 @@ def test_simhash_close_for_near_dups(spark):
         return bin(x ^ y).count("1")
 
     assert hamming(out[0], out[2]) < hamming(out[0], out[3])
+
+
+def test_connected_components_chains_and_islands(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 1)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    # chain 9-1-2-3 collapses to rep 1; island 5-6 to rep 5
+    assert out == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
