@@ -1127,3 +1127,27 @@ SELECT src AS doc_id,
        least(src, min(dst)) AS cluster_rep
 FROM reach GROUP BY src
 """
+
+# native session_window ≡ gap-based sessionization: a session starts at
+# any event >30 min after its predecessor; session key = min ts in group.
+ORACLES["q_session_window"] = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, value
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g
+)
+SELECT user_id,
+       CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, sess_id
+"""

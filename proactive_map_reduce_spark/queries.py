@@ -1375,3 +1375,27 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 REGISTRY.update({"q_dedup_clusters": q_dedup_clusters})
+
+
+def q_session_window(spark, sf_dir):
+    """Native session_window aggregation (30-min inactivity gap) — the
+    built-in form of q_sessionize's hand-rolled lag/cumsum, usable
+    unchanged under Structured Streaming. Oracle mirrors the gap
+    semantics with window functions."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).cast("bigint").alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+REGISTRY.update({"q_session_window": q_session_window})
