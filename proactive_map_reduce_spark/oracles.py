@@ -1151,3 +1151,22 @@ SELECT user_id,
        round(sum(value), 2) AS sum_value
 FROM s GROUP BY user_id, sess_id
 """
+
+# sliding window: event at t belongs to starts {floor(t/1800)*1800,
+# floor(t/1800)*1800 - 1800} (width 3600, slide 1800).
+ORACLES["q_window_sliding"] = """
+WITH e AS (
+  SELECT event_type, value,
+         (epoch_us(ts) // 1000000) AS t
+  FROM events
+),
+x AS (
+  SELECT event_type, value,
+         (t // 1800) * 1800 - u.k * 1800 AS win_start_s
+  FROM e, UNNEST([0, 1]) AS u(k)
+)
+SELECT CAST(win_start_s AS BIGINT) AS win_start_s, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM x GROUP BY 1, 2
+"""

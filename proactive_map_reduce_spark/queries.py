@@ -1399,3 +1399,27 @@ def q_session_window(spark, sf_dir):
 
 
 REGISTRY.update({"q_session_window": q_session_window})
+
+
+def q_window_sliding(spark, sf_dir):
+    """Sliding 1-hour window, 30-minute slide (each event contributes to
+    two windows) — completes the tumbling/sliding/session triple; the
+    same expression runs under Structured Streaming."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("win_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+REGISTRY.update({"q_window_sliding": q_window_sliding})
