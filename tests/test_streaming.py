@@ -103,3 +103,55 @@ def test_watermark_drops_late_event(spark):
         assert out.agg(F.sum("n_events")).collect()[0][0] == len(hours)  # late row NOT counted
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stateful_accumulate_robust_to_reversed_arrival(spark):
+    """Stages arriving in REVERSE order still produce the chunk-ordered
+    accumulation — the state keeps (chunk_id, text) pairs and sorts on
+    emit, so arrival interleaving can't corrupt the result."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql import types as T
+
+    chunks = _chunks(spark)
+    root = tempfile.mkdtemp(prefix="pmr_rev_")
+    try:
+        for cid in [3, 2, 1, 0]:  # reversed arrival
+            (
+                chunks.filter(F.col("chunk_id") == cid)
+                .select("doc_id", "chunk_id", "chunk_text")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(root)
+            )
+        state_schema = T.StructType(
+            [
+                T.StructField("chunk_ids", T.ArrayType(T.IntegerType())),
+                T.StructField("texts", T.ArrayType(T.StringType())),
+            ]
+        )
+
+        def transform(s):
+            return mapstage.llm_map(s).groupBy("doc_id").applyInPandasWithState(
+                stream_ops._accumulate,
+                outputStructType=stream_ops._ACC_OUT,
+                stateStructType=state_schema,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+
+        updates = stream_ops._run_to_memory(stream_ops._chunk_stream(spark, root), transform)
+        final = {
+            r["doc_id"]: r["final_text"]
+            for r in stream_ops.final_accumulation(updates).collect()
+        }
+        batch = {
+            r["doc_id"]: r["final_text"]
+            for r in red.incremental_concat(mapstage.llm_map(chunks)).collect()
+        }
+        assert final == batch
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
