@@ -1170,3 +1170,7 @@ SELECT CAST(win_start_s AS BIGINT) AS win_start_s, event_type,
        round(sum(value), 2) AS sum_value
 FROM x GROUP BY 1, 2
 """
+
+ORACLES["q_sink_partitioned"] = """
+SELECT doc_id, n_chars FROM documents WHERE lang = 'en'
+"""

@@ -1423,3 +1423,21 @@ def q_window_sliding(spark, sf_dir):
 
 
 REGISTRY.update({"q_window_sliding": q_window_sliding})
+
+
+def q_sink_partitioned(spark, sf_dir):
+    """Partitioned parquet sink + pruned read-back: documents written
+    partitionBy(lang), then one partition read with the filter applied
+    as a PartitionFilter (directory pruning — only that partition's
+    files are scanned; at 100 TB, partition layout IS the primary
+    pruning lever). Values must round-trip exactly."""
+    d = _docs(spark, sf_dir)
+    path = _tempfile.mkdtemp(prefix="pmr_part_") + "/docs"
+    d.select("doc_id", "n_chars", "lang").write.partitionBy("lang").mode(
+        "overwrite"
+    ).parquet(path)
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    return back.select("doc_id", "n_chars")
+
+
+REGISTRY.update({"q_sink_partitioned": q_sink_partitioned})

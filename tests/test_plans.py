@@ -86,3 +86,16 @@ def test_cache_key_is_sha256_of_text_plus_layer():
     import hashlib
 
     assert cache_key("abc", 7) == hashlib.sha256(b"abc7").hexdigest()
+
+
+def test_partitioned_sink_prunes_partitions(spark):
+    """The lang filter must become a PartitionFilter (directory pruning),
+    not a row-level PushedFilter."""
+    import re
+
+    import proactive_map_reduce_spark.queries as Q2
+
+    df = Q2.q_sink_partitioned(spark, SF0001)
+    plan = audit.formatted_plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), plan[:500]
