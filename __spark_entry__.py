@@ -1,9 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship chunked map-reduce query on sf0.001;
-``queries()`` exposes every implemented operator from SURVEY.md §2;
-``oracle_sql()`` gives the DuckDB-equivalent SQL for each sql-checkable
-query (rows-only ops are registered in ``queries()`` without an oracle).
+``queries()`` exposes every implemented operator from SURVEY.md §2 plus
+the beyond-reference capabilities (89 queries — inventory in
+COVERAGE.md); ``oracle_sql()`` gives the DuckDB-equivalent SQL for each
+sql-checkable query (85 of them; the 4 rows-only ops — BLEU/ROUGE
+pandas UDFs, IVF, sketches — are registered without an oracle and
+pinned by pytest accuracy/property tests instead).
 """
 
 from __future__ import annotations
