@@ -1174,3 +1174,21 @@ FROM x GROUP BY 1, 2
 ORACLES["q_sink_partitioned"] = """
 SELECT doc_id, n_chars FROM documents WHERE lang = 'en'
 """
+
+ORACLES["q_semi_anti_join"] = """
+SELECT c_mktsegment,
+       CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            THEN 1 ELSE 0 END AS has_orders,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM customer c
+GROUP BY 1, 2
+"""
+
+ORACLES["q_cube_events"] = """
+SELECT event_type,
+       CAST(dayofweek(ts) AS INT) + 1 AS dow,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, CAST(dayofweek(ts) AS INT) + 1)
+"""

@@ -1441,3 +1441,39 @@ def q_sink_partitioned(spark, sf_dir):
 
 
 REGISTRY.update({"q_sink_partitioned": q_sink_partitioned})
+
+
+def q_semi_anti_join(spark, sf_dir):
+    """§2.11: left-semi and left-anti joins — customers with vs without
+    orders, as one labeled union (both sides broadcast the orders key
+    set; at scale this is a shuffle semi-join AQE can re-plan)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ord_keys = load_table(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = cust.join(
+        ord_keys, cust.c_custkey == ord_keys.o_custkey, "left_semi"
+    ).withColumn("has_orders", F.lit(1))
+    without = cust.join(
+        ord_keys, cust.c_custkey == ord_keys.o_custkey, "left_anti"
+    ).withColumn("has_orders", F.lit(0))
+    return (
+        with_orders.unionByName(without)
+        .groupBy("c_mktsegment", "has_orders")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+    )
+
+
+def q_cube_events(spark, sf_dir):
+    """CUBE over (event_type, day-of-week): all four grouping levels in
+    one pass (partial aggregation covers every cell)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.dayofweek("ts").cast("int").alias("dow"), "value")
+        .cube("event_type", "dow")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+REGISTRY.update({"q_semi_anti_join": q_semi_anti_join, "q_cube_events": q_cube_events})
