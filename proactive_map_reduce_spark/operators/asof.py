@@ -57,9 +57,12 @@ def asof_join(
     ).select(on, "_ts", "_side", "_l", "_r")
     u = l_tagged.select(on, "_ts", "_side", "_l", "_r").unionByName(r_full)
 
+    # _r as final sort key: deterministic winner among right rows sharing
+    # (key, ts) — struct ordering is lexicographic; left rows' null _r
+    # sorts first and never competes.
     w = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", "_r")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (
