@@ -25,6 +25,10 @@ from pyspark.sql import SparkSession
 # INT64(TIMESTAMP(NANOS)) which Spark only reads as long via this flag.
 _RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # runtime-settable: externally-created sessions (the driver's) default
+    # to 200 shuffle partitions — size to the machine instead; AQE
+    # coalesces further when data is small.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     # Don't coalesce small shuffles below 64 KB partitions: CPU-heavy
