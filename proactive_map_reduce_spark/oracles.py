@@ -1192,3 +1192,17 @@ SELECT event_type,
 FROM events
 GROUP BY CUBE (event_type, CAST(dayofweek(ts) AS INT) + 1)
 """
+
+
+ORACLES["q_embed_documents"] = f"""
+WITH v AS (
+  SELECT doc_id,
+         [round(({_h("text || CAST(i AS VARCHAR)")} % 10000) / 10000.0, 6)
+          FOR i IN range(0, 8)] AS emb
+  FROM documents
+)
+SELECT doc_id, CAST(8 AS INT) AS dim,
+       round(list_sum(emb), 6) AS emb_sum,
+       emb[1] AS emb_0
+FROM v
+"""

@@ -1477,3 +1477,33 @@ def q_cube_events(spark, sf_dir):
 
 
 REGISTRY.update({"q_semi_anti_join": q_semi_anti_join, "q_cube_events": q_cube_events})
+
+
+EMBED_DIM = 8
+
+
+def q_embed_documents(spark, sf_dir):
+    """Documents → embeddings bridge: deterministic stand-in encoder
+    (hash-derived unit-less vector per doc; a real encoder swaps in as a
+    mapInPandas stage exactly like M1). Emits the vector's checksum and
+    first component so the full array is value-checked without float-
+    array hashing ambiguity."""
+    d = _docs(spark, sf_dir)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(EMBED_DIM - 1)),
+        lambda i: F.round(
+            (portable_hash64(F.concat(F.col("text"), i.cast("string"))) % 10000) / 10000.0, 6
+        ),
+    )
+    return d.select(
+        "doc_id",
+        vec.alias("emb"),
+    ).select(
+        "doc_id",
+        F.lit(EMBED_DIM).cast("int").alias("dim"),
+        F.round(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x), 6).alias("emb_sum"),
+        F.col("emb")[0].alias("emb_0"),
+    )
+
+
+REGISTRY.update({"q_embed_documents": q_embed_documents})
