@@ -87,6 +87,48 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition filters (Gopher-style quality signals):
+    fraction of bigrams taken by the single most frequent bigram, and
+    fraction of trigrams that occur more than once.
+
+    Entirely array-local per row (no shuffle, no explode): the n-gram
+    lists and their frequency scans stay inside one narrow projection, so
+    at 100 TB this is a pure map over the scan. Per-row cost is
+    O(distinct_grams x n) — bounded by document length, not corpus size.
+    """
+    ws = F.split(F.col(text_col), " ")
+    n = F.size(ws)
+
+    def grams(k: int) -> Column:
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.array_join(F.slice(ws, i + 1, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    g2, g3 = grams(2), grams(3)
+    top2 = F.array_max(
+        F.transform(
+            F.array_distinct(g2), lambda g: F.size(F.filter(g2, lambda x: x == g))
+        )
+    )
+    dup3 = F.size(F.filter(g3, lambda g: F.size(F.filter(g3, lambda x: x == g)) > 1))
+    return df.select(
+        "doc_id",
+        F.size(g2).cast("bigint").alias("n_bigrams"),
+        F.size(g3).cast("bigint").alias("n_trigrams"),
+        F.round(
+            F.when(F.size(g2) > 0, top2 / F.size(g2)).otherwise(F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.when(F.size(g3) > 0, dup3 / F.size(g3)).otherwise(F.lit(0.0)), 6
+        ).alias("dup_trigram_frac"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", gram: int = 5) -> DataFrame:
     """Document fingerprinting: full-content hash + winnowing-style minimum
     over rolling word 5-gram hashes (robust to local edits)."""

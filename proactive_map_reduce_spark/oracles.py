@@ -1206,3 +1206,66 @@ SELECT doc_id, CAST(8 AS INT) AS dim,
        emb[1] AS emb_0
 FROM v
 """
+
+# Gopher-style repetition signals: k-gram lists built with 1-based
+# inclusive slices (ws[i+1 : i+k] = k words), mirroring Spark's
+# slice(ws, i+1, k).
+ORACLES["q_repetition_signals"] = """
+WITH g AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+r AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= 2 THEN list_transform(
+      generate_series(0, len(ws) - 2),
+      i -> array_to_string(ws[i + 1 : i + 2], ' '))
+    ELSE CAST([] AS VARCHAR[]) END AS g2,
+    CASE WHEN len(ws) >= 3 THEN list_transform(
+      generate_series(0, len(ws) - 3),
+      i -> array_to_string(ws[i + 1 : i + 3], ' '))
+    ELSE CAST([] AS VARCHAR[]) END AS g3
+  FROM g
+)
+SELECT doc_id,
+  CAST(len(g2) AS BIGINT) AS n_bigrams,
+  CAST(len(g3) AS BIGINT) AS n_trigrams,
+  round(CASE WHEN len(g2) > 0 THEN
+    list_max(list_transform(list_distinct(g2),
+                            d -> len(list_filter(g2, x -> x = d))))
+      / CAST(len(g2) AS DOUBLE)
+    ELSE 0.0 END, 6) AS top_bigram_frac,
+  round(CASE WHEN len(g3) > 0 THEN
+    len(list_filter(g3, y -> len(list_filter(g3, x -> x = y)) > 1))
+      / CAST(len(g3) AS DOUBLE)
+    ELSE 0.0 END, 6) AS dup_trigram_frac
+FROM r
+"""
+
+ORACLES["q_pivot_event_types"] = """
+SELECT user_id,
+  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+FROM events
+GROUP BY user_id
+"""
+
+# Streaming watermarked dedup == batch DISTINCT over the same
+# at-least-once (duplicated) delivery.
+ORACLES["q_stream_dedup"] = """
+WITH delivered AS (
+  SELECT * FROM events
+  UNION ALL
+  SELECT * FROM events WHERE event_id % 10 = 0
+)
+SELECT DISTINCT event_id, user_id, event_type,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
+FROM delivered
+"""
+
+# CSV sink/source round-trip must preserve the rows exactly.
+ORACLES["q_scan_csv_roundtrip"] = """
+SELECT doc_id, lang, text FROM documents
+"""

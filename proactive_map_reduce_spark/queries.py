@@ -1507,3 +1507,63 @@ def q_embed_documents(spark, sf_dir):
 
 
 REGISTRY.update({"q_embed_documents": q_embed_documents})
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Within-document repetition quality filters (Gopher-style): top-
+    bigram fraction + duplicated-trigram fraction, computed array-locally
+    per row — a pure narrow projection over the scan (zero shuffles)."""
+    return ts_ops.repetition_signals(_docs(spark, sf_dir))
+
+
+def q_pivot_event_types(spark, sf_dir):
+    """PIVOT: per-user event counts spread into one column per event
+    type. The value list is given explicitly, so the plan is a single
+    conditional aggregation pass (no extra distinct scan) — the shape
+    that survives 100 TB: one shuffle keyed by user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    return p.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+            for c in EVENT_TYPES
+        ],
+    )
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup under a watermark
+    (dropDuplicatesWithinWatermark): events with id % 10 == 0 are
+    delivered twice across micro-batches; each must be emitted exactly
+    once. Key state is bounded by the watermark horizon — the form of
+    distinct that works on an unbounded stream. Oracle: batch DISTINCT
+    over the same duplicated input."""
+    ev = load_table(spark, sf_dir, "events")
+    return stream_ops.stream_dedup(spark, ev)
+
+
+def q_scan_csv_roundtrip(spark, sf_dir):
+    """CSV source/sink coverage: documents written as quoted CSV (free
+    text with embedded delimiters), read back with an explicit schema —
+    values must round-trip exactly. Parallel executor-side write (one
+    file per partition), schema-on-read with no inference pass."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    path = _tempfile.mkdtemp(prefix="pmr_csv_") + "/docs"
+    d.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema("doc_id bigint, lang string, text string").option(
+        "header", True
+    ).csv(path)
+
+
+REGISTRY.update(
+    {
+        "q_repetition_signals": q_repetition_signals,
+        "q_pivot_event_types": q_pivot_event_types,
+        "q_stream_dedup": q_stream_dedup,
+        "q_scan_csv_roundtrip": q_scan_csv_roundtrip,
+    }
+)

@@ -298,6 +298,62 @@ def windowed_counts_with_watermark(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def stream_dedup(
+    spark: SparkSession, events_df: DataFrame, lateness: str = "2 hours"
+) -> DataFrame:
+    """Watermarked streaming deduplication (`dropDuplicatesWithinWatermark`)
+    over an event stream carrying injected duplicates.
+
+    The engine-side analog of at-least-once ingestion: every event with
+    `event_id % 10 == 0` is delivered twice (second copy in a later
+    micro-batch), and the stream must emit each event exactly once. The
+    dedup key is event_id; `dropDuplicatesWithinWatermark` keeps key state
+    only until the watermark passes the first sighting plus the lateness
+    bound — so state is O(events within the watermark horizon), not
+    O(stream length). Batch oracle: DISTINCT over the same duplicated
+    input (sql-checked).
+
+    Scale: key state shards by event_id across executors in the state
+    store; the watermark bound is what makes this viable on an unbounded
+    100 TB/day stream where an unbounded-state distinct would OOM.
+    """
+    dups = events_df.filter(F.col("event_id") % 10 == 0)
+    root = write_event_files(events_df)
+    hi = events_df.select(F.max("ts").alias("hi")).collect()[0]["hi"]
+    # duplicate copies arrive after the originals (a later file), then a
+    # far-future sentinel flushes the final watermark advance.
+    dups.select("event_id", "user_id", "event_type", "ts", "value").coalesce(
+        1
+    ).write.mode("append").parquet(root)
+    sentinel_ts = hi + pd.Timedelta(hours=10)
+    spark.createDataFrame(
+        [(-1, -1, "__sentinel__", sentinel_ts, 0.0)], EVENT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(root)
+
+    def transform(s: DataFrame) -> DataFrame:
+        return (
+            s.withWatermark("ts", lateness)
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.unix_micros("ts").alias("ts_us"),
+                "value",
+            )
+        )
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+    )
+    try:
+        return _run_to_memory(stream, transform).filter(F.col("event_id") >= 0)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def stream_stream_join(
     spark: SparkSession,
     events_df: DataFrame,
