@@ -1269,3 +1269,34 @@ FROM delivered
 ORACLES["q_scan_csv_roundtrip"] = """
 SELECT doc_id, lang, text FROM documents
 """
+
+ORACLES["q_ship_priority"] = """
+SELECT o.o_orderkey, o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1998-06-01'
+  AND l.l_shipdate > DATE '1998-06-01'
+GROUP BY o.o_orderkey, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+"""
+
+ORACLES["q_topn_per_group"] = """
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT c.c_mktsegment,
+         CAST(row_number() OVER (
+           PARTITION BY c.c_mktsegment
+           ORDER BY s.total_spend DESC, c.c_custkey) AS INT) AS rank,
+         c.c_custkey, s.total_spend
+  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, rank, c_custkey, total_spend
+FROM ranked WHERE rank <= 3
+"""

@@ -1567,3 +1567,65 @@ REGISTRY.update(
         "q_scan_csv_roundtrip": q_scan_csv_roundtrip,
     }
 )
+
+
+def q_ship_priority(spark, sf_dir):
+    """TPC-H Q3-style shipping priority: segment-filtered customers
+    broadcast into orders, orders x lineitem joined on the order key,
+    one grouped aggregation, top 10 by revenue via TakeOrderedAndProject
+    (no global sort).
+
+    The join strategy is deliberately left to Catalyst/AQE: at test
+    scale the date-filtered lineitem side fits the broadcast threshold
+    and the plan is exchange-free; at 100 TB the same code becomes a
+    sort-merge join keyed by orderkey with both date filters already
+    pushed to the parquet scans."""
+    cutoff = "1998-06-01"
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).join(
+        li, orders.o_orderkey == li.l_orderkey
+    )
+    grouped = j.groupBy("o_orderkey", "o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    return grouped.orderBy(F.col("revenue").desc(), "o_orderkey").limit(10)
+
+
+def q_topn_per_group(spark, sf_dir):
+    """Per-group top-N: the 3 highest-value customers inside each market
+    segment by total order spend — the standard rank-within-partition
+    pattern (aggregate, then row_number over a keyed window).
+
+    Scale: one shuffle on custkey for the aggregate, one on mktsegment
+    for the window; segment cardinality is tiny but per-segment rows
+    shard by the range-partitioned sort, and N bounds the output."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    )
+    j = spend.join(cust, spend.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("total_spend").desc(), F.col("c_custkey")
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("c_mktsegment", "rank", "c_custkey", "total_spend")
+    )
+
+
+REGISTRY.update(
+    {"q_ship_priority": q_ship_priority, "q_topn_per_group": q_topn_per_group}
+)
