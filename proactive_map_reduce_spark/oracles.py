@@ -1284,6 +1284,18 @@ ORDER BY revenue DESC, o.o_orderkey
 LIMIT 10
 """
 
+ORACLES["q_stratified_sample"] = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {_h("CAST(doc_id AS VARCHAR)", salt="sample")} % 100 <
+      CASE lang WHEN 'de' THEN 100 WHEN 'en' THEN 25
+                WHEN 'es' THEN 50 WHEN 'fr' THEN 75 ELSE 0 END
+"""
+
+ORACLES["q_orc_roundtrip"] = """
+SELECT doc_id, lang, n_chars FROM documents
+"""
+
 ORACLES["q_topn_per_group"] = """
 WITH spend AS (
   SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend

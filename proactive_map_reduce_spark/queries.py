@@ -1629,3 +1629,42 @@ def q_topn_per_group(spark, sf_dir):
 REGISTRY.update(
     {"q_ship_priority": q_ship_priority, "q_topn_per_group": q_topn_per_group}
 )
+
+
+SAMPLE_RATES = {"de": 100, "en": 25, "es": 50, "fr": 75}  # percent per stratum
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling — per-language keep rates
+    applied via a portable content hash gate (hash(doc_id) % 100 <
+    rate), the training-data mixing primitive: reproducible across
+    runs/engines, unlike rand()-based sample().
+
+    Scale: a pure narrow filter over the scan (zero shuffles); rates
+    ride in as a literal CASE, so 100 TB sampling is scan-speed. The
+    same gate composes into weighted multi-corpus interleaving."""
+    d = _docs(spark, sf_dir)
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lg, F.lit(r))
+            for lg, r in sorted(SAMPLE_RATES.items())
+        ],
+        F.lit(0),
+    )
+    gate = portable_hash64(F.col("doc_id").cast("string"), salt="sample") % 100
+    return d.filter(gate < rate).select("doc_id", "lang", "n_chars")
+
+
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC source/sink coverage: documents written as ORC, read back —
+    values must round-trip exactly (columnar format breadth beyond
+    parquet/JSON/CSV/text; same parallel executor-side write path)."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    path = _tempfile.mkdtemp(prefix="pmr_orc_") + "/docs"
+    d.write.mode("overwrite").orc(path)
+    return spark.read.schema("doc_id bigint, lang string, n_chars bigint").orc(path)
+
+
+REGISTRY.update(
+    {"q_stratified_sample": q_stratified_sample, "q_orc_roundtrip": q_orc_roundtrip}
+)

@@ -88,6 +88,8 @@ def run_set(spark, registry, sf_dir):
 
 def main() -> int:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    if len(sys.argv) > 2:  # optional comma-separated query-name override
+        QUERIES[:] = sys.argv[2].split(",")
     from proactive_map_reduce_spark.queries import REGISTRY
     from proactive_map_reduce_spark.session import get_spark
 
