@@ -346,3 +346,41 @@ def simhash(
         term = F.when(bal >= 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         sim = term if sim is None else sim + term
     return per_doc.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+
+def sentence_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-corpus exact sentence dedup (C4-style line dedup).
+
+    A sentence survives only at its FIRST occurrence in corpus order
+    (min (doc_id, sent_pos) per normalized-sentence hash); every later
+    copy anywhere in the corpus is dropped. Returns per-document
+    retention counts — the curation signal (how boilerplate-heavy is
+    this document?).
+
+    Scale shape: sentence rows shuffle ONCE keyed by the uniform content
+    hash (first-occurrence selection is a window over that key — no
+    skew, keys are hashes); the per-doc rollup is the second, narrow
+    shuffle. No all-pairs comparison anywhere.
+
+    Reference parity: sentence splitting is P1 (test_proactive.py:45-48);
+    the dedup itself is an engine capability beyond the reference.
+    """
+    from .chunking import split_sentences
+
+    sents = split_sentences(df, text_col=text_col, id_col=id_col)
+    keyed = sents.select(
+        id_col,
+        "sent_pos",
+        F.md5(normalize_text(F.col("sentence"))).alias("sent_key"),
+    )
+    w = Window.partitionBy("sent_key").orderBy(id_col, "sent_pos")
+    flagged = keyed.withColumn(
+        "is_first", (F.row_number().over(w) == 1).cast("int")
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_sents"),
+        F.sum("is_first").cast("bigint").alias("n_kept"),
+        F.round(F.sum("is_first") / F.count("*"), 6).alias("keep_frac"),
+    )

@@ -92,10 +92,19 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     fraction of bigrams taken by the single most frequent bigram, and
     fraction of trigrams that occur more than once.
 
-    Entirely array-local per row (no shuffle, no explode): the n-gram
-    lists and their frequency scans stay inside one narrow projection, so
-    at 100 TB this is a pure map over the scan. Per-row cost is
-    O(distinct_grams x n) — bounded by document length, not corpus size.
+    Entirely array-local per row (no shuffle, no explode): at 100 TB this
+    is a pure map over the scan. Per-row cost is O(n log n) — equal grams
+    are adjacent after an array_sort, so per-gram frequencies are run
+    lengths.
+
+    Implementation note: each intermediate array (grams, sorted grams,
+    run starts, run lengths) is materialized as a NAMED COLUMN in its own
+    projection rather than nested as a sub-expression. Catalyst
+    expressions are trees, not DAGs — a sorted-gram array referenced from
+    inside a lambda would be *re-sorted per element*, turning this into
+    O(n^3). Bound column references are evaluated once per row;
+    CollapseProject keeps multi-referenced non-cheap aliases
+    materialized, so the chain of selects stays linear.
     """
     ws = F.split(F.col(text_col), " ")
     n = F.size(ws)
@@ -109,23 +118,89 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    g2, g3 = grams(2), grams(3)
-    top2 = F.array_max(
-        F.transform(
-            F.array_distinct(g2), lambda g: F.size(F.filter(g2, lambda x: x == g))
+    def run_starts(s: str) -> Column:
+        # 0-based indices where a new run of equal values begins; the
+        # empty guard matters: sequence(0, -1) is a DESCENDING range in
+        # Spark and would drive element_at to index 0 (an ANSI error).
+        c = F.col(s)
+        return F.when(
+            F.size(c) > 0,
+            F.filter(
+                F.sequence(F.lit(0), F.size(c) - 1),
+                lambda i: (i == 0) | (F.element_at(c, i + 1) != F.element_at(c, i)),
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+
+    def run_lengths(bounds: str) -> Column:
+        # bounds = run starts ++ [m]; consecutive differences = lengths
+        b = F.col(bounds)
+        return F.when(
+            F.size(b) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(b) - 2),
+                lambda k: (
+                    F.element_at(b, k + 2) - F.element_at(b, k + 1)
+                ).cast("bigint"),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    staged = (
+        df.select("doc_id", grams(2).alias("g2"), grams(3).alias("g3"))
+        .select(
+            "doc_id",
+            F.size("g2").alias("n2"),
+            F.size("g3").alias("n3"),
+            F.array_sort("g2").alias("s2"),
+            F.array_sort("g3").alias("s3"),
+        )
+        .select(
+            "doc_id", "n2", "n3", run_starts("s2").alias("st2"), run_starts("s3").alias("st3")
+        )
+        .select(
+            "doc_id",
+            "n2",
+            "n3",
+            F.concat("st2", F.array(F.col("n2").cast("int"))).alias("b2"),
+            F.concat("st3", F.array(F.col("n3").cast("int"))).alias("b3"),
+        )
+        .select(
+            "doc_id", "n2", "n3", run_lengths("b2").alias("r2"), run_lengths("b3").alias("r3")
         )
     )
-    dup3 = F.size(F.filter(g3, lambda g: F.size(F.filter(g3, lambda x: x == g)) > 1))
-    return df.select(
+    top2 = F.array_max("r2")
+    # grams occurring more than once = total length of runs longer than 1
+    dup3 = F.aggregate(
+        F.filter("r3", lambda l: l > 1), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    return staged.select(
         "doc_id",
-        F.size(g2).cast("bigint").alias("n_bigrams"),
-        F.size(g3).cast("bigint").alias("n_trigrams"),
+        F.col("n2").cast("bigint").alias("n_bigrams"),
+        F.col("n3").cast("bigint").alias("n_trigrams"),
         F.round(
-            F.when(F.size(g2) > 0, top2 / F.size(g2)).otherwise(F.lit(0.0)), 6
+            F.when(F.col("n2") > 0, top2 / F.col("n2")).otherwise(F.lit(0.0)), 6
         ).alias("top_bigram_frac"),
         F.round(
-            F.when(F.size(g3) > 0, dup3 / F.size(g3)).otherwise(F.lit(0.0)), 6
+            F.when(F.col("n3") > 0, dup3 / F.col("n3")).otherwise(F.lit(0.0)), 6
         ).alias("dup_trigram_frac"),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame, blocklist: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Blocklist filtering (the safety/PII gate of a curation pipeline):
+    keep only documents containing NO blocklisted word.
+
+    Array-local `exists` over the word array — a pure narrow filter
+    fused into the scan (no explode, no join, zero shuffles), which is
+    the 100 TB-correct shape: the alternative anti-join against an
+    exploded word table would shuffle the whole corpus to remove a few
+    rows. The blocklist is a literal in the plan (broadcast-free).
+    """
+    ws = F.split(F.col(text_col), " ")
+    hit = F.exists(ws, lambda w: w.isin(blocklist))
+    return df.filter(~hit).select(
+        "doc_id", "lang", F.size(ws).cast("bigint").alias("n_words")
     )
 
 

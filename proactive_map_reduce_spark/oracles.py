@@ -1312,3 +1312,90 @@ ranked AS (
 SELECT c_mktsegment, rank, c_custkey, total_spend
 FROM ranked WHERE rank <= 3
 """
+
+
+# --- retrieval ranking + curation gates ------------------------------------
+
+ORACLES["q_tfidf_top_terms"] = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tc AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df_t FROM tc GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tc.doc_id, tc.term, tc.tf, dfs.df_t,
+         round(tc.tf * (ln((n.n_docs + 1) / CAST(dfs.df_t + 1 AS DOUBLE)) + 1), 6)
+           AS tfidf
+  FROM tc JOIN dfs USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df_t AS BIGINT) AS df_t,
+       tfidf, rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+# BM25 with k1=1.2, b=0.75 and Robertson idf; expression shapes mirror
+# operators/ranking.py term-for-term so both engines compute identical
+# doubles before the 6-place round.
+ORACLES["q_bm25_search"] = """
+WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+hits AS (
+  SELECT doc_id, term, count(*) AS tf FROM w
+  WHERE term IN ('join', 'hash', 'stream') GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df_t FROM hits GROUP BY term),
+scored AS (
+  SELECT h.doc_id,
+         ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * h.tf * (1.2 + 1)
+           / (h.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS contrib
+  FROM hits h JOIN dfs d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+per_doc AS (
+  SELECT doc_id, round(sum(contrib), 6) AS bm25,
+         CAST(count(*) AS BIGINT) AS n_terms_hit
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, bm25, n_terms_hit FROM per_doc
+ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+ORACLES["q_blocklist_filter"] = """
+WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n_words
+FROM d WHERE NOT (list_contains(ws, 'error') OR list_contains(ws, 'slow'))
+"""
+
+
+ORACLES["q_sentence_dedup"] = """
+WITH s AS (
+  SELECT doc_id, t.i - 1 AS sent_pos, d.ss[t.i] AS sentence
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'),
+                            chr(1)) AS ss
+        FROM documents) d,
+       UNNEST(generate_series(1, len(d.ss))) AS t(i)
+  WHERE length(d.ss[t.i]) > 0
+),
+k AS (
+  SELECT doc_id, sent_pos, md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(sentence), '[^a-z0-9 ]', '', 'g'), '\\b(a|an|the)\\b', ' ', 'g'), '\\s+', ' ', 'g'))) AS sent_key FROM s
+),
+f AS (
+  SELECT doc_id,
+         CASE WHEN row_number() OVER (
+           PARTITION BY sent_key ORDER BY doc_id, sent_pos) = 1
+         THEN 1 ELSE 0 END AS is_first
+  FROM k
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents,
+       CAST(sum(is_first) AS BIGINT) AS n_kept,
+       round(sum(is_first) / CAST(count(*) AS DOUBLE), 6) AS keep_frac
+FROM f GROUP BY doc_id
+"""

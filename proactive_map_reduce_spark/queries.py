@@ -1668,3 +1668,52 @@ def q_orc_roundtrip(spark, sf_dir):
 REGISTRY.update(
     {"q_stratified_sample": q_stratified_sample, "q_orc_roundtrip": q_orc_roundtrip}
 )
+
+
+from .operators import ranking as rank_ops             # noqa: E402
+
+BM25_QUERY_TERMS = ["join", "hash", "stream"]          # fixed retrieval query
+BLOCKLIST = ["error", "slow"]                          # curation blocklist
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 terms per document by smoothed TF-IDF (lexical corpus
+    search layer). Term stats are grouped aggregates; corpus-size and
+    document-frequency scalars join back via broadcast — no count-over-
+    unpartitioned-window anywhere, so the plan scales: two uniform
+    hash shuffles ((doc,term) then term) plus one doc_id-partitioned
+    rank window."""
+    return rank_ops.tfidf_top_terms(_docs(spark, sf_dir))
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 top-10 documents for a fixed query-term set. The word
+    explosion is filtered to the query vocabulary BEFORE the first
+    shuffle — exchanged volume is proportional to query hits, not
+    corpus size; dl/avgdl ride along as broadcast joins; final top-k is
+    TakeOrderedAndProject (no global sort)."""
+    return rank_ops.bm25_search(_docs(spark, sf_dir), BM25_QUERY_TERMS)
+
+
+def q_blocklist_filter(spark, sf_dir):
+    """Blocklist gate: drop documents containing any blocklisted word —
+    array-local `exists`, fused into the scan, zero shuffles."""
+    return ts_ops.blocklist_filter(_docs(spark, sf_dir), BLOCKLIST)
+
+
+def q_sentence_dedup(spark, sf_dir):
+    """C4-style within-corpus sentence dedup: a sentence survives only
+    at its first corpus-order occurrence; returns per-document retention
+    counts. One uniform hash-keyed shuffle for first-occurrence
+    selection + one narrow per-doc rollup."""
+    return dedup_ops.sentence_dedup(_docs(spark, sf_dir))
+
+
+REGISTRY.update(
+    {
+        "q_tfidf_top_terms": q_tfidf_top_terms,
+        "q_bm25_search": q_bm25_search,
+        "q_blocklist_filter": q_blocklist_filter,
+        "q_sentence_dedup": q_sentence_dedup,
+    }
+)
