@@ -78,12 +78,13 @@ def main() -> None:
             except Exception:
                 pass
 
-    # Two measured iterations per query, report the best: the first
+    # Three measured iterations per query, report the best: the first
     # fresh-JVM pass is dominated by C2 JIT ramp-up (the same plans run
-    # 2-3x faster once hot); steady state is what a resident cluster
-    # executes. Both iterations are full end-to-end executions at sf_dir.
+    # 2-4x faster once hot — measured: flagship 3.9 s cold vs 1.0 s hot);
+    # steady state is what a resident cluster executes. Every iteration
+    # is a full end-to-end execution at sf_dir.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         # drop persisted intermediates so every iteration re-executes the
         # full pipeline (plan-cache matching would otherwise let a query
         # reuse its previous iteration's persist() blocks)
