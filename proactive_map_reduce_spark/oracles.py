@@ -1399,3 +1399,47 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents,
        round(sum(is_first) / CAST(count(*) AS DOUBLE), 6) AS keep_frac
 FROM f GROUP BY doc_id
 """
+
+
+ORACLES["q_local_supplier_volume"] = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+GROUP BY n_name
+"""
+
+ORACLES["q_unigram_lm_score"] = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tc AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+ctf AS (SELECT term, sum(tf) AS ctf FROM tc GROUP BY term),
+tot AS (SELECT sum(ctf) AS total_tokens FROM ctf),
+s AS (
+  SELECT tc.doc_id, tc.tf,
+         -tc.tf * ln(ctf.ctf / CAST(tot.total_tokens AS DOUBLE)) AS surprisal
+  FROM tc JOIN ctf USING (term) CROSS JOIN tot
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(sum(surprisal) / sum(tf), 6) AS avg_surprisal
+FROM s GROUP BY doc_id
+"""
+
+
+# Stream-static enrichment == the batch equi-join (inner join output is
+# final per micro-batch; no watermark semantics involved).
+ORACLES["q_stream_static_enrich"] = """
+SELECT e.event_id, e.user_id, e.event_type,
+       c.c_mktsegment AS segment, round(e.value, 6) AS value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+# JSON round-trip: serialize then path-extract == direct projection.
+ORACLES["q_json_extract"] = """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+"""

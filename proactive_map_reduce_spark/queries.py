@@ -1717,3 +1717,95 @@ REGISTRY.update(
         "q_sentence_dedup": q_sentence_dedup,
     }
 )
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-style local-supplier volume, written as SQL TEXT against
+    registered temp views — exercising the spark.sql() entry path (same
+    Catalyst plan space as the DataFrame API; the 6-way join reorders
+    under CBO/AQE, dims broadcast, date filter pushes to the orders
+    scan). The c_nationkey = s_nationkey predicate makes it a genuine
+    multi-way join, not a star lookup."""
+    from .sources.tables import register_views
+
+    register_views(
+        spark, sf_dir,
+        ["customer", "orders", "lineitem", "supplier", "nation", "region"],
+    )
+    return spark.sql(
+        """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+        GROUP BY n_name
+        """
+    )
+
+
+def q_unigram_lm_score(spark, sf_dir):
+    """Unigram language-model surprisal per document — the SQL-checkable
+    analog of a perplexity quality gate: score = -sum(tf·ln(p))/n where
+    p = corpus_tf/total_tokens. Same two-shuffle shape as TF-IDF; the
+    corpus unigram table and the total-token scalar join back via
+    broadcast."""
+    tc = rank_ops.term_counts(_docs(spark, sf_dir))
+    ctf = tc.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    tot = ctf.agg(F.sum("ctf").alias("total_tokens"))
+    scored = (
+        tc.join(F.broadcast(ctf), "term")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("surprisal", -F.col("tf") * F.log(F.col("ctf") / F.col("total_tokens")))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.round(F.sum("surprisal") / F.sum("tf"), 6).alias("avg_surprisal"),
+    )
+
+
+REGISTRY.update(
+    {
+        "q_local_supplier_volume": q_local_supplier_volume,
+        "q_unigram_lm_score": q_unigram_lm_score,
+    }
+)
+
+
+def q_stream_static_enrich(spark, sf_dir):
+    """Stream-static enrichment: streaming events joined per micro-batch
+    to the broadcast customer dimension (no state store, no watermark —
+    inner equi-join output is final per batch). Streamed result equals
+    the batch join; sql-checked against it."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return stream_ops.stream_static_enrich(spark, ev, cust)
+
+
+def q_json_extract(spark, sf_dir):
+    """JSON path extraction (engine JSON-function surface beyond the
+    reference's whole-object (de)serialization): serialize each document
+    row to a JSON string, then pull typed fields back out with
+    get_json_object — the scan-side shred pattern for semi-structured
+    columns. Narrow projection, zero shuffles."""
+    d = _docs(spark, sf_dir)
+    js = d.select(
+        "doc_id",
+        F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("payload"),
+    )
+    return js.select(
+        "doc_id",
+        F.get_json_object("payload", "$.lang").alias("lang"),
+        F.get_json_object("payload", "$.n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+REGISTRY.update(
+    {
+        "q_stream_static_enrich": q_stream_static_enrich,
+        "q_json_extract": q_json_extract,
+    }
+)

@@ -429,3 +429,37 @@ def stream_stream_join(
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def stream_static_enrich(
+    spark: SparkSession, events_df: DataFrame, dim_df: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment join: a streaming fact joined per
+    micro-batch to a broadcast batch dimension (events x customer).
+
+    The standard streaming-ETL enrichment pattern: the static side is a
+    plain DataFrame re-resolved each micro-batch, no state store and no
+    watermark needed for an inner equi-join (each batch's output is
+    final). The streamed result equals the batch join — the oracle checks
+    exactly that.
+
+    Scale: the dimension broadcasts to every executor once per batch;
+    the stream side never shuffles (map-side hash join), so throughput
+    is scan-bound regardless of stream length. A growing dimension
+    flips to pre-bucketed storage joined by key — same code, different
+    join strategy under AQE.
+    """
+    root = write_event_files(events_df)
+    dim = F.broadcast(dim_df)
+
+    def transform(s: DataFrame) -> DataFrame:
+        return s.join(dim, s["user_id"] == dim["c_custkey"], "inner").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("c_mktsegment").alias("segment"),
+            F.round("value", 6).alias("value"),
+        )
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(root)
+    return _run_to_memory(stream, transform)

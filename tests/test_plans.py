@@ -99,3 +99,37 @@ def test_partitioned_sink_prunes_partitions(spark):
     plan = audit.formatted_plan(df)
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "lang" in m.group(1), plan[:500]
+
+
+def test_blocklist_filter_is_narrow(spark):
+    """The blocklist gate must stay a pure scan-fused filter: no
+    exchange, no Python eval."""
+    df = Q.REGISTRY["q_blocklist_filter"](spark, SF0001)
+    assert audit.count_exchanges(df) == 0
+    assert audit.python_eval_nodes(df) == 0
+
+
+def test_repetition_signals_zero_shuffle(spark):
+    """Repetition signals are array-local per row — a narrow projection
+    chain over the scan."""
+    df = Q.REGISTRY["q_repetition_signals"](spark, SF0001)
+    assert audit.count_exchanges(df) == 0
+
+
+def test_bm25_filters_before_first_shuffle(spark):
+    """The query-vocabulary filter must run on the exploded words BEFORE
+    any exchange — the exchanged volume is query hits, not the corpus."""
+    plan = audit.formatted_plan(Q.REGISTRY["q_bm25_search"](spark, SF0001))
+    # the term IN (...) predicate appears under a Filter, and no
+    # SortMergeJoin materializes (all scalar sides broadcast)
+    assert "SortMergeJoin" not in plan
+    assert "stream" in plan and "Filter" in plan
+
+
+def test_local_supplier_volume_broadcasts_dims(spark):
+    """Q5-style 6-way join: region/nation/supplier dims must broadcast;
+    the date filter must push to the orders scan."""
+    df = Q.REGISTRY["q_local_supplier_volume"](spark, SF0001)
+    assert audit.has_broadcast_join(df)
+    pushed = audit.pushed_filters(df)
+    assert any("o_orderdate" in p for p in pushed), pushed

@@ -155,3 +155,19 @@ def test_stateful_accumulate_robust_to_reversed_arrival(spark):
         assert final == batch
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stream_static_enrich_equals_batch_join(spark):
+    from proactive_map_reduce_spark.sources.tables import load_table
+    from proactive_map_reduce_spark.streaming.proactive import stream_static_enrich
+    from tests.conftest import SF0001
+
+    ev = load_table(spark, SF0001, "events")
+    cust = load_table(spark, SF0001, "customer").select("c_custkey", "c_mktsegment")
+    out = stream_static_enrich(spark, ev, cust)
+    batch = ev.join(cust, ev.user_id == cust.c_custkey)
+    assert out.count() == batch.count()
+    # spot-check one enriched row against the batch join
+    r = out.orderBy("event_id").first()
+    b = batch.filter(batch.event_id == r["event_id"]).first()
+    assert r["segment"] == b["c_mktsegment"]
