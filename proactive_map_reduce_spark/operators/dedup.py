@@ -125,15 +125,22 @@ def minhash_with_sets(
     shingle, one shuffle — instead of two full passes. At 100 TB the
     shingle explosion dominates everything downstream, so never do it
     twice.
+
+    The collected set holds the HASHED shingles (h0 bigints), not the
+    strings: the exchange then carries one int64 per shingle instead of
+    the string bytes, and candidate Jaccard intersects int arrays. Both
+    engines hash with the same portable function, so a (vanishingly
+    rare, ~|union|²/2³¹) collision is seen identically on both sides —
+    the oracle comparison stays exact.
     """
     base = (portable_hash64(F.col("shingle")) % MINHASH_PRIME).alias("h0")
-    rows = shingle_df.select(F.col(id_col), F.col("shingle"), base)
+    rows = shingle_df.select(F.col(id_col), base)
     aggs = [
         F.min((F.lit(MINHASH_A[j]) * F.col("h0") + F.lit(MINHASH_B[j])) % MINHASH_PRIME).alias(
             f"mh_{j}"
         )
         for j in range(n_hashes)
-    ] + [F.collect_set("shingle").alias("shingles")]
+    ] + [F.collect_set("h0").alias("shingles")]
     return rows.groupBy(id_col).agg(*aggs)
 
 

@@ -618,14 +618,17 @@ sh AS (
 
 from .operators.dedup import MINHASH_A, MINHASH_B, MINHASH_PRIME  # noqa: E402
 
+# distinct hashed shingles per doc — both signatures and candidate
+# Jaccard run over these (mirrors minhash_with_sets collecting h0 sets)
+_HS = f"hs AS (SELECT DISTINCT doc_id, {_h('shingle')} % {MINHASH_PRIME} AS h0 FROM sh)"
+
 _SIG = (
     "sig AS (SELECT doc_id, "
     + ", ".join(
         f"min(({MINHASH_A[j]} * h0 + {MINHASH_B[j]}) % {MINHASH_PRIME}) AS mh_{j}"
         for j in range(16)
     )
-    + f" FROM (SELECT doc_id, {_h('shingle')} % {MINHASH_PRIME} AS h0 FROM sh) hs"
-    + " GROUP BY doc_id)"
+    + " FROM hs GROUP BY doc_id)"
 )
 
 _BANDED = "banded AS (" + "\nUNION ALL\n".join(
@@ -647,12 +650,12 @@ cand AS (
 """
 
 
-def _jaccard_select(pairs: str) -> str:
+def _jaccard_select(pairs: str, src: str = "sh", key: str = "shingle") -> str:
     return f"""
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM {src} GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM {src} a JOIN {src} b ON a.{key} = b.{key} AND a.doc_id < b.doc_id
   JOIN {pairs} c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
   GROUP BY 1, 2
 )
@@ -674,13 +677,13 @@ FROM documents GROUP BY 1
 """
 
 ORACLES["q_minhash_signatures"] = f"""
-WITH {_SHINGLES}, {_SIG}
+WITH {_SHINGLES}, {_HS}, {_SIG}
 SELECT * FROM sig
 """
 
 ORACLES["q_dedup_minhash_pairs"] = f"""
-WITH {_SHINGLES}, {_SIG}, {_BANDED}, {_CAND},
-{_jaccard_select('cand')}
+WITH {_SHINGLES}, {_HS}, {_SIG}, {_BANDED}, {_CAND},
+{_jaccard_select('cand', src='hs', key='h0')}
 """
 
 ORACLES["q_dedup_ngram_jaccard"] = f"""
