@@ -171,3 +171,75 @@ def test_stream_static_enrich_equals_batch_join(spark):
     r = out.orderBy("event_id").first()
     b = batch.filter(batch.event_id == r["event_id"]).first()
     assert r["segment"] == b["c_mktsegment"]
+
+
+def test_checkpoint_recovery_exactly_once(spark):
+    """Stop a stateful stream mid-input, restart from the SAME checkpoint
+    with more input, and verify nothing is reprocessed or lost — the
+    state-store recovery contract a long-running 100 TB/day pipeline
+    depends on.
+
+    A running-count aggregation in update mode over file micro-batches:
+    phase 1 processes bucket files 0-1, the query stops; phase 2 appends
+    buckets 2-3 and restarts with the same checkpoint dir. The final
+    per-user counts must equal the batch groupBy over all four buckets —
+    counts would be inflated if restart re-read old files, deflated if
+    offsets skipped unread data.
+    """
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from proactive_map_reduce_spark.sources.tables import load_table
+    from proactive_map_reduce_spark.streaming.proactive import (
+        EVENT_SCHEMA,
+        write_event_files,
+    )
+    from tests.conftest import SF0001
+
+    ev = load_table(spark, SF0001, "events")
+    root = write_event_files(ev, n_buckets=4)
+    import glob as _glob
+    import os as _os
+
+    files = sorted(_glob.glob(root + "/part-*.parquet"), key=_os.path.getmtime)
+    # hold back the last half of the input until after the restart
+    held = files[len(files) // 2:]
+    stash = _tf.mkdtemp(prefix="pmr_held_")
+    for f in held:
+        _os.rename(f, stash + "/" + _os.path.basename(f))
+
+    ckpt = _tf.mkdtemp(prefix="pmr_ckpt_rec_")
+    name = "pmr_recovery_sink"
+
+    def start():
+        return (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(root)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    q.awaitTermination()
+    interim = spark.table(name).collect()
+    assert sum(r["n"] for r in interim) < ev.count()  # genuinely partial
+
+    for f in _glob.glob(stash + "/*.parquet"):
+        _os.rename(f, root + "/" + _os.path.basename(f))
+    q2 = start()
+    q2.awaitTermination()
+
+    got = {r["user_id"]: r["n"] for r in spark.table(name).collect()}
+    want = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
