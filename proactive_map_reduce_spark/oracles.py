@@ -1446,3 +1446,42 @@ FROM events e JOIN customer c ON e.user_id = c.c_custkey
 ORACLES["q_json_extract"] = """
 SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents
 """
+
+
+# Hybrid retrieval: the BM25 top-20 CTE chain reused, then stand-in
+# embedding cosine rerank against the encoded literal query string.
+ORACLES["q_hybrid_search"] = """
+WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+hits AS (
+  SELECT doc_id, term, count(*) AS tf FROM w
+  WHERE term IN ('join', 'hash', 'stream') GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df_t FROM hits GROUP BY term),
+scored AS (
+  SELECT h.doc_id,
+         ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * h.tf * (1.2 + 1)
+           / (h.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS contrib
+  FROM hits h JOIN dfs d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+cand AS (
+  SELECT doc_id, round(sum(contrib), 6) AS bm25
+  FROM scored GROUP BY doc_id
+  ORDER BY bm25 DESC, doc_id LIMIT 20
+),
+vecs AS (
+  SELECT c.doc_id, c.bm25,
+         list_transform(generate_series(0, 7), i -> round((CAST(('0x' || substr(md5(((d.text) || CAST(i AS VARCHAR))), 1, 8)) AS BIGINT) % 10000) / 10000.0, 6)) AS dv,
+         list_transform(generate_series(0, 7), i -> round((CAST(('0x' || substr(md5((('join hash stream') || CAST(i AS VARCHAR))), 1, 8)) AS BIGINT) % 10000) / 10000.0, 6)) AS qv
+  FROM cand c JOIN documents d USING (doc_id)
+),
+reranked AS (
+  SELECT doc_id, bm25, round((list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * dv[i])) / (sqrt(list_sum(list_transform(qv, x -> x * x))) * sqrt(list_sum(list_transform(dv, x -> x * x))))), 6) AS cos_sim
+  FROM vecs
+)
+SELECT doc_id, bm25, cos_sim,
+       CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INT) AS rank
+FROM reranked QUALIFY rank <= 5
+"""

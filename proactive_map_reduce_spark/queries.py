@@ -1809,3 +1809,51 @@ REGISTRY.update(
         "q_json_extract": q_json_extract,
     }
 )
+
+
+HYBRID_QUERY_TEXT = "join hash stream"
+
+
+def _standin_embed(text_col):
+    """The deterministic stand-in encoder of q_embed_documents as a
+    reusable expression (hash-derived vector, rounded per dim)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(EMBED_DIM - 1)),
+        lambda i: F.round(
+            (portable_hash64(F.concat(text_col, i.cast("string"))) % 10000) / 10000.0, 6
+        ),
+    )
+
+
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical candidate generation (top-20) →
+    embedding-cosine rerank (top-5) against the stand-in-encoded query
+    string — the two-stage search shape of production RAG/curation
+    stacks (cheap wide recall, expensive narrow precision).
+
+    Scale shape: stage 1 is the BM25 pipeline (query-vocab filter before
+    any shuffle); stage 2 BROADCASTS the 20-row candidate set back into
+    the documents scan, so reranking never shuffles the corpus — cost is
+    one more scan-side projection over candidate rows only."""
+    from .operators.similarity import cosine
+
+    docs = _docs(spark, sf_dir)
+    cand = rank_ops.bm25_search(docs, BM25_QUERY_TERMS, top_n=20)
+    qv = _standin_embed(F.lit(HYBRID_QUERY_TEXT))
+    scored = (
+        docs.join(F.broadcast(cand), "doc_id")
+        .withColumn("dv", _standin_embed(F.col("text")))
+        .select(
+            "doc_id",
+            "bm25",
+            F.round(cosine(qv, F.col("dv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+REGISTRY.update({"q_hybrid_search": q_hybrid_search})

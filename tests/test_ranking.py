@@ -90,3 +90,14 @@ def test_sentence_dedup_first_occurrence_wins(spark):
     assert got[1]["n_sents"] == 2 and got[1]["n_kept"] == 1
     assert got[2]["n_sents"] == 3 and got[2]["n_kept"] == 1
     assert abs(got[2]["keep_frac"] - round(1 / 3, 6)) < 1e-9
+
+
+def test_hybrid_search_shape_and_ordering(spark):
+    from proactive_map_reduce_spark.queries import REGISTRY
+    from tests.conftest import SF0001
+
+    got = REGISTRY["q_hybrid_search"](spark, SF0001).collect()
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+    sims = [r["cos_sim"] for r in got]
+    assert sims == sorted(sims, reverse=True)
+    assert all(r["bm25"] > 0 for r in got)  # candidates come from BM25 hits
