@@ -1485,3 +1485,27 @@ SELECT doc_id, bm25, cos_sim,
        CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INT) AS rank
 FROM reranked QUALIFY rank <= 5
 """
+
+
+ORACLES["q_value_percentiles"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+ORACLES["q_event_interarrival"] = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+       round(sum(gap_us) / CAST(count(*) AS DOUBLE) / 1e6, 6) AS mean_gap_s,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(sum(CASE WHEN gap_us < 60000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bursts
+FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+"""

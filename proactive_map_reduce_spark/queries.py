@@ -1857,3 +1857,47 @@ def q_hybrid_search(spark, sf_dir):
 
 
 REGISTRY.update({"q_hybrid_search": q_hybrid_search})
+
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact percentiles (median / p95) of event value per event type —
+    `percentile` with linear interpolation, matching DuckDB's
+    quantile_cont. Exact percentiles sort within each group post-shuffle;
+    the sketch-based scale path for wide groups is q_sketch_stats
+    (approx_percentile), this is the exact complement."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+def q_event_interarrival(spark, sf_dir):
+    """Per-user inter-arrival gap statistics via lag(): mean/max gap in
+    MICROSECONDS (exact integers — unix_timestamp would truncate
+    sub-second precision) and burst count (gaps under 60 s). One shuffle
+    keyed by user_id; the window sort rides the same exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    gaps = ev.withColumn("gap_us", gap).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        # sum/count of exact int64, reported in seconds: at the µs
+        # magnitude (~1e10) a 6-decimal round exceeds double precision
+        # and engine round() implementations disagree at the last ulp
+        F.round(F.sum("gap_us") / F.count("*") / 1e6, 6).alias("mean_gap_s"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        F.sum(F.when(F.col("gap_us") < 60_000_000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bursts"),
+    )
+
+
+REGISTRY.update(
+    {
+        "q_value_percentiles": q_value_percentiles,
+        "q_event_interarrival": q_event_interarrival,
+    }
+)
