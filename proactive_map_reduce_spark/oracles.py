@@ -1509,3 +1509,11 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
          AS n_bursts
 FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
 """
+
+
+# The maintained incremental view must equal the full recompute.
+ORACLES["q_incremental_rollup"] = """
+SELECT user_id, round(sum(value), 6) AS total_value,
+       CAST(count(value) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+"""

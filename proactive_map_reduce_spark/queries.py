@@ -1901,3 +1901,35 @@ REGISTRY.update(
         "q_event_interarrival": q_event_interarrival,
     }
 )
+
+
+INCR_SPLIT_DATE = "1998-06-01"
+
+
+def q_incremental_rollup(spark, sf_dir):
+    """§2.13 partial recomputation as a query surface: a per-user rollup
+    initialized on the pre-split events, then maintained by merging ONLY
+    the post-split delta's partial aggregates — the base is never
+    rescanned (the engine analog of the reference's partial KV update,
+    modeling_llama.py:860-869 / cache_utils.py:99-112). The maintained
+    view must equal the full recompute, which is exactly what the oracle
+    checks."""
+    from .plans.incremental import IncrementalAggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("ts") < INCR_SPLIT_DATE)
+    delta = ev.filter(F.col("ts") >= INCR_SPLIT_DATE)
+    inc = IncrementalAggregate(
+        "user_id", {"total_value": ("sum", "value"), "n_events": ("count", "value")}
+    )
+    inc.initialize(base)
+    inc.apply_delta(delta)
+    out = inc.result().select(
+        "user_id",
+        F.round("total_value", 6).alias("total_value"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+    return out
+
+
+REGISTRY.update({"q_incremental_rollup": q_incremental_rollup})

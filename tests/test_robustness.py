@@ -66,3 +66,34 @@ def test_minhash_single_doc_no_pairs(spark):
     sig = dedup.minhash_with_sets(dedup.shingle_rows(chunking.split_words(docs)))
     pairs = dedup.lsh_candidate_pairs(sig)
     assert pairs.count() == 0
+
+
+def test_corrupt_json_lines_quarantined_not_fatal(spark):
+    """PERMISSIVE JSON reads must quarantine corrupt lines into
+    _corrupt_record and keep every valid row — the behavior a 100 TB
+    ingest depends on (one bad line in a billion must not kill the job,
+    and must be auditable afterwards)."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="pmr_corrupt_") + "/data.jsonl"
+    good = ['{"doc_id": %d, "text": "row %d"}' % (i, i) for i in range(10)]
+    bad = ['{"doc_id": 100, "text": "unterminated', "not json at all", "{]"]
+    with open(path, "w") as f:
+        f.write("\n".join(good[:5] + bad[:1] + good[5:] + bad[1:]) + "\n")
+
+    df = spark.read.schema(
+        "doc_id bigint, text string, _corrupt_record string"
+    ).json(path)
+    rows = df.collect()
+    valid = [r for r in rows if r["_corrupt_record"] is None]
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(valid) == 10 and len(corrupt) == 3
+    assert {r["doc_id"] for r in valid} == set(range(10))
+    # FAILFAST is the opposite contract: the same file must raise
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError  # noqa: F401
+
+    with _pytest.raises(Exception):
+        spark.read.schema("doc_id bigint, text string").option(
+            "mode", "FAILFAST"
+        ).json(path).collect()
