@@ -46,12 +46,19 @@ def tfidf_top_terms(docs: DataFrame, top_n: int = 3) -> DataFrame:
     rank: (round(score, 6) DESC, term ASC) — the rounded key is what
     both engines order by, so ulp-level ln() differences cannot flip
     ranks.
+
+    Document frequency comes from a count window OVER the term partition
+    of the (doc, term) aggregate, NOT a second aggregate joined back:
+    Catalyst cannot reuse an exchange across different keys, so the
+    join form re-explodes the whole corpus — at 100 TB the explode is
+    the dominant cost and must run exactly once. Corpus size N is a
+    separate footer-only count scan (no explode), broadcast in.
     """
     tc = term_counts(docs)
-    df_t = tc.groupBy("term").agg(F.count("*").alias("df_t"))
+    wt = Window.partitionBy("term")
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tc.join(F.broadcast(df_t), "term")
+        tc.withColumn("df_t", F.count("*").over(wt))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

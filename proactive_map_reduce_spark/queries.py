@@ -1750,14 +1750,21 @@ def q_local_supplier_volume(spark, sf_dir):
 def q_unigram_lm_score(spark, sf_dir):
     """Unigram language-model surprisal per document — the SQL-checkable
     analog of a perplexity quality gate: score = -sum(tf·ln(p))/n where
-    p = corpus_tf/total_tokens. Same two-shuffle shape as TF-IDF; the
-    corpus unigram table and the total-token scalar join back via
-    broadcast."""
-    tc = rank_ops.term_counts(_docs(spark, sf_dir))
-    ctf = tc.groupBy("term").agg(F.sum("tf").alias("ctf"))
-    tot = ctf.agg(F.sum("ctf").alias("total_tokens"))
+    p = corpus_tf/total_tokens.
+
+    The corpus unigram frequency is a sum window OVER the term partition
+    of the (doc, term) aggregate — a re-aggregation joined back would
+    re-explode the corpus (exchanges with different keys can't be
+    reused). Total tokens comes from a narrow word-count scan (no
+    explode), broadcast in. Net: ONE explode pass, three exchanges."""
+    d = _docs(spark, sf_dir)
+    tc = rank_ops.term_counts(d)
+    wt = Window.partitionBy("term")
+    tot = d.agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("total_tokens")
+    )
     scored = (
-        tc.join(F.broadcast(ctf), "term")
+        tc.withColumn("ctf", F.sum("tf").over(wt))
         .crossJoin(F.broadcast(tot))
         .withColumn("surprisal", -F.col("tf") * F.log(F.col("ctf") / F.col("total_tokens")))
     )

@@ -1,0 +1,129 @@
+"""Registry-wide shuffle budget: every statically-plannable query has a
+pinned maximum exchange count.
+
+The per-operator shuffle count IS the scale contract — at 100 TB each
+hash exchange is the dominant cost, so a regression that sneaks an extra
+shuffle into a narrow pipeline (e.g. a lost broadcast hint, a
+repartition hidden in a refactor) must fail loudly here, not in a
+cluster bill. Budgets are the measured counts at pin time (pre-AQE
+static plan; AQE's ReusedExchange can only lower the runtime number).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from proactive_map_reduce_spark.plans import audit
+from proactive_map_reduce_spark.queries import REGISTRY
+from tests.conftest import SF0001
+
+# query -> max hash/range exchanges in the static physical plan.
+# 0 = pure narrow pipeline fused into the scan.
+BUDGETS = {
+    "q_any_answer_contained": 0,
+    "q_asof_join": 1,
+    "q_best_of_answers": 1,
+    "q_bleu": 1,
+    "q_blocklist_filter": 0,
+    "q_bm25_search": 4,
+    "q_corpus_stats": 3,
+    "q_cube_events": 1,
+    "q_decode_detok": 2,
+    "q_dedup_embedding": 0,
+    "q_dedup_exact": 1,
+    "q_dedup_minhash_pairs": 5,
+    "q_dedup_ngram_jaccard": 2,
+    "q_doc_fingerprint": 0,
+    "q_embed_documents": 0,
+    "q_event_interarrival": 1,
+    "q_exact_match": 0,
+    "q_except_docs": 1,
+    "q_filter_empty": 0,
+    "q_first_line_answer": 0,
+    "q_flagship": 1,
+    "q_flatten_nested_times": 2,
+    "q_grid_sweep": 1,
+    "q_hash_key": 0,
+    "q_head_cap": 0,
+    "q_hybrid_search": 4,
+    "q_incremental_concat": 1,
+    "q_intersect_docs": 1,
+    "q_join_doc_gt": 0,
+    "q_json_extract": 0,
+    "q_kv_concat": 2,
+    "q_lang_id": 0,
+    "q_limit_head": 0,
+    "q_llm_map": 0,
+    "q_local_supplier_volume": 1,
+    "q_mean_over_files": 2,
+    "q_metrics_avg": 2,
+    "q_middle_drop_truncate": 3,
+    "q_minhash_signatures": 1,
+    "q_multimodal_features": 0,
+    "q_multimodal_frames": 0,
+    "q_multimodal_resize": 0,
+    "q_normalize_question": 0,
+    "q_normalize_text": 0,
+    "q_order_preserve": 1,
+    "q_partition_equal": 0,
+    "q_pivot_event_types": 2,
+    "q_positional_shift": 2,
+    "q_prefix_scan_inputs": 1,
+    "q_pricing_summary": 1,
+    "q_project_lengths": 0,
+    "q_promo_revenue": 0,
+    "q_prompt_assemble": 0,
+    "q_qa_pipeline": 4,
+    "q_quality_score": 0,
+    "q_range_join": 0,
+    "q_rechunk_fixed": 1,
+    "q_region_revenue": 1,
+    "q_repetition_signals": 0,
+    "q_rollup_multi": 1,
+    "q_rouge": 1,
+    "q_running_metric": 1,
+    "q_salted_agg": 2,
+    "q_salted_join": 1,
+    "q_scan_documents": 0,
+    "q_scan_json_dataset": 0,
+    "q_semi_anti_join": 1,
+    "q_sentence_dedup": 2,
+    "q_sentence_split": 0,
+    "q_session_window": 1,
+    "q_sessionize": 1,
+    "q_set_f1": 0,
+    "q_ship_priority": 1,
+    "q_simhash": 1,
+    "q_similarity_lsh": 1,
+    "q_similarity_topk": 1,
+    "q_sketch_stats": 2,
+    "q_speedup_model": 1,
+    "q_split_ratio_schedule": 0,
+    "q_stratified_sample": 0,
+    "q_subset_accuracy": 0,
+    "q_substring_match": 0,
+    "q_tfidf_top_terms": 3,
+    "q_timing_arith": 0,
+    "q_token_counter_overlap": 5,
+    "q_token_stats": 0,
+    "q_tokenize": 0,
+    "q_top_revenue": 1,
+    "q_topk_importance": 1,
+    "q_topn_per_group": 2,
+    "q_unigram_lm_score": 3,
+    "q_union_outputs": 1,
+    "q_value_percentiles": 1,
+    "q_window_sliding": 1,
+    "q_window_tumbling": 1,
+    "q_word_split": 0,
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_shuffle_budget(spark, name):
+    df = REGISTRY[name](spark, SF0001)
+    got = audit.count_exchanges(df)
+    assert got <= BUDGETS[name], (
+        f"{name}: {got} exchanges > budget {BUDGETS[name]} — "
+        "a shuffle crept into the plan"
+    )
