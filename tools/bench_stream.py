@@ -1,0 +1,81 @@
+"""Streaming throughput benchmark: events/sec through the watermarked
+tumbling-window aggregation (the engine's streaming hot path).
+
+Drives the sf0.1 events table (100k rows) through the real Structured
+Streaming path — file source micro-batches, watermark, append-mode
+window aggregation, memory sink — and reports end-to-end throughput.
+Complements bench.py (batch wall-clock): a 100 TB/day pipeline cares
+about sustained stream rate, not just batch latency.
+
+Usage: python tools/bench_stream.py [sf_dir]    # one JSON line
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+
+    from pyspark.sql import functions as F
+
+    from proactive_map_reduce_spark.session import get_spark
+    from proactive_map_reduce_spark.sources.tables import load_table
+    from proactive_map_reduce_spark.streaming.proactive import (
+        EVENT_SCHEMA,
+        _run_to_memory,
+        write_event_files,
+    )
+
+    spark = get_spark("bench-stream")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).count()  # JVM warmup outside the measured region
+
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    # stage the micro-batch input ONCE, outside the measured region
+    root = write_event_files(ev, n_buckets=8)
+
+    def transform(s):
+        return (
+            s.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        )
+
+    # warm the streaming path once (state store + codegen), then measure
+    results, n_windows = [], 0
+    for _ in range(2):
+        t0 = time.time()
+        stream = spark.readStream.schema(EVENT_SCHEMA).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(root)
+        n_windows = _run_to_memory(stream, transform, shuffle_partitions=8).count()
+        results.append(round(time.time() - t0, 3))
+    best = min(results)
+    print(
+        json.dumps(
+            {
+                "metric": "stream_windowed_agg_throughput",
+                "value": round(n_events / best, 1),
+                "unit": "events/sec",
+                "elapsed_sec": best,
+                "n_events": n_events,
+                "n_windows": n_windows,
+                "sf_dir": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
