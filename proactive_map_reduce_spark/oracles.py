@@ -1517,3 +1517,22 @@ SELECT user_id, round(sum(value), 6) AS total_value,
        CAST(count(value) AS BIGINT) AS n_events
 FROM events GROUP BY user_id
 """
+
+
+ORACLES["q_pack_sequences"] = """
+WITH toks AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+packed AS (
+  SELECT doc_id, lang, n_tok,
+         coalesce(sum(n_tok) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM toks
+)
+SELECT lang, CAST(floor(start_off / 256.0) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM packed GROUP BY lang, CAST(floor(start_off / 256.0) AS BIGINT)
+"""

@@ -1940,3 +1940,39 @@ def q_incremental_rollup(spark, sf_dir):
 
 
 REGISTRY.update({"q_incremental_rollup": q_incremental_rollup})
+
+
+PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for LLM training: greedily assign documents to
+    fixed-token-budget packs, in deterministic (lang, doc_id) order —
+    pack_id = floor(start_offset / budget) where start_offset is the
+    running token count before the doc.
+
+    Scale shape: packing runs WITHIN each lang partition (the window
+    key), so no global single-partition cumulative scan exists; at
+    100 TB the partition key becomes (lang, shard) and packs stay
+    shard-local by construction. One exchange keyed by lang."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    packed = toks.withColumn(
+        "start_off",
+        F.coalesce(
+            F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).withColumn("pack_id", F.floor(F.col("start_off") / PACK_BUDGET).cast("bigint"))
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+REGISTRY.update({"q_pack_sequences": q_pack_sequences})

@@ -97,3 +97,29 @@ def test_corrupt_json_lines_quarantined_not_fatal(spark):
         spark.read.schema("doc_id bigint, text string").option(
             "mode", "FAILFAST"
         ).json(path).collect()
+
+
+def test_parquet_schema_evolution_merge(spark):
+    """A dataset whose later files gained a column must read cleanly with
+    mergeSchema: old rows surface NULL for the new column, new rows keep
+    it — the append-only evolution contract of a long-lived 100 TB
+    dataset (schema-on-read, no rewrite of history)."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="pmr_evolve_") + "/data"
+    spark.createDataFrame(
+        [(0, "alpha"), (1, "beta")], "doc_id long, text string"
+    ).write.parquet(root)
+    spark.createDataFrame(
+        [(2, "gamma", "en")], "doc_id long, text string, lang string"
+    ).write.mode("append").parquet(root)
+
+    df = spark.read.option("mergeSchema", True).parquet(root)
+    assert set(df.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[0]["lang"] is None and rows[2]["lang"] == "en"
+    # without mergeSchema the read still succeeds on a sampled schema;
+    # with an explicit schema the new column is simply projected
+    explicit = spark.read.schema("doc_id long, lang string").parquet(root)
+    got = {r["doc_id"]: r["lang"] for r in explicit.collect()}
+    assert got == {0: None, 1: None, 2: "en"}

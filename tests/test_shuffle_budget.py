@@ -65,6 +65,7 @@ BUDGETS = {
     "q_normalize_question": 0,
     "q_normalize_text": 0,
     "q_order_preserve": 1,
+    "q_pack_sequences": 1,
     "q_partition_equal": 0,
     "q_pivot_event_types": 2,
     "q_positional_shift": 2,
