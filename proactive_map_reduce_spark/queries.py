@@ -435,31 +435,37 @@ def q_flatten_nested_times(spark, sf_dir):
 
 def q_token_counter_overlap(spark, sf_dir):
     """A5: multiset token-overlap F1 between neighbor docs
-    (Counter & Counter, pipeline_70b_samsum.py:83-97)."""
+    (Counter & Counter, pipeline_70b_samsum.py:83-97).
+
+    One (doc, word) count aggregation feeds BOTH sides of a full-outer
+    self-join (gold = the same counts shifted to doc_id-1); totals and
+    the min-count overlap all come out of the single final groupBy —
+    the naive form re-exploded the corpus four times (pred/gold counts
+    plus both totals). The duplicated tc subtree shares one identical
+    exchange, which AQE reuses at runtime."""
     d = _docs(spark, sf_dir)
     words = chunking.split_words(d)
-    pred_counts = words.groupBy("doc_id", "word").agg(F.count("*").alias("c_pred"))
-    gold_counts = (
-        words.select((F.col("doc_id") - 1).alias("doc_id"), "word")
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("c_gold"))
+    tc = words.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    pred = tc.select("doc_id", "word", F.col("c").alias("c_pred"))
+    gold = tc.select(
+        (F.col("doc_id") - 1).alias("doc_id"), "word", F.col("c").alias("c_gold")
     )
-    totals_pred = words.groupBy("doc_id").agg(F.count("*").alias("n_pred"))
-    totals_gold = (
-        words.select((F.col("doc_id") - 1).alias("doc_id"), "word")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_gold"))
+    j = pred.join(gold, ["doc_id", "word"], "full_outer").select(
+        "doc_id",
+        F.coalesce("c_pred", F.lit(0)).alias("c_pred"),
+        F.coalesce("c_gold", F.lit(0)).alias("c_gold"),
     )
-    overlap = (
-        pred_counts.join(gold_counts, ["doc_id", "word"])
-        .groupBy("doc_id")
-        .agg(F.sum(F.least("c_pred", "c_gold")).alias("n_same"))
+    per_doc = (
+        j.groupBy("doc_id")
+        .agg(
+            F.sum("c_pred").alias("n_pred"),
+            F.sum("c_gold").alias("n_gold"),
+            F.sum(F.least("c_pred", "c_gold")).alias("n_same"),
+        )
+        # inner-total semantics: only docs with both a pred and a gold side
+        .filter((F.col("n_pred") > 0) & (F.col("n_gold") > 0))
     )
-    j = (
-        totals_pred.join(totals_gold, "doc_id")
-        .join(overlap, "doc_id", "left")
-        .withColumn("n_same", F.coalesce("n_same", F.lit(0)))
-    )
+    j = per_doc
     prec = F.col("n_same") / F.col("n_pred")
     rec = F.col("n_same") / F.col("n_gold")
     return j.select(

@@ -105,7 +105,7 @@ BUDGETS = {
     "q_substring_match": 0,
     "q_tfidf_top_terms": 3,
     "q_timing_arith": 0,
-    "q_token_counter_overlap": 5,
+    "q_token_counter_overlap": 4,
     "q_token_stats": 0,
     "q_tokenize": 0,
     "q_top_revenue": 1,
