@@ -1536,3 +1536,24 @@ SELECT lang, CAST(floor(start_off / 256.0) AS BIGINT) AS pack_id,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM packed GROUP BY lang, CAST(floor(start_off / 256.0) AS BIGINT)
 """
+
+
+ORACLES["q_html_strip"] = """
+WITH h AS (
+  SELECT doc_id, text,
+         '<html><body><p class="c">' || replace(text, ' ', '&nbsp;')
+           || '</p><br/></body></html>' AS html
+  FROM documents
+),
+s AS (
+  SELECT doc_id, text, html,
+         trim(regexp_replace(
+           replace(regexp_replace(html, '<[^>]+>', ' ', 'g'), '&nbsp;', ' '),
+           '\\s+', ' ', 'g')) AS clean
+  FROM h
+)
+SELECT doc_id, CAST(length(html) AS BIGINT) AS html_len,
+       CAST(length(clean) AS BIGINT) AS clean_len,
+       CAST(clean = text AS INT) AS roundtrip_ok
+FROM s
+"""

@@ -1982,3 +1982,30 @@ def q_pack_sequences(spark, sf_dir):
 
 
 REGISTRY.update({"q_pack_sequences": q_pack_sequences})
+
+
+def q_html_strip(spark, sf_dir):
+    """Markup stripping (the WET-extraction stage of a web-corpus
+    pipeline): documents are deterministically wrapped in synthetic
+    tags, then the extractor removes markup, unescapes entities, and
+    collapses whitespace. Zero-shuffle narrow projection; the wrap step
+    stands in for raw crawl HTML so the strip semantics are
+    value-checkable."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><body><p class=\"c\">"),
+        F.regexp_replace(F.col("text"), " ", "&nbsp;"),
+        F.lit("</p><br/></body></html>"),
+    )
+    stripped = F.regexp_replace(html, "<[^>]+>", " ")
+    unescaped = F.regexp_replace(stripped, "&nbsp;", " ")
+    clean = F.trim(F.regexp_replace(unescaped, "\\s+", " "))
+    return d.select(
+        "doc_id",
+        F.length(html).cast("bigint").alias("html_len"),
+        F.length(clean).cast("bigint").alias("clean_len"),
+        (clean == F.col("text")).cast("int").alias("roundtrip_ok"),
+    )
+
+
+REGISTRY.update({"q_html_strip": q_html_strip})
