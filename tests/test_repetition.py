@@ -65,3 +65,31 @@ def test_stream_dedup_exactly_once(spark):
     out = stream_dedup(spark, ev)
     ids = [r["event_id"] for r in out.select("event_id").collect()]
     assert len(ids) == len(set(ids)) == ev.count()
+
+
+def test_repetition_signals_randomized_sweep(spark):
+    """200 seeded random docs over a 4-word alphabet (forcing heavy
+    n-gram collisions and runs) must match the pure-Python Counter
+    mirror exactly — exercises the sorted-run-length computation across
+    run boundaries, singleton runs, and all-equal documents."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = ["a", "b", "ab", "ba"]
+    rows = []
+    for i in range(200):
+        n = rng.randint(1, 12)
+        rows.append((i, " ".join(rng.choice(alphabet) for _ in range(n))))
+    rows.append((200, "a a a a a a a a"))      # one long run
+    rows.append((201, " ".join(str(k) for k in range(12))))  # all distinct
+
+    from proactive_map_reduce_spark.operators.textstats import repetition_signals
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    for doc_id, text in rows:
+        n2, n3, top2, dup3 = _py_signals(text)
+        r = got[doc_id]
+        assert (r["n_bigrams"], r["n_trigrams"]) == (n2, n3), doc_id
+        assert abs(r["top_bigram_frac"] - top2) < 1e-9, doc_id
+        assert abs(r["dup_trigram_frac"] - dup3) < 1e-9, doc_id
