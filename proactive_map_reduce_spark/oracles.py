@@ -1557,3 +1557,25 @@ SELECT doc_id, CAST(length(html) AS BIGINT) AS html_len,
        CAST(clean = text AS INT) AS roundtrip_ok
 FROM s
 """
+
+
+# Centroid via per-dim mean of the unnested vectors; sum/count division
+# mirrors the Spark side exactly (no avg(), same accumulation shape).
+ORACLES["q_embedding_centroids"] = """
+WITH d AS (
+  SELECT label, t.i - 1 AS dim, CAST(e.embedding[t.i] AS DOUBLE) AS x
+  FROM embeddings e, UNNEST(generate_series(1, len(e.embedding))) AS t(i)
+),
+pd AS (
+  SELECT label, dim, sum(x) AS sx, count(*) AS n
+  FROM d GROUP BY label, dim
+),
+cent AS (
+  SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+         CAST(count(*) AS INT) AS dim,
+         round(sum(sx / n), 6) AS centroid_sum,
+         round(max(CASE WHEN dim = 0 THEN sx / n END), 6) AS centroid_0
+  FROM pd GROUP BY label
+)
+SELECT label, n_vectors, dim, centroid_sum, centroid_0 FROM cent
+"""

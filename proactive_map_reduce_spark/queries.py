@@ -2009,3 +2009,39 @@ def q_html_strip(spark, sf_dir):
 
 
 REGISTRY.update({"q_html_strip": q_html_strip})
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label embedding centroids (the building block of IVF training
+    and cluster-based curation): posexplode the vectors, average per
+    (label, dim), reassemble in dim order. Two exchanges — (label, dim)
+    partial-agg then label reassembly; vector width is a constant, so
+    exchanged volume is rows x dim regardless of corpus size.
+
+    Output is the centroid's checksum + first component (same
+    float-array-hash-free convention as q_embed_documents)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "x")
+    )
+    per_dim = dims.groupBy("label", "dim").agg(
+        F.sum(F.col("x").cast("double")).alias("sx"),
+        F.count("*").alias("n"),
+    )
+    cent = per_dim.groupBy("label").agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", (F.col("sx") / F.col("n")).alias("m")))
+        ).alias("dims"),
+        F.max("n").cast("bigint").alias("n_vectors"),
+    )
+    mean_vec = F.transform("dims", lambda s: s["m"])
+    return cent.select(
+        "label",
+        "n_vectors",
+        F.size("dims").cast("int").alias("dim"),
+        F.round(F.aggregate(mean_vec, F.lit(0.0), lambda a, x: a + x), 6).alias("centroid_sum"),
+        F.round(F.element_at(mean_vec, 1), 6).alias("centroid_0"),
+    )
+
+
+REGISTRY.update({"q_embedding_centroids": q_embedding_centroids})

@@ -35,6 +35,7 @@ BUDGETS = {
     "q_dedup_ngram_jaccard": 2,
     "q_doc_fingerprint": 0,
     "q_embed_documents": 0,
+    "q_embedding_centroids": 2,
     "q_event_interarrival": 1,
     "q_exact_match": 0,
     "q_except_docs": 1,
