@@ -123,3 +123,28 @@ def test_parquet_schema_evolution_merge(spark):
     explicit = spark.read.schema("doc_id long, lang string").parquet(root)
     got = {r["doc_id"]: r["lang"] for r in explicit.collect()}
     assert got == {0: None, 1: None, 2: "en"}
+
+
+def test_ansi_arithmetic_and_try_escape_hatches(spark):
+    """Spark 4 runs ANSI mode by default: integer division by zero and
+    long overflow RAISE instead of silently returning null/wrapping.
+    Pipelines that prefer null-propagation use the try_* family — pin
+    both behaviors so an accidental ansi.enabled=false (which would
+    silently change query semantics engine-wide) fails here."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(
+        F.lit(1).alias("one"), F.lit(0).alias("zero"),
+        F.lit(9223372036854775807).alias("maxlong"),
+    )
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    with _pytest.raises(Exception):
+        df.select((F.col("one") / F.col("zero")).cast("long")).collect()
+    with _pytest.raises(Exception):
+        df.select(F.col("maxlong") + 1).collect()
+    r = df.select(
+        F.try_divide("one", "zero").alias("d"),
+        F.try_add("maxlong", F.lit(1)).alias("a"),
+    ).first()
+    assert r["d"] is None and r["a"] is None
