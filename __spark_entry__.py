@@ -2,9 +2,9 @@
 
 ``entry(spark)`` runs the flagship chunked map-reduce query on sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2 plus
-the beyond-reference capabilities (114 queries — inventory in
+the beyond-reference capabilities (115 queries — inventory in
 COVERAGE.md); ``oracle_sql()`` gives the DuckDB-equivalent SQL for each
-sql-checkable query (110 of them; the 4 rows-only ops — BLEU/ROUGE
+sql-checkable query (111 of them; the 4 rows-only ops — BLEU/ROUGE
 pandas UDFs, IVF, sketches — are registered without an oracle and
 pinned by pytest accuracy/property tests instead).
 """

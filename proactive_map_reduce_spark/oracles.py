@@ -1579,3 +1579,32 @@ cent AS (
 )
 SELECT label, n_vectors, dim, centroid_sum, centroid_0 FROM cent
 """
+
+
+ORACLES["q_quality_topn_per_lang"] = """
+WITH f AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+    len(list_filter(ws, x -> list_contains(
+      ['the','a','an','of','to','and','in','is','it','for'], x)))
+      / CAST(len(ws) AS DOUBLE) AS sr,
+    len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE) AS dr,
+    least(len(ws) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) AS ls
+  FROM f
+),
+scored AS (
+  SELECT doc_id, lang,
+         round(CAST(0.4 AS DOUBLE) * ls + CAST(0.3 AS DOUBLE) * sr
+               + CAST(0.3 AS DOUBLE) * dr, 6) AS quality_score
+  FROM r
+),
+ranked AS (
+  SELECT lang, doc_id, quality_score,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS INT) AS rnk
+  FROM scored
+)
+SELECT lang, rnk, doc_id, quality_score FROM ranked WHERE rnk <= 20
+"""

@@ -2045,3 +2045,27 @@ def q_embedding_centroids(spark, sf_dir):
 
 
 REGISTRY.update({"q_embedding_centroids": q_embedding_centroids})
+
+
+QUALITY_QUOTA = 20  # docs kept per language
+
+
+def q_quality_topn_per_lang(spark, sf_dir):
+    """Curation selection: keep the top-N documents per language by the
+    composite quality score (the final 'what do we train on' step after
+    dedup + filtering). Rank window rides the per-lang partition; ties
+    break on doc_id so selection is reproducible across engines/runs."""
+    feats = ts_ops.quality_features(_docs(spark, sf_dir)).join(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    return (
+        feats.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= QUALITY_QUOTA)
+        .select("lang", "rnk", "doc_id", "quality_score")
+    )
+
+
+REGISTRY.update({"q_quality_topn_per_lang": q_quality_topn_per_lang})

@@ -78,6 +78,7 @@ BUDGETS = {
     "q_prompt_assemble": 0,
     "q_qa_pipeline": 4,
     "q_quality_score": 0,
+    "q_quality_topn_per_lang": 1,
     "q_range_join": 0,
     "q_rechunk_fixed": 1,
     "q_region_revenue": 1,
