@@ -30,8 +30,10 @@ the natural partition key.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
+import time
 import uuid
 
 import pandas as pd
@@ -51,27 +53,50 @@ CHUNK_SCHEMA = T.StructType(
 )
 
 
-def write_stage_files(chunks_df: DataFrame, root: str | None = None) -> str:
-    """Materialize chunk rows as one parquet file per stage (chunk_id) —
-    the simulated document stream. File k = "chunk k arrives at time k"."""
-    root = root or tempfile.mkdtemp(prefix="pmr_stream_")
-    # persist: each per-stage write filters the SAME upstream pipeline —
-    # without this the chunk derivation recomputes once per stage file.
-    chunks_df = chunks_df.select("doc_id", "chunk_id", "chunk_text").persist()
-    try:
-        stages = sorted(
-            r["chunk_id"] for r in chunks_df.select("chunk_id").distinct().collect()
-        )
-        for cid in stages:
-            (
-                chunks_df.filter(F.col("chunk_id") == cid)
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(root)
-            )
-    finally:
-        chunks_df.unpersist()
+def _write_ordered(df: DataFrame, order_col: str, root: str) -> str:
+    """Write `df` under `root` as flat parquet files whose modification
+    times strictly increase in `order_col` — the arrival order the file
+    stream source replays (it processes oldest-modTime first, the same
+    contract the previous sequential-append writer relied on).
+
+    ONE distributed write job: partitionBy on a duplicated key column
+    (partitionBy drops its column from the file data, and the stream
+    schema needs the real one), then a driver-side flatten that moves the
+    handful of part files up and stamps each stage's mtime. The fs work is
+    O(#stages) renames — metadata only, no data pass."""
+    tmp = root + "_staging"
+    (
+        df.withColumn("__arrival__", F.col(order_col))
+        .repartition(F.col("__arrival__"))
+        .write.partitionBy("__arrival__")
+        .parquet(tmp)
+    )
+    stage_dirs = sorted(
+        (d for d in os.listdir(tmp) if d.startswith("__arrival__=")),
+        key=lambda d: float(d.split("=", 1)[1]),
+    )
+    # backdate stages so any file appended later (dup copies, sentinels)
+    # is strictly newer than every stage file.
+    base = time.time() - 3600.0
+    for k, d in enumerate(stage_dirs):
+        for j, f in enumerate(sorted(os.listdir(os.path.join(tmp, d)))):
+            if f.startswith(("_", ".")):
+                continue
+            dst = os.path.join(root, f"stage-{k:05d}-{j:03d}.parquet")
+            shutil.move(os.path.join(tmp, d, f), dst)
+            os.utime(dst, (base + k, base + k))
+    shutil.rmtree(tmp, ignore_errors=True)
     return root
+
+
+def write_stage_files(chunks_df: DataFrame, root: str | None = None) -> str:
+    """Materialize chunk rows as parquet files arriving one stage
+    (chunk_id) at a time — the simulated document stream. File k =
+    "chunk k arrives at time k". Single distributed write job."""
+    root = root or tempfile.mkdtemp(prefix="pmr_stream_")
+    return _write_ordered(
+        chunks_df.select("doc_id", "chunk_id", "chunk_text"), "chunk_id", root
+    )
 
 
 def _chunk_stream(spark: SparkSession, root: str) -> DataFrame:
@@ -82,18 +107,30 @@ def _chunk_stream(spark: SparkSession, root: str) -> DataFrame:
     )
 
 
-def _run_to_memory(stream_df: DataFrame, transform, shuffle_partitions: int = 8) -> DataFrame:
+def _ckpt_dir() -> str:
+    """Checkpoint + state-store dir: tmpfs when available. The HDFS-backed
+    state store fsyncs a delta file per partition per commit — on
+    memory-backed fs that is free, on disk it dominates small micro-batch
+    latency (measured ~5 s across a 5-batch join). Production would point
+    this at durable storage; the knob is the location, not the code."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix="pmr_ckpt_", dir=base)
+
+
+def _run_to_memory(stream_df: DataFrame, transform, shuffle_partitions: int = 2) -> DataFrame:
     """Drive a bounded stream (availableNow) through `transform` per
     micro-batch into an in-memory table; return the collected result.
 
     Streaming queries fix their state-store partition count from
     spark.sql.shuffle.partitions at start (AQE never applies) — every
-    micro-batch then pays one task per partition. Size it for stream
-    volume, not the batch default: at production throughput this knob
-    scales up; the fixtures want it small.
+    micro-batch then pays one task per partition plus one state-store
+    commit per partition. Size it for stream volume, not the batch
+    default: at production throughput this knob scales up; the fixtures
+    want it small.
     """
     spark = stream_df.sparkSession
     name = "pmr_sink_" + uuid.uuid4().hex[:8]
+    ckpt = _ckpt_dir()
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
@@ -102,13 +139,14 @@ def _run_to_memory(stream_df: DataFrame, transform, shuffle_partitions: int = 8)
             .writeStream.format("memory")
             .queryName(name)
             .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="pmr_ckpt_"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -220,7 +258,8 @@ EVENT_SCHEMA = T.StructType(
 
 
 def write_event_files(events_df: DataFrame, n_buckets: int = 4) -> str:
-    """Split events into ts-ordered bucket files (bucket k arrives k-th)."""
+    """Split events into ts-ordered bucket files (bucket k arrives k-th).
+    One distributed write job via _write_ordered."""
     root = tempfile.mkdtemp(prefix="pmr_events_")
     bounds = events_df.select(
         F.min("ts").alias("lo"), F.max("ts").alias("hi")
@@ -233,23 +272,15 @@ def write_event_files(events_df: DataFrame, n_buckets: int = 4) -> str:
             F.floor((F.unix_timestamp("ts") - F.lit(int(lo.timestamp()))) / (span / n_buckets)),
             F.lit(n_buckets - 1),
         ).cast("int"),
-    ).persist()
-    try:
-        for b in range(n_buckets):
-            (
-                bucketed.filter(F.col("bucket") == b)
-                .select("event_id", "user_id", "event_type", "ts", "value")
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(root)
-            )
-    finally:
-        bucketed.unpersist()
-    return root
+    ).select("event_id", "user_id", "event_type", "ts", "value", "bucket")
+    return _write_ordered(bucketed, "bucket", root)
 
 
 def windowed_counts_with_watermark(
-    spark: SparkSession, events_df: DataFrame, lateness: str = "1 hour"
+    spark: SparkSession,
+    events_df: DataFrame,
+    lateness: str = "1 hour",
+    n_buckets: int = 2,
 ) -> DataFrame:
     """Tumbling 1h window counts under a watermark.
 
@@ -261,7 +292,7 @@ def windowed_counts_with_watermark(
     the result (and never appears in the oracle, which aggregates only the
     real events).
     """
-    root = write_event_files(events_df)
+    root = write_event_files(events_df, n_buckets=n_buckets)
     hi = events_df.select(F.max("ts").alias("hi")).collect()[0]["hi"]
     sentinel_ts = hi + pd.Timedelta(hours=10)
     sentinel_bucket = int(sentinel_ts.timestamp() // 3600)
@@ -299,7 +330,10 @@ def windowed_counts_with_watermark(
 
 
 def stream_dedup(
-    spark: SparkSession, events_df: DataFrame, lateness: str = "2 hours"
+    spark: SparkSession,
+    events_df: DataFrame,
+    lateness: str = "2 hours",
+    n_buckets: int = 2,
 ) -> DataFrame:
     """Watermarked streaming deduplication (`dropDuplicatesWithinWatermark`)
     over an event stream carrying injected duplicates.
@@ -318,7 +352,7 @@ def stream_dedup(
     100 TB/day stream where an unbounded-state distinct would OOM.
     """
     dups = events_df.filter(F.col("event_id") % 10 == 0)
-    root = write_event_files(events_df)
+    root = write_event_files(events_df, n_buckets=n_buckets)
     hi = events_df.select(F.max("ts").alias("hi")).collect()[0]["hi"]
     # duplicate copies arrive after the originals (a later file), then a
     # far-future sentinel flushes the final watermark advance.
@@ -360,6 +394,7 @@ def stream_stream_join(
     left_type: str = "click",
     right_type: str = "view",
     within: str = "30 minutes",
+    n_buckets: int = 2,
 ) -> DataFrame:
     """Watermarked stream-stream inner join: per user, pair each
     `left_type` event with every `right_type` event within ±`within`.
@@ -375,7 +410,7 @@ def stream_stream_join(
     bounds buffered rows to the `within` interval per side regardless of
     total stream length.
     """
-    root = write_event_files(events_df)
+    root = write_event_files(events_df, n_buckets=n_buckets)
     hi = events_df.select(F.max("ts").alias("hi")).collect()[0]["hi"]
     sentinel_ts = hi + pd.Timedelta(hours=10)
     # sentinels must carry the REAL side types (they advance each side's

@@ -202,7 +202,7 @@ def test_checkpoint_recovery_exactly_once(spark):
     import glob as _glob
     import os as _os
 
-    files = sorted(_glob.glob(root + "/part-*.parquet"), key=_os.path.getmtime)
+    files = sorted(_glob.glob(root + "/*.parquet"), key=_os.path.getmtime)
     # hold back the last half of the input until after the restart
     held = files[len(files) // 2:]
     stash = _tf.mkdtemp(prefix="pmr_held_")
