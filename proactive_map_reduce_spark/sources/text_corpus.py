@@ -24,8 +24,12 @@ from pyspark.sql import functions as F
 
 def read_text_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame:
     """One row per {doc_id}.txt file: (doc_id, text)."""
+    # pathGlobFilter on the directory, not a glob path: resolveRelation
+    # probes the raw path string for streaming-sink metadata, and a glob
+    # there throws (and stack-logs) a spurious FileNotFoundException.
     return (
-        spark.read.text(corpus_dir + "/*.txt", wholetext=True)
+        spark.read.option("pathGlobFilter", "*.txt")
+        .text(corpus_dir, wholetext=True)
         .select(
             F.regexp_extract(F.input_file_name(), r"(\d+)\.txt$", 1)
             .cast("bigint")
