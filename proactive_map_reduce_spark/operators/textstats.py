@@ -9,7 +9,7 @@ all except the optional per-language aggregate).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64
@@ -92,95 +92,83 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     fraction of bigrams taken by the single most frequent bigram, and
     fraction of trigrams that occur more than once.
 
-    Entirely array-local per row (no shuffle, no explode): at 100 TB this
-    is a pure map over the scan. Per-row cost is O(n log n) — equal grams
-    are adjacent after an array_sort, so per-gram frequencies are run
-    lengths.
+    Shape: posexplode words → window-lead n-grams → two stacked count
+    aggregations — the whole-stage-codegen path that beat interpreted
+    array HOFs ~2-3× for minhash shingling (operators/dedup.py), applied
+    to gram frequencies. ONE exchange total: the word window partitions
+    by doc_id, and both downstream groupBys key on doc_id supersets, so
+    HashPartitioning(doc_id) already satisfies their required
+    distributions — Catalyst inserts no further shuffle.
 
-    Implementation note: each intermediate array (grams, sorted grams,
-    run starts, run lengths) is materialized as a NAMED COLUMN in its own
-    projection rather than nested as a sub-expression. Catalyst
-    expressions are trees, not DAGs — a sorted-gram array referenced from
-    inside a lambda would be *re-sorted per element*, turning this into
-    O(n^3). Bound column references are evaluated once per row;
-    CollapseProject keeps multi-referenced non-cheap aliases
-    materialized, so the chain of selects stays linear.
+    Null grams (the ≤2 trailing positions per doc where lead() runs off
+    the end) are kept through the per-gram count and excluded in the
+    per-doc rollup: that guarantees every document — including one-word
+    docs with no bigrams at all — survives to the output with zeroed
+    signals, without a restore-join against the doc list.
     """
-    ws = F.split(F.col(text_col), " ")
-    n = F.size(ws)
-
-    def grams(k: int) -> Column:
-        return F.when(
-            n >= k,
-            F.transform(
-                F.sequence(F.lit(0), n - k),
-                lambda i: F.array_join(F.slice(ws, i + 1, k), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    def run_starts(s: str) -> Column:
-        # 0-based indices where a new run of equal values begins; the
-        # empty guard matters: sequence(0, -1) is a DESCENDING range in
-        # Spark and would drive element_at to index 0 (an ANSI error).
-        c = F.col(s)
-        return F.when(
-            F.size(c) > 0,
-            F.filter(
-                F.sequence(F.lit(0), F.size(c) - 1),
-                lambda i: (i == 0) | (F.element_at(c, i + 1) != F.element_at(c, i)),
-            ),
-        ).otherwise(F.array().cast("array<int>"))
-
-    def run_lengths(bounds: str) -> Column:
-        # bounds = run starts ++ [m]; consecutive differences = lengths
-        b = F.col(bounds)
-        return F.when(
-            F.size(b) >= 2,
-            F.transform(
-                F.sequence(F.lit(0), F.size(b) - 2),
-                lambda k: (
-                    F.element_at(b, k + 2) - F.element_at(b, k + 1)
-                ).cast("bigint"),
-            ),
-        ).otherwise(F.array().cast("array<bigint>"))
-
-    staged = (
-        df.select("doc_id", grams(2).alias("g2"), grams(3).alias("g3"))
-        .select(
-            "doc_id",
-            F.size("g2").alias("n2"),
-            F.size("g3").alias("n3"),
-            F.array_sort("g2").alias("s2"),
-            F.array_sort("g3").alias("s3"),
-        )
-        .select(
-            "doc_id", "n2", "n3", run_starts("s2").alias("st2"), run_starts("s3").alias("st3")
-        )
-        .select(
-            "doc_id",
-            "n2",
-            "n3",
-            F.concat("st2", F.array(F.col("n2").cast("int"))).alias("b2"),
-            F.concat("st3", F.array(F.col("n3").cast("int"))).alias("b3"),
-        )
-        .select(
-            "doc_id", "n2", "n3", run_lengths("b2").alias("r2"), run_lengths("b3").alias("r3")
-        )
+    words = df.select(
+        "doc_id", F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w")
     )
-    top2 = F.array_max("r2")
-    # grams occurring more than once = total length of runs longer than 1
-    dup3 = F.aggregate(
-        F.filter("r3", lambda l: l > 1), F.lit(0).cast("bigint"), lambda a, x: a + x
-    )
-    return staged.select(
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    leads = words.select(
         "doc_id",
-        F.col("n2").cast("bigint").alias("n_bigrams"),
-        F.col("n3").cast("bigint").alias("n_trigrams"),
+        F.col("w"),
+        F.lead("w", 1).over(win).alias("w1"),
+        F.lead("w", 2).over(win).alias("w2"),
+    )
+    grams = leads.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(2).alias("k"),
+                    F.when(
+                        F.col("w1").isNotNull(),
+                        F.concat_ws(" ", F.col("w"), F.col("w1")),
+                    ).alias("g"),
+                ),
+                F.struct(
+                    F.lit(3).alias("k"),
+                    F.when(
+                        F.col("w2").isNotNull(),
+                        F.concat_ws(" ", F.col("w"), F.col("w1"), F.col("w2")),
+                    ).alias("g"),
+                ),
+            )
+        ).alias("kg"),
+    ).select("doc_id", F.col("kg.k").alias("k"), F.col("kg.g").alias("g"))
+    per_gram = grams.groupBy("doc_id", "k", "g").agg(F.count("*").alias("c"))
+    valid = F.col("g").isNotNull()
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.coalesce(F.sum(F.when((F.col("k") == 2) & valid, F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_bigrams"),
+        F.max(F.when((F.col("k") == 2) & valid, F.col("c"))).alias("top2"),
+        F.coalesce(F.sum(F.when((F.col("k") == 3) & valid, F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_trigrams"),
+        F.coalesce(
+            F.sum(F.when((F.col("k") == 3) & valid & (F.col("c") > 1), F.col("c"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("dup3"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "n_trigrams",
         F.round(
-            F.when(F.col("n2") > 0, top2 / F.col("n2")).otherwise(F.lit(0.0)), 6
+            F.when(
+                F.col("n_bigrams") > 0, F.col("top2") / F.col("n_bigrams")
+            ).otherwise(F.lit(0.0)),
+            6,
         ).alias("top_bigram_frac"),
         F.round(
-            F.when(F.col("n3") > 0, dup3 / F.col("n3")).otherwise(F.lit(0.0)), 6
+            F.when(
+                F.col("n_trigrams") > 0, F.col("dup3") / F.col("n_trigrams")
+            ).otherwise(F.lit(0.0)),
+            6,
         ).alias("dup_trigram_frac"),
     )
 

@@ -82,7 +82,9 @@ BUDGETS = {
     "q_range_join": 0,
     "q_rechunk_fixed": 1,
     "q_region_revenue": 1,
-    "q_repetition_signals": 0,
+    # explode + window-lead + stacked groupBys: one exchange on doc_id
+    # serves the window AND both aggregations (subset-key distributions)
+    "q_repetition_signals": 1,
     "q_rollup_multi": 1,
     "q_rouge": 1,
     "q_running_metric": 1,
