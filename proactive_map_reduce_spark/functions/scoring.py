@@ -19,7 +19,7 @@ import math
 from collections import Counter
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -110,6 +110,126 @@ def bleu_udf(pred: pd.Series, gold: pd.Series) -> pd.Series:
     return pd.Series([round(bleu_score(p or "", g or ""), 6) for p, g in zip(pred, gold)])
 
 
+# --- relational BLEU (hash-checkable: integer n-gram counts + closed-form) --
+
+
+def _ngram_counts(df: DataFrame, text_col: str, max_n: int = 4) -> DataFrame:
+    """(doc_id, n, g, c): per-document n-gram multiset counts for
+    n = 1..max_n, via posexplode + window-lead (whole-stage codegen; one
+    exchange on doc_id serves the window and the count aggregation)."""
+    toks = df.select(
+        "doc_id", F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    leads = toks.select(
+        "doc_id",
+        "w",
+        *[F.lead("w", i).over(win).alias(f"w{i}") for i in range(1, max_n)],
+    )
+    structs = [F.struct(F.lit(1).alias("n"), F.col("w").alias("g"))]
+    for n in range(2, max_n + 1):
+        parts = [F.col("w")] + [F.col(f"w{i}") for i in range(1, n)]
+        structs.append(
+            F.struct(
+                F.lit(n).alias("n"),
+                F.when(
+                    F.col(f"w{n - 1}").isNotNull(), F.concat_ws(" ", *parts)
+                ).alias("g"),
+            )
+        )
+    grams = (
+        leads.select("doc_id", F.explode(F.array(*structs)).alias("kg"))
+        .select("doc_id", F.col("kg.n").alias("n"), F.col("kg.g").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    return grams.groupBy("doc_id", "n", "g").agg(F.count("*").alias("c"))
+
+
+def bleu_table(
+    pred_df: DataFrame,
+    gold_df: DataFrame,
+    pred_col: str = "final_text",
+    gold_col: str = "text",
+    max_n: int = 4,
+) -> DataFrame:
+    """Smoothed sentence BLEU as a relational plan: integer clipped-match
+    and total counts per order (exact, hash-checkable cross-engine) plus
+    the BLEU float computed from those integers in closed form
+    (geo-mean of precisions × brevity penalty — exp/ln built-ins only).
+
+    Same formula as ``bleu_score`` (reference: nltk sentence_bleu with
+    chencherry smoothing, test_proactive.py:374-376): order capped at the
+    candidate length, 1/(2·total) smoothing for zero-match orders.
+
+    Scale shape: both sides are explode+lead gram counts (one exchange
+    each keyed by doc_id); the clipped-overlap join keys on
+    (doc_id, n, gram) — fully distributed, no per-row quadratic UDF.
+    """
+    p = _ngram_counts(pred_df.select("doc_id", pred_col), pred_col, max_n)
+    g = (
+        _ngram_counts(gold_df.select("doc_id", gold_col), gold_col, max_n)
+        .withColumnRenamed("c", "cg")
+    )
+    per_n = (
+        p.join(g, ["doc_id", "n", "g"], "left")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.sum(F.least(F.col("c"), F.coalesce(F.col("cg"), F.lit(0)))).alias("m"),
+            F.sum("c").alias("t"),
+        )
+    )
+    piv = per_n.groupBy("doc_id").agg(
+        *[
+            F.coalesce(F.max(F.when(F.col("n") == n, F.col(src))), F.lit(0))
+            .cast("bigint")
+            .alias(f"{src}{n}")
+            for n in range(1, max_n + 1)
+            for src in ("m", "t")
+        ]
+    )
+    lens = gold_df.select(
+        "doc_id", F.size(F.split(F.col(gold_col), " ")).cast("bigint").alias("len_g")
+    )
+    staged = piv.join(lens, "doc_id").withColumn("len_p", F.col("t1"))
+    max_order = F.least(F.lit(max_n), F.col("len_p"))
+
+    def log_prec(n: int) -> Column:
+        m, t = F.col(f"m{n}"), F.col(f"t{n}")
+        return F.log(
+            F.when(m == 0, 1.0 / (2.0 * t)).otherwise(m / t.cast("double"))
+        )
+
+    log_sum = sum(
+        (F.when(max_order >= n, log_prec(n)).otherwise(F.lit(0.0)) for n in range(1, max_n + 1)),
+        F.lit(0.0),
+    )
+    bp = F.when(F.col("len_p") > F.col("len_g"), F.lit(1.0)).otherwise(
+        F.exp(1.0 - F.col("len_g") / F.col("len_p").cast("double"))
+    )
+    return staged.select(
+        "doc_id",
+        "len_p",
+        "len_g",
+        *[F.col(f"{src}{n}") for n in range(1, max_n + 1) for src in ("m", "t")],
+        F.round(bp * F.exp(log_sum / max_order), 6).alias("bleu"),
+    )
+
+
 @F.pandas_udf(T.DoubleType())
 def rouge_l_udf(pred: pd.Series, gold: pd.Series) -> pd.Series:
     return pd.Series([round(rouge_l(p or "", g or ""), 6) for p, g in zip(pred, gold)])
+
+
+@F.pandas_udf(T.LongType())
+def lcs_udf(pred: pd.Series, gold: pd.Series) -> pd.Series:
+    """Integer LCS length over whitespace tokens — the exact, hashable
+    core of ROUGE-L. The f-measure is derived from this integer with
+    IEEE-exact +,*,/ in the SQL layer on BOTH engines, so the whole
+    ROUGE query hash-checks (the oracle computes the same integer via a
+    recursive-CTE row DP)."""
+    return pd.Series(
+        [
+            _lcs_len((p or "").split(" "), (g or "").split(" "))
+            for p, g in zip(pred, gold)
+        ]
+    )

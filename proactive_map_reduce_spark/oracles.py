@@ -883,6 +883,114 @@ FROM events
 GROUP BY 1, 2
 """
 
+# F6 BLEU, relational form: clipped n-gram matches / totals per order
+# (exact integers) + closed-form smoothed BLEU from those integers —
+# mirror of functions/scoring.py bleu_table.
+_BLEU_PIV = ",\n       ".join(
+    f"CAST(coalesce(max(CASE WHEN n = {n} THEN {src} END), 0) AS BIGINT) AS {src}{n}"
+    for n in range(1, 5)
+    for src in ("m", "t")
+)
+_BLEU_LOGSUM = " + ".join(
+    f"(CASE WHEN least(4, t1) >= {n} THEN ln(CASE WHEN m{n} = 0 "
+    f"THEN 1.0 / (2.0 * t{n}) ELSE m{n} / CAST(t{n} AS DOUBLE) END) "
+    f"ELSE 0.0 END)"
+    for n in range(1, 5)
+)
+ORACLES["q_bleu"] = f"""
+WITH {_WORDS}, {_CHUNKS}, {_MAPPED},
+fin AS (
+  SELECT doc_id, string_agg(out_text, ' ' ORDER BY chunk_id) AS final_text
+  FROM mapped GROUP BY doc_id
+),
+ptoks AS (SELECT doc_id, string_split(final_text, ' ') AS toks FROM fin),
+gtoks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+png AS (
+  SELECT doc_id, r.n, array_to_string(toks[s.i:s.i + r.n - 1], ' ') AS g
+  FROM ptoks, range(1, 5) r(n),
+       UNNEST(generate_series(1, len(toks) - r.n + 1)) s(i)
+),
+gng AS (
+  SELECT doc_id, r.n, array_to_string(toks[s.i:s.i + r.n - 1], ' ') AS g
+  FROM gtoks, range(1, 5) r(n),
+       UNNEST(generate_series(1, len(toks) - r.n + 1)) s(i)
+),
+pcnt AS (SELECT doc_id, n, g, count(*) AS c FROM png GROUP BY doc_id, n, g),
+gcnt AS (SELECT doc_id, n, g, count(*) AS cg FROM gng GROUP BY doc_id, n, g),
+per_n AS (
+  SELECT p.doc_id, p.n,
+         sum(least(p.c, coalesce(q.cg, 0))) AS m, sum(p.c) AS t
+  FROM pcnt p LEFT JOIN gcnt q USING (doc_id, n, g)
+  GROUP BY p.doc_id, p.n
+),
+piv AS (
+  SELECT doc_id,
+       {_BLEU_PIV}
+  FROM per_n GROUP BY doc_id
+),
+lens AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len_g
+  FROM documents
+)
+SELECT piv.doc_id, t1 AS len_p, len_g,
+       m1, t1, m2, t2, m3, t3, m4, t4,
+       round(
+         (CASE WHEN t1 > len_g THEN 1.0
+               ELSE exp(1.0 - len_g / CAST(t1 AS DOUBLE)) END)
+         * exp(({_BLEU_LOGSUM}) / least(4, t1)), 6) AS bleu
+FROM piv JOIN lens USING (doc_id)
+"""
+
+# F7 ROUGE-L: recursive-CTE row DP for the LCS integer. Row i of the DP
+# depends only on row i-1: dp[i][j] = max(dp[i-1][j], RM[j]) where RM is
+# the running max over j of (b[j]=a[i] ? dp[i-1][j-1]+1 : 0) — the
+# "use a[i] matched at some j' ≤ j" branch collapsed into one window.
+ORACLES["q_rouge"] = f"""
+WITH RECURSIVE {_WORDS}, {_CHUNKS}, {_MAPPED},
+fin AS (
+  SELECT doc_id, string_agg(out_text, ' ' ORDER BY chunk_id) AS final_text
+  FROM mapped GROUP BY doc_id
+),
+ptoks AS (SELECT doc_id, string_split(final_text, ' ') AS toks FROM fin),
+gtoks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pw AS (SELECT doc_id, s.i AS i, toks[s.i] AS a
+       FROM ptoks, UNNEST(generate_series(1, len(toks))) s(i)),
+gw AS (SELECT doc_id, s.j AS j, toks[s.j] AS b
+       FROM gtoks, UNNEST(generate_series(1, len(toks))) s(j)),
+dp AS (
+  SELECT doc_id, 0 AS i, j, b, 0 AS v FROM gw
+  UNION ALL
+  SELECT doc_id, i, j, b, greatest(v_keep, rm) AS v FROM (
+    SELECT doc_id, i, j, b, v_keep,
+           max(CASE WHEN matched THEN lagv + 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY j ROWS UNBOUNDED PRECEDING) AS rm
+    FROM (
+      SELECT d.doc_id, d.i + 1 AS i, d.j AS j, d.b,
+             d.v AS v_keep,
+             coalesce(lag(d.v) OVER (PARTITION BY d.doc_id ORDER BY d.j), 0) AS lagv,
+             (d.b = p.a) AS matched
+      FROM dp d JOIN pw p ON p.doc_id = d.doc_id AND p.i = d.i + 1
+    ) s1
+  ) s2
+),
+lens AS (
+  SELECT p.doc_id, len(p.toks) AS lp, len(g.toks) AS lg
+  FROM ptoks p JOIN gtoks g USING (doc_id)
+),
+lcs AS (
+  SELECT l.doc_id, CAST(coalesce(max(d.v), 0) AS BIGINT) AS lcs,
+         CAST(l.lp AS BIGINT) AS len_p, CAST(l.lg AS BIGINT) AS len_g
+  FROM lens l LEFT JOIN dp d ON d.doc_id = l.doc_id AND d.i = l.lp
+  GROUP BY l.doc_id, l.lp, l.lg
+)
+SELECT doc_id, lcs, len_p, len_g,
+       round(CASE WHEN lcs = 0 THEN 0.0
+                  ELSE 2.0 * (lcs / CAST(len_p AS DOUBLE)) * (lcs / CAST(len_g AS DOUBLE))
+                       / ((lcs / CAST(len_p AS DOUBLE)) + (lcs / CAST(len_g AS DOUBLE))) END,
+             6) AS rouge_l
+FROM lcs
+"""
+
 # M2 vocabulary detok: one md5-derived token id per word; collisions
 # resolve to min word on both sides.
 ORACLES["q_decode_detok"] = f"""

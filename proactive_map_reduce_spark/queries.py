@@ -911,19 +911,48 @@ def q_stream_window_late(spark, sf_dir):
 
 
 def q_bleu(spark, sf_dir):
-    """F6: smoothed sentence BLEU (Arrow pandas UDF) of the chunk-reversed
-    reconstruction vs the original text (test_proactive.py:374-376)."""
+    """F6: smoothed sentence BLEU of the chunk-reversed reconstruction vs
+    the original text (test_proactive.py:374-376) — relational form:
+    integer clipped n-gram match/total counts per order (exact,
+    hash-checked against DuckDB) plus the BLEU float computed from those
+    integers in closed form. Same formula as functions.scoring.bleu_score
+    (pinned equal by tests/test_scoring.py)."""
+    from .functions.scoring import bleu_table
+
     mapped = red.incremental_concat(mapstage.llm_map(_chunks(spark, sf_dir)))
-    joined = mapped.join(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id")
-    return joined.select("doc_id", bleu_udf(F.col("final_text"), F.col("text")).alias("bleu"))
+    return bleu_table(mapped, _docs(spark, sf_dir))
 
 
 def q_rouge(spark, sf_dir):
-    """F7: ROUGE-L f-measure (LCS pandas UDF) of the chunk-reversed
-    reconstruction vs the original text (pipeline_70b_samsum.py:77-81)."""
+    """F7: ROUGE-L of the chunk-reversed reconstruction vs the original
+    text (pipeline_70b_samsum.py:77-81) — hash-checkable form: the LCS
+    length is an exact integer (Arrow pandas UDF; the oracle recomputes
+    it via a recursive-CTE row DP), and the f-measure derives from that
+    integer with IEEE-exact arithmetic identically on both engines."""
+    from .functions.scoring import lcs_udf
+
     mapped = red.incremental_concat(mapstage.llm_map(_chunks(spark, sf_dir)))
     joined = mapped.join(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id")
-    return joined.select("doc_id", rouge_l_udf(F.col("final_text"), F.col("text")).alias("rouge_l"))
+    staged = joined.select(
+        "doc_id",
+        lcs_udf(F.col("final_text"), F.col("text")).alias("lcs"),
+        F.size(F.split("final_text", " ")).cast("bigint").alias("len_p"),
+        F.size(F.split("text", " ")).cast("bigint").alias("len_g"),
+    )
+    prec = F.col("lcs") / F.col("len_p").cast("double")
+    rec = F.col("lcs") / F.col("len_g").cast("double")
+    return staged.select(
+        "doc_id",
+        "lcs",
+        "len_p",
+        "len_g",
+        F.round(
+            F.when(F.col("lcs") == 0, F.lit(0.0)).otherwise(
+                2.0 * prec * rec / (prec + rec)
+            ),
+            6,
+        ).alias("rouge_l"),
+    )
 
 
 def q_decode_detok(spark, sf_dir):

@@ -82,3 +82,31 @@ def test_set_f1_against_python(spark):
             continue  # empty-string split edge differs from true empty set
         assert abs(got[i][0] - round(f1, 6)) < 1e-6, i
         assert got[i][1] == acc, i
+
+
+def test_bleu_table_matches_python_reference(spark):
+    """The relational BLEU (bleu_table: integer n-gram counts + closed
+    form) must equal bleu_score, the pinned Python mirror of the
+    reference's smoothed sentence BLEU, on real corpus pairs."""
+    from pyspark.sql import functions as F
+
+    from proactive_map_reduce_spark.functions.scoring import bleu_score, bleu_table
+    from proactive_map_reduce_spark.sources.tables import load_table
+    from tests.conftest import SF0001
+
+    docs = load_table(spark, SF0001, "documents").limit(60)
+    # pred = word-reversed gold (the stand-in model output shape), plus a
+    # few synthetic shapes: identical, truncated, disjoint
+    pred = docs.select(
+        "doc_id",
+        F.array_join(F.reverse(F.split("text", " ")), " ").alias("final_text"),
+    )
+    out = {r["doc_id"]: r for r in bleu_table(pred, docs).collect()}
+    golds = {r["doc_id"]: r["text"] for r in docs.collect()}
+    preds = {r["doc_id"]: r["final_text"] for r in pred.collect()}
+    assert set(out) == set(golds)
+    for did, row in out.items():
+        want = round(bleu_score(preds[did], golds[did]), 6)
+        assert abs(row["bleu"] - want) < 2e-6, (did, row["bleu"], want)
+        assert row["len_p"] == len(preds[did].split(" "))
+        assert row["m1"] <= row["t1"]
