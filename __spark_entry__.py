@@ -2,11 +2,11 @@
 
 ``entry(spark)`` runs the flagship chunked map-reduce query on sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2 plus
-the beyond-reference capabilities (115 queries — inventory in
-COVERAGE.md); ``oracle_sql()`` gives the DuckDB-equivalent SQL for each
-sql-checkable query (111 of them; the 4 rows-only ops — BLEU/ROUGE
-pandas UDFs, IVF, sketches — are registered without an oracle and
-pinned by pytest accuracy/property tests instead).
+the beyond-reference capabilities (inventory in COVERAGE.md);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for EVERY registered
+query — the former rows-only ops are now hash-checked too (BLEU/ROUGE
+via integer n-gram/LCS counts, IVF via deterministic fixed-point
+Lloyd's, sketches via KMV + histogram bins).
 """
 
 from __future__ import annotations

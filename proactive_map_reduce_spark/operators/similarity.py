@@ -96,48 +96,109 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(F.col("rank") <= k)
 
 
+IVF_SCALE = 1_000_000
+IVF_ITERS = 5
+
+
+def _fixed_point(vec_col) -> "F.Column":
+    """floor(x·1e6 + 0.5) per dim: exact int64 coordinates. All distance
+    math and centroid sums below are integer → order-independent and
+    bit-identical across engines (double sums would depend on partition
+    reduction order)."""
+    return F.transform(
+        vec_col, lambda x: F.floor(x.cast("double") * IVF_SCALE + 0.5).cast("bigint")
+    )
+
+
+def _int_l2(a, b) -> "F.Column":
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda s, x: s + x,
+    )
+
+
 def ivf_topk(
     emb: DataFrame, n_queries: int = 8, k: int = 5, n_clusters: int = 8,
     nprobe: int = 3, id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF approximate top-k: KMeans coarse quantizer + probed clusters.
+    """IVF approximate top-k: deterministic seeded Lloyd's coarse
+    quantizer + probed clusters — hash-checkable cross-engine.
 
     The production ANN path at corpus scale:
-    1. train a KMeans coarse quantizer (at 100 TB: on a sample — the
-       centroid count is tiny either way);
-    2. assign every corpus vector to its nearest centroid — a narrow,
-       embarrassingly parallel transform;
-    3. per query, probe the `nprobe` nearest centroids and rank exact
-       cosine only inside those clusters — an equi-join on cluster id
-       instead of a full scan (cost drops by ~n_clusters/nprobe).
+    1. train the coarse quantizer — fixed-iteration Lloyd's over
+       fixed-point (1e-6) integer coordinates: seeds are the n_clusters
+       vectors ranked first by md5(vec_id), assignment is integer L2
+       argmin (ties → lower cluster id), centroid update quantizes the
+       exact integer dim-sums back to the grid with floor(s/n + 0.5).
+       Every step is integer or a single exactly-representable double
+       division, so cluster boundaries are bit-stable across engines,
+       partitionings and runs — unlike pyspark.ml KMeans, whose float
+       reductions are partition-order sensitive. At 100 TB the training
+       input becomes a sample; assignment stays a full narrow pass.
+    2. assign every corpus vector to its nearest centroid — narrow,
+       embarrassingly parallel;
+    3. per query, probe the `nprobe` nearest centroids (same integer
+       metric) and rank exact cosine only inside those clusters — an
+       equi-join on cluster id instead of a full scan.
 
-    Centroid training is seeded but iteration order makes exact cluster
-    boundaries environment-sensitive → checked by recall tests against
-    brute force, not by value hash (rows-only in the driver gate).
+    Per-iteration centroids (k×dim ints) are collected to the driver —
+    the same tiny model state pyspark.ml keeps — so the lazy plan depth
+    stays constant in the iteration count.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    feat = base.withColumn("fv", array_to_vector("v")).persist()
-    model = KMeans(
-        k=n_clusters, seed=42, featuresCol="fv", predictionCol="cluster", maxIter=5
-    ).fit(feat)
-    assigned = model.transform(feat).select(id_col, "v", "cluster")
-
     spark = emb.sparkSession
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cluster int, cv array<double>",
+    base = (
+        emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+        .withColumn("xi", _fixed_point(F.col("v")))
+        .persist()
     )
+    seeds = (
+        base.withColumn("h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("h")
+        .limit(n_clusters)
+        .collect()
+    )
+    cent = [(j, list(r["xi"])) for j, r in enumerate(seeds)]
+
+    def assign(cdf):
+        s = base.crossJoin(F.broadcast(cdf)).select(
+            id_col, "v", "xi", "cluster", _int_l2(F.col("xi"), F.col("ci")).alias("dist")
+        )
+        wv = Window.partitionBy(id_col).orderBy("dist", "cluster")
+        return (
+            s.withColumn("rn", F.row_number().over(wv)).filter(F.col("rn") == 1)
+            .select(id_col, "v", "xi", "cluster")
+        )
+
+    for _ in range(IVF_ITERS):
+        cdf = spark.createDataFrame(cent, "cluster int, ci array<bigint>")
+        a = assign(cdf)
+        new_cent = (
+            a.select("cluster", F.posexplode("xi").alias("d", "x"))
+            .groupBy("cluster", "d")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "s", "n"))),
+                    lambda t: F.floor(t["s"] / t["n"] + 0.5).cast("bigint"),
+                ).alias("ci")
+            )
+            .collect()
+        )
+        cent = [(r["cluster"], list(r["ci"])) for r in new_cent]
+
+    cdf = spark.createDataFrame(cent, "cluster int, ci array<bigint>")
+    assigned = assign(cdf)
+
     queries = assigned.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+        F.col(id_col).alias("query_id"), F.col("xi").alias("qxi"), F.col("v").alias("qv")
     )
-    # nprobe nearest centroids per query (centroid set is tiny → broadcast)
-    qc = queries.crossJoin(F.broadcast(centroids)).select(
-        "query_id", "qv", "cluster", cosine(F.col("qv"), F.col("cv")).alias("c_sim")
+    # nprobe nearest centroids per query, same integer metric
+    qc = queries.crossJoin(F.broadcast(cdf)).select(
+        "query_id", "qv", "cluster", _int_l2(F.col("qxi"), F.col("ci")).alias("cdist")
     )
-    wq = Window.partitionBy("query_id").orderBy(F.col("c_sim").desc(), F.col("cluster").asc())
+    wq = Window.partitionBy("query_id").orderBy("cdist", "cluster")
     probed = qc.withColumn("crank", F.row_number().over(wq)).filter(
         F.col("crank") <= nprobe
     ).select("query_id", "qv", "cluster")
@@ -152,7 +213,8 @@ def ivf_topk(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(F.col("rank") <= k)
+    out = scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(F.col("rank") <= k)
+    return out
 
 
 def embedding_near_dup_pairs(

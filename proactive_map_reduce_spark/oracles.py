@@ -779,6 +779,138 @@ ranked AS (
 SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
 """
 
+# Sketch stats: KMV distinct estimator + equi-width histogram quartiles —
+# mirror of queries.q_sketch_stats (portable md5 hash, exact int bins).
+ORACLES["q_sketch_stats"] = f"""
+WITH {_WORDS},
+wl AS (SELECT w.doc_id, w.word, d.lang FROM w JOIN documents d USING (doc_id)),
+wh AS (SELECT DISTINCT lang, {_h('word')} AS h FROM wl),
+wrn AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM wh
+),
+kmv AS (
+  SELECT lang,
+         CAST(CASE WHEN max(rn) < 1024 THEN max(rn)
+                   ELSE floor(1023 * 4294967296.0
+                              / max(CASE WHEN rn = 1024 THEN h END) + 0.5) END
+              AS BIGINT) AS approx_distinct_words
+  FROM wrn GROUP BY lang
+),
+bounds AS (
+  SELECT lang, min(n_chars) AS lo, max(n_chars) AS hi, count(*) AS n
+  FROM documents GROUP BY lang
+),
+binned AS (
+  SELECT d.lang, b.lo, b.hi, b.n,
+         CAST(floor(((d.n_chars - b.lo) * 64) / (b.hi - b.lo + 1)) AS INT) AS bin
+  FROM documents d JOIN bounds b USING (lang)
+),
+cnt AS (
+  SELECT lang, lo, hi, n, bin, count(*) AS c
+  FROM binned GROUP BY lang, lo, hi, n, bin
+),
+cum AS (
+  SELECT *, sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cum FROM cnt
+),
+quart AS (
+  SELECT lang, lo, hi,
+         max(CASE WHEN cum - c < 0.25 * n THEN bin END) AS b25,
+         max(CASE WHEN cum - c < 0.50 * n THEN bin END) AS b50,
+         max(CASE WHEN cum - c < 0.75 * n THEN bin END) AS b75
+  FROM cum GROUP BY lang, lo, hi
+)
+SELECT k.lang, k.approx_distinct_words,
+       CAST(q.lo + floor((q.b25 * (q.hi - q.lo + 1)) / 64) AS BIGINT) AS p25,
+       CAST(q.lo + floor((q.b50 * (q.hi - q.lo + 1)) / 64) AS BIGINT) AS p50,
+       CAST(q.lo + floor((q.b75 * (q.hi - q.lo + 1)) / 64) AS BIGINT) AS p75
+FROM kmv k JOIN quart q USING (lang)
+"""
+
+
+# IVF top-k: deterministic fixed-point Lloyd's, unrolled one CTE pair per
+# iteration — mirror of operators/similarity.py ivf_topk (integer L2,
+# md5-ranked seeds, floor(s/n + 0.5) centroid quantization).
+def _ivf_sql(n_queries=8, k=5, n_clusters=8, nprobe=3, iters=5, scale=1_000_000):
+    dist = (
+        "list_sum(list_transform(generate_series(1, len(x.xi)), "
+        "d -> (x.xi[d] - c.ci[d]) * (x.xi[d] - c.ci[d])))"
+    )
+    parts = [
+        f"""
+xint AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS xi,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(rn - 1 AS INT) AS cluster, xi AS ci FROM (
+    SELECT xi, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+    FROM xint
+  ) WHERE rn <= {n_clusters}
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""
+a{i} AS (
+  SELECT vec_id, xi, cluster FROM (
+    SELECT x.vec_id, x.xi, c.cluster,
+           row_number() OVER (PARTITION BY x.vec_id ORDER BY {dist}, c.cluster) AS rn
+    FROM xint x, c{i - 1} c
+  ) WHERE rn = 1
+),
+c{i} AS (
+  SELECT cluster, list(CAST(floor(s / n + 0.5) AS BIGINT) ORDER BY d) AS ci FROM (
+    SELECT a.cluster, t.d, sum(a.xi[t.d]) AS s, count(*) AS n
+    FROM a{i} a, UNNEST(generate_series(1, len(a.xi))) t(d)
+    GROUP BY a.cluster, t.d
+  ) GROUP BY cluster
+)"""
+        )
+    parts.append(
+        f"""
+af AS (
+  SELECT vec_id, xi, cluster FROM (
+    SELECT x.vec_id, x.xi, c.cluster,
+           row_number() OVER (PARTITION BY x.vec_id ORDER BY {dist}, c.cluster) AS rn
+    FROM xint x, c{iters} c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT a.vec_id AS query_id, a.xi AS qxi, x.v AS qv
+  FROM af a JOIN xint x USING (vec_id) WHERE a.vec_id < {n_queries}
+),
+qp AS (
+  SELECT query_id, qv, cluster FROM (
+    SELECT x.query_id, x.qv, c.cluster,
+           row_number() OVER (PARTITION BY x.query_id ORDER BY
+             list_sum(list_transform(generate_series(1, len(x.qxi)),
+               d -> (x.qxi[d] - c.ci[d]) * (x.qxi[d] - c.ci[d]))), c.cluster) AS crank
+    FROM q x, c{iters} c
+  ) WHERE crank <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round({_cos_sql('p.qv', 'x.v')}, 6) AS cos_sim
+  FROM af a JOIN qp p USING (cluster) JOIN xint x ON x.vec_id = a.vec_id
+  WHERE a.vec_id != p.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)"""
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}"
+    )
+
+
+ORACLES["q_similarity_ivf"] = _ivf_sql()
+
 ORACLES["q_lang_id"] = """
 WITH l AS (
   SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents

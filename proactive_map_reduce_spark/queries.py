@@ -1386,27 +1386,91 @@ def q_qa_pipeline(spark, sf_dir):
 REGISTRY.update({"q_qa_pipeline": q_qa_pipeline})
 
 
+SKETCH_KMV_K = 1024   # KMV size: stderr ≈ 1/sqrt(k-2) ≈ 3%
+SKETCH_BINS = 64      # histogram sketch resolution
+
+
 def q_sketch_stats(spark, sf_dir):
-    """Sketch statistics: HLL approximate distinct words and approximate
-    doc-length quantiles per language — the constant-memory forms of
+    """Sketch statistics: approximate distinct words (KMV — k minimum
+    hash values) and approximate doc-length quartiles (equi-width
+    histogram bins) per language — constant-memory, mergeable forms of
     q_corpus_stats' exact aggregates (what actually runs at 100 TB).
-    Sketch values are engine-specific → rows-only in the driver gate;
-    accuracy vs exact is pinned by tests."""
+
+    Both sketches are built on the portable md5 hash / exact integer bin
+    counts, so unlike engine-native HLL and GK/t-digest summaries the
+    values are bit-identical cross-engine → fully hash-checked in the
+    driver gate; accuracy vs the exact aggregates stays pinned by tests.
+
+    KMV estimator: with h uniform on [0, 2^32), E[k-th min] ≈ k/|S|·2^32
+    → |S| ≈ (k-1)·2^32 / h_(k). When |S| < k the sketch holds the whole
+    set and answers exactly. Quartiles report the lower bound of the bin
+    where the cumulative count crosses p·n (bin width = range/64).
+    """
     d = _docs(spark, sf_dir)
     words = _words(spark, sf_dir).join(d.select("doc_id", "lang"), "doc_id")
-    w = words.groupBy("lang").agg(
-        F.approx_count_distinct("word", rsd=0.02).alias("approx_distinct_words")
+    wh = words.select("lang", portable_hash64("word").alias("h")).distinct()
+    wrn = wh.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("lang").orderBy("h"))
     )
-    q = d.groupBy("lang").agg(
-        F.percentile_approx("n_chars", [0.25, 0.5, 0.75], 10000).alias("chars_quartiles")
-    )
-    return w.join(q, "lang").select(
+    kmv = wrn.groupBy("lang").agg(
+        F.max("rn").alias("n_distinct"),
+        F.max(F.when(F.col("rn") == SKETCH_KMV_K, F.col("h"))).alias("kth"),
+    ).select(
         "lang",
-        "approx_distinct_words",
-        F.col("chars_quartiles")[0].cast("bigint").alias("p25"),
-        F.col("chars_quartiles")[1].cast("bigint").alias("p50"),
-        F.col("chars_quartiles")[2].cast("bigint").alias("p75"),
+        F.when(F.col("n_distinct") < SKETCH_KMV_K, F.col("n_distinct"))
+        .otherwise(
+            F.floor((SKETCH_KMV_K - 1) * F.lit(float(2**32)) / F.col("kth") + 0.5)
+        )
+        .cast("bigint")
+        .alias("approx_distinct_words"),
     )
+
+    bounds = d.groupBy("lang").agg(
+        F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    binned = (
+        d.select("lang", "n_chars")
+        .join(bounds, "lang")
+        .select(
+            "lang", "lo", "hi", "n",
+            F.floor(
+                (F.col("n_chars") - F.col("lo"))
+                * SKETCH_BINS
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("int").alias("bin"),
+        )
+        .groupBy("lang", "lo", "hi", "n", "bin")
+        .agg(F.count("*").alias("c"))
+    )
+    cum = binned.withColumn(
+        "cum", F.sum("c").over(Window.partitionBy("lang").orderBy("bin"))
+    )
+
+    def quantile_bin(p: float):
+        # lower bound of the first bin whose cumulative count reaches p·n
+        hit = F.when(
+            F.col("cum") - F.col("c") < F.lit(p) * F.col("n"), F.col("bin")
+        )
+        return F.max(hit)
+
+    quart = cum.groupBy("lang", "lo", "hi").agg(
+        quantile_bin(0.25).alias("b25"),
+        quantile_bin(0.50).alias("b50"),
+        quantile_bin(0.75).alias("b75"),
+    )
+
+    def bin_lo(b):
+        return (
+            F.col("lo")
+            + F.floor(F.col(b) * (F.col("hi") - F.col("lo") + 1) / SKETCH_BINS)
+        ).cast("bigint")
+
+    q = quart.select(
+        "lang", bin_lo("b25").alias("p25"), bin_lo("b50").alias("p50"),
+        bin_lo("b75").alias("p75"),
+    )
+    return kmv.join(q, "lang")
 
 
 REGISTRY.update({"q_sketch_stats": q_sketch_stats})

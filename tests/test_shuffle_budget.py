@@ -102,7 +102,10 @@ BUDGETS = {
     "q_simhash": 1,
     "q_similarity_lsh": 1,
     "q_similarity_topk": 1,
-    "q_sketch_stats": 2,
+    # KMV distinct (distinct → per-lang rank window) + histogram bins
+    # (bounds agg → bin counts): deterministic sketches cost one more
+    # exchange than the old engine-native HLL/GK pair
+    "q_sketch_stats": 3,
     "q_speedup_model": 1,
     "q_split_ratio_schedule": 0,
     "q_stratified_sample": 0,

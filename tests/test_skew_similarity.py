@@ -109,7 +109,7 @@ def test_asof_join_semantics(spark):
 
 
 def test_sketch_stats_accuracy(spark):
-    """HLL distinct within 5% of exact; approx quartiles bracket exact median."""
+    """KMV distinct within 5% of exact; histogram quartiles bracket exact median."""
     from pyspark.sql import functions as F
 
     import proactive_map_reduce_spark.queries as Q
