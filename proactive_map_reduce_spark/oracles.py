@@ -1848,3 +1848,28 @@ ranked AS (
 )
 SELECT lang, rnk, doc_id, quality_score FROM ranked WHERE rnk <= 20
 """
+
+
+# K1-K5 fetch-or-compute protocol: 2 passes over stage keys = 1 miss +
+# 1 hit each; tier = the same exact-integer policy the query applied
+# (running stage-token total vs a 0.3·total budget).
+ORACLES["q_cache_fetch_or_compute"] = f"""
+WITH {_WORDS}, {_CHUNKS}, {_MAPPED},
+ssize AS (
+  SELECT chunk_id, CAST(sum(n_out_tokens) AS BIGINT) AS stage_tokens
+  FROM mapped GROUP BY chunk_id
+),
+tot AS (SELECT CAST(floor(0.3 * sum(stage_tokens)) AS BIGINT) AS budget FROM ssize),
+pol AS (
+  SELECT chunk_id, stage_tokens,
+         sum(stage_tokens) OVER (ORDER BY chunk_id) AS cum, budget
+  FROM ssize, tot
+)
+SELECT CAST(chunk_id AS INT) AS chunk_id, stage_tokens,
+       substr(sha256('stage:' || chunk_id), 1, 8) AS key8,
+       CASE WHEN cum <= budget THEN 'memory'
+            WHEN stage_tokens <= budget THEN 'memory_disk'
+            ELSE 'disk' END AS tier,
+       CAST(1 AS BIGINT) AS n_miss, CAST(1 AS BIGINT) AS n_hit
+FROM pol
+"""

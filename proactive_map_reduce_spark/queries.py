@@ -2181,3 +2181,87 @@ def q_quality_topn_per_lang(spark, sf_dir):
 
 
 REGISTRY.update({"q_quality_topn_per_lang": q_quality_topn_per_lang})
+
+
+CACHE_BUDGET_FRAC = 0.3  # memory-tier budget as a fraction of total stage size
+
+
+def q_cache_fetch_or_compute(spark, sf_dir):
+    """K1-K5 query surface: fetch-or-compute of per-stage chunk
+    intermediates through the tiered CacheManager (the Spark analog of
+    kv_store/kv_loading_interface.py:28-126 add_kv/fetch_kv).
+
+    Two passes over the NUM_STEPS stage keys: pass 1 misses every key,
+    computes the stage lineage and persists it at the tier chosen by the
+    size-aware policy (exact token counts as the size units; running
+    total <= budget -> memory, stage fits alone -> memory_disk, else
+    disk); pass 2 hits every key and reuses the persisted lineage. The
+    returned rows carry the manager's RECORDED decisions (tier per key,
+    hit/miss counts) plus a per-stage aggregate computed THROUGH the
+    cached lineages — the oracle recomputes the same policy relationally,
+    so a wrong tier choice, a double-compute, or a dropped hit all
+    hash-mismatch.
+
+    Scale: stage sizing is one tiny aggregate (NUM_STEPS rows to the
+    driver — model state, like any cache directory); the cached data
+    itself shards across executor block managers via persist().
+    """
+    from .plans.cache import CacheManager, TIERS
+
+    mapped = mapstage.llm_map(_chunks(spark, sf_dir))
+    sizes = {
+        r["chunk_id"]: r["toks"]
+        for r in mapped.groupBy("chunk_id")
+        .agg(F.sum("n_out_tokens").alias("toks"))
+        .collect()
+    }
+    total = sum(sizes.values())
+    budget = int(CACHE_BUDGET_FRAC * total)
+
+    mgr = CacheManager()
+    stats: dict[int, dict] = {}
+    cum = 0
+    for _pass in range(2):
+        for cid in sorted(sizes):
+            key = _hashlib_sha256(f"stage:{cid}")
+            rec = stats.setdefault(cid, {"key8": key[:8], "hit": 0, "miss": 0})
+            if mgr.fetch(key) is None:
+                rec["miss"] += 1
+                cum += sizes[cid]
+                tier = (
+                    "memory"
+                    if cum <= budget
+                    else ("memory_disk" if sizes[cid] <= budget else "disk")
+                )
+                assert tier in TIERS
+                mgr.add(key, mapped.filter(F.col("chunk_id") == cid), tier=tier)
+                rec["tier"] = tier
+            else:
+                rec["hit"] += 1
+
+    # data plane: aggregate THROUGH the cached lineages
+    cached = [mgr.fetch(_hashlib_sha256(f"stage:{cid}")) for cid in sorted(sizes)]
+    union = cached[0]
+    for c in cached[1:]:
+        union = union.unionByName(c)
+    through_cache = union.groupBy("chunk_id").agg(
+        F.sum("n_out_tokens").cast("bigint").alias("stage_tokens")
+    )
+
+    protocol = spark.createDataFrame(
+        [
+            (cid, s["key8"], s["tier"], s["miss"], s["hit"])
+            for cid, s in sorted(stats.items())
+        ],
+        "chunk_id int, key8 string, tier string, n_miss bigint, n_hit bigint",
+    )
+    return through_cache.join(protocol, "chunk_id")
+
+
+def _hashlib_sha256(s: str) -> str:
+    import hashlib
+
+    return hashlib.sha256(s.encode("utf-8")).hexdigest()
+
+
+REGISTRY.update({"q_cache_fetch_or_compute": q_cache_fetch_or_compute})

@@ -63,3 +63,103 @@ def test_incremental_untouched_partitions_stable(spark):
         if s != 0:
             assert after[s] == before[s]
     inc.release()
+
+
+def _executed_metrics(df):
+    """(parquet_scan_rows, parquet_files_size, shuffle_records, scan_strs)
+    of an already-executed DataFrame's physical plan (AQE off → plain
+    tree). A persist()ed df's executed plan is just an InMemoryTableScan;
+    the work that BUILT the cache lives in `relation().cachedPlan()`, so
+    descend one level into it — but treat InMemoryTableScans inside that
+    build plan as leaves (they read previously cached partials, and their
+    own build cost belongs to the earlier step, not this one)."""
+    rows = size = shuffled = 0
+    scan_strs = []
+    plan = df._jdf.queryExecution().executedPlan()
+
+    def walk(node, into_cache):
+        nonlocal rows, size, shuffled
+        name = node.nodeName()
+        try:
+            m = node.metrics()
+            it = m.keys().iterator()
+            kv = {}
+            while it.hasNext():
+                k = it.next()
+                kv[k] = m.apply(k).value()
+        except Exception:
+            kv = {}
+        if name.startswith("Scan parquet"):
+            rows += kv.get("numOutputRows", 0)
+            size += kv.get("filesSize", 0)
+            try:  # full (untruncated) root paths of the scanned location
+                paths = node.relation().location().rootPaths()
+                scan_strs.append(
+                    ";".join(paths.apply(i).toString() for i in range(paths.size()))
+                )
+            except Exception:
+                scan_strs.append(node.toString())
+        if name.startswith("Exchange"):
+            shuffled += kv.get("shuffleRecordsWritten", 0)
+        if name.startswith("InMemoryTableScan"):
+            if into_cache:
+                walk(node.relation().cachedPlan(), False)
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i), into_cache)
+
+    walk(plan, True)
+    return rows, size, shuffled, scan_strs
+
+
+def test_delta_path_does_strictly_less_work_than_recompute(spark, tmp_path):
+    """§2.13's point (cache_utils.py:99-112): the delta path must do LESS
+    work, not just produce equal answers. Pin the executed-plan metrics:
+    the merge after a delta scans only the delta file (never the base),
+    and its scanned rows/bytes are a small fraction of a full recompute's.
+    """
+    base_dir = str(tmp_path / "incbase")
+    delta_dir = str(tmp_path / "incdelta")
+    spark.range(100_000).selectExpr(
+        "id", "cast(id % 7 as int) as section", "cast(id as double) as v"
+    ).write.parquet(base_dir)
+    spark.range(100_000, 100_500).selectExpr(
+        "id", "cast(id % 7 as int) as section", "cast(id as double) as v"
+    ).write.parquet(delta_dir)
+
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # full recompute over base+delta
+        full = (
+            spark.read.parquet(base_dir, delta_dir)
+            .groupBy("section")
+            .agg(F.sum("v").alias("total"))
+        )
+        full_rows = {r["section"]: r["total"] for r in full.collect()}
+        f_rows, f_size, f_shuf, _ = _executed_metrics(full)
+        assert f_rows >= 100_500  # recompute pays the whole base
+
+        inc = IncrementalAggregate("section", {"total": ("sum", "v")})
+        inc.initialize(spark.read.parquet(base_dir))
+        inc.apply_delta(spark.read.parquet(delta_dir))
+        # inc.partials IS the merged dataset apply_delta just executed
+        d_rows, d_size, d_shuf, d_scans = _executed_metrics(inc.partials)
+
+        assert d_rows == 500            # delta file only
+        assert d_rows * 100 < f_rows    # <1% of the recompute's scan
+        assert 0 < d_size < f_size / 10
+        # the delta step's only parquet scan is the delta dir — the base
+        # is never rescanned (old partials arrive via InMemoryTableScan)
+        assert d_scans and all("incdelta" in s for s in d_scans), d_scans
+        assert all("incbase" not in s for s in d_scans)
+        top = inc.partials._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in top  # partials come from cache
+        assert d_shuf <= f_shuf + 14    # merge shuffles partial rows only
+
+        got = {r["section"]: r["total"] for r in inc.result().collect()}
+        assert got == full_rows         # ...and the answer is identical
+        inc.release()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)

@@ -23,7 +23,9 @@ BUDGETS = {
     "q_any_answer_contained": 0,
     "q_asof_join": 1,
     "q_best_of_answers": 1,
-    "q_bleu": 1,
+    # two-sided n-gram counting (one doc_id-keyed agg per side) + the
+    # clipped-overlap join — the hash-checkable relational BLEU
+    "q_bleu": 2,
     "q_blocklist_filter": 0,
     "q_bm25_search": 4,
     "q_corpus_stats": 3,
