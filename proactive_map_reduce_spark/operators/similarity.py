@@ -160,36 +160,55 @@ def ivf_topk(
     )
     cent = [(j, list(r["xi"])) for j, r in enumerate(seeds)]
 
-    def assign(cdf):
-        s = base.crossJoin(F.broadcast(cdf)).select(
-            id_col, "v", "xi", "cluster", _int_l2(F.col("xi"), F.col("ci")).alias("dist")
+    def assign(centroids):
+        # Assignment is a NARROW map: the k×dim centroid table (driver
+        # model state) rides along as a one-row broadcast array column,
+        # and the argmin is array-local — struct ordering gives (min
+        # dist, then min cluster id), so ties break identically to the
+        # oracle. No per-vector shuffle; and because the centroids are
+        # DATA (not literals), every iteration reuses the same compiled
+        # plan instead of paying a fresh codegen per loop step.
+        cents_row = spark.createDataFrame(
+            [([(list(ci), int(j)) for j, ci in centroids],)],
+            "cents array<struct<ci: array<bigint>, cluster: int>>",
         )
-        wv = Window.partitionBy(id_col).orderBy("dist", "cluster")
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    _int_l2(F.col("xi"), c["ci"]).alias("dist"),
+                    c["cluster"].alias("cluster"),
+                ),
+            )
+        )
         return (
-            s.withColumn("rn", F.row_number().over(wv)).filter(F.col("rn") == 1)
+            base.crossJoin(F.broadcast(cents_row))
+            .withColumn("cluster", best["cluster"])
             .select(id_col, "v", "xi", "cluster")
         )
 
+    # Centroid update: dim is known, so the exact integer dim-sums are
+    # `dim` sum-aggregates in ONE groupBy (map-side partial agg, single
+    # shuffle of k×dim ints — no posexplode row blowup). The grid
+    # re-quantization floor(s/n + 0.5) runs on the driver over the k×dim
+    # model state with the same IEEE double division both engines use.
+    import math
+
+    dim = len(cent[0][1])
+    sum_aggs = [F.sum(F.col("xi")[d]).alias(f"s{d}") for d in range(dim)]
     for _ in range(IVF_ITERS):
-        cdf = spark.createDataFrame(cent, "cluster int, ci array<bigint>")
-        a = assign(cdf)
-        new_cent = (
-            a.select("cluster", F.posexplode("xi").alias("d", "x"))
-            .groupBy("cluster", "d")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("d", "s", "n"))),
-                    lambda t: F.floor(t["s"] / t["n"] + 0.5).cast("bigint"),
-                ).alias("ci")
+        a = assign(cent)
+        rows = a.groupBy("cluster").agg(F.count("*").alias("n"), *sum_aggs).collect()
+        cent = [
+            (
+                r["cluster"],
+                [int(math.floor(r[f"s{d}"] / r["n"] + 0.5)) for d in range(dim)],
             )
-            .collect()
-        )
-        cent = [(r["cluster"], list(r["ci"])) for r in new_cent]
+            for r in rows
+        ]
 
     cdf = spark.createDataFrame(cent, "cluster int, ci array<bigint>")
-    assigned = assign(cdf)
+    assigned = assign(cent)
 
     queries = assigned.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col("xi").alias("qxi"), F.col("v").alias("qv")

@@ -70,7 +70,11 @@ def build(spark, replicas: int) -> str:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        df.repartition(8).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+        # keep build partitions proportional to the replica count so the
+        # written files stay executor-memory-sized at 100×
+        df.repartition(max(8, replicas)).write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
     open(out + "/_DONE", "w").write("ok")
     return out
 
