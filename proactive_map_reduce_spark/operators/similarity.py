@@ -35,13 +35,50 @@ def cosine(a, b):
     return dot / (na * nb)
 
 
+def _dim_of(emb: DataFrame, vec_col: str) -> int:
+    """Probe the (fixed) vector dimensionality — one 1-row job."""
+    return emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+
+
+def unrolled_dot(a, b, dim: int):
+    """Σ a[d]·b[d] unrolled over a statically-known dim. Bit-identical to
+    the F.aggregate/zip_with fold in ``cosine`` (same left-to-right
+    association starting at 0.0; IEEE products commute), but the whole
+    expression stays inside whole-stage codegen — Spark's array
+    higher-order functions are interpreted, which made the HOF cosine
+    the hot-path cost of every similarity query."""
+    out = F.lit(0.0)
+    for d in range(dim):
+        out = out + a[d] * b[d]
+    return out
+
+
+def unrolled_norm(a, dim: int):
+    """‖a‖ with the same fold order as the HOF form in ``cosine``."""
+    s = F.lit(0.0)
+    for d in range(dim):
+        s = s + a[d] * a[d]
+    return F.sqrt(s)
+
+
 def brute_force_topk(
-    emb: DataFrame, n_queries: int = 8, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame, n_queries: int = 8, k: int = 5, id_col: str = "vec_id",
+    vec_col: str = "embedding", dim: int | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k of every corpus vector for the first n query vecs."""
-    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    """Exact cosine top-k of every corpus vector for the first n query vecs.
+
+    Norms are computed ONCE per row before the broadcast join (not per
+    query×corpus pair), and dot/norm are dim-unrolled codegen
+    expressions — same IEEE values as the HOF form, minus the
+    interpreted-eval and the |Q|× norm recomputation."""
+    dim = _dim_of(emb, vec_col) if dim is None else dim
+    base = emb.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nv", unrolled_norm(F.col("v"), dim))
     queries = base.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
     scored = (
         base.crossJoin(F.broadcast(queries))
@@ -49,7 +86,11 @@ def brute_force_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                unrolled_dot(F.col("qv"), F.col("v"), dim)
+                / (F.col("nq") * F.col("nv")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
@@ -74,14 +115,20 @@ def sign_bucket(vec_col, n_bits: int = 8):
 
 def lsh_topk(
     emb: DataFrame, n_queries: int = 8, k: int = 5, n_bits: int = 4,
-    id_col: str = "vec_id", vec_col: str = "embedding",
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: rank only candidates in the query's sign bucket."""
-    base = emb.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", sign_bucket(F.col("v"), n_bits))
+    dim = _dim_of(emb, vec_col) if dim is None else dim
+    base = (
+        emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+        .withColumn("bucket", sign_bucket(F.col("v"), n_bits))
+        .withColumn("nv", unrolled_norm(F.col("v"), dim))
+    )
     queries = base.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"),
+        F.col("nv").alias("nq"),
     )
     scored = (
         base.join(F.broadcast(queries), F.col("bucket") == F.col("qb"))
@@ -89,7 +136,11 @@ def lsh_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                unrolled_dot(F.col("qv"), F.col("v"), dim)
+                / (F.col("nq") * F.col("nv")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
@@ -208,19 +259,22 @@ def ivf_topk(
         ]
 
     cdf = spark.createDataFrame(cent, "cluster int, ci array<bigint>")
-    assigned = assign(cent)
+    assigned = assign(cent).withColumn("nv", unrolled_norm(F.col("v"), dim))
 
     queries = assigned.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col("xi").alias("qxi"), F.col("v").alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col("xi").alias("qxi"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
     # nprobe nearest centroids per query, same integer metric
     qc = queries.crossJoin(F.broadcast(cdf)).select(
-        "query_id", "qv", "cluster", _int_l2(F.col("qxi"), F.col("ci")).alias("cdist")
+        "query_id", "qv", "nq", "cluster", _int_l2(F.col("qxi"), F.col("ci")).alias("cdist")
     )
     wq = Window.partitionBy("query_id").orderBy("cdist", "cluster")
     probed = qc.withColumn("crank", F.row_number().over(wq)).filter(
         F.col("crank") <= nprobe
-    ).select("query_id", "qv", "cluster")
+    ).select("query_id", "qv", "nq", "cluster")
 
     scored = (
         assigned.join(probed, "cluster")
@@ -228,7 +282,11 @@ def ivf_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                unrolled_dot(F.col("qv"), F.col("v"), dim)
+                / (F.col("nq") * F.col("nv")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
@@ -238,23 +296,36 @@ def ivf_topk(
 
 def embedding_near_dup_pairs(
     emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id",
-    vec_col: str = "embedding", label_col: str = "label",
+    vec_col: str = "embedding", label_col: str = "label", dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by label.
 
     Blocking bounds the pair count (at scale: replace label with a coarse
     LSH bucket); exact cosine verifies each candidate pair.
     """
+    dim = _dim_of(emb, vec_col) if dim is None else dim
     base = emb.select(
         F.col(id_col), F.col(label_col).alias("blk"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nv", unrolled_norm(F.col("v"), dim))
+    a = base.select(
+        F.col(id_col).alias("vec_a"), F.col("blk"),
+        F.col("v").alias("va"), F.col("nv").alias("na"),
     )
-    a = base.select(F.col(id_col).alias("vec_a"), F.col("blk"), F.col("v").alias("va"))
-    b = base.select(F.col(id_col).alias("vec_b"), F.col("blk"), F.col("v").alias("vb"))
+    b = base.select(
+        F.col(id_col).alias("vec_b"), F.col("blk"),
+        F.col("v").alias("vb"), F.col("nv").alias("nb"),
+    )
     return (
         a.join(b, "blk")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
-            "vec_a", "vec_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+            "vec_a",
+            "vec_b",
+            F.round(
+                unrolled_dot(F.col("va"), F.col("vb"), dim)
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -58,18 +58,17 @@ def build(spark, replicas: int) -> str:
         )
     for t, (idc, stride) in OFFSETS.items():
         base = spark.read.parquet(f"{BASE}/{t}.parquet")
-        parts = []
-        for r in range(replicas):
-            p = base.withColumn(idc, F.col(idc) + F.lit(r * stride))
-            if t == "documents":
-                # perturb text per replica so dedup isn't all-identical
-                p = p.withColumn(
-                    "text", F.concat(F.col("text"), F.lit(f" replica{r}"))
-                )
-            parts.append(p)
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
+        # one narrow pass: explode a replica index instead of an N-way
+        # union (constant-size plan at any replica count)
+        df = base.withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
+        ).withColumn(idc, F.col(idc) + F.col("__r").cast("long") * stride)
+        if t == "documents":
+            # perturb text per replica so dedup isn't all-identical
+            df = df.withColumn(
+                "text", F.concat(F.col("text"), F.lit(" replica"), F.col("__r"))
+            )
+        df = df.drop("__r")
         # keep build partitions proportional to the replica count so the
         # written files stay executor-memory-sized at 100×
         df.repartition(max(8, replicas)).write.mode("overwrite").parquet(
@@ -80,14 +79,20 @@ def build(spark, replicas: int) -> str:
 
 
 def run_set(spark, registry, sf_dir):
-    times = {}
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    times, rows = {}, {}
     for name in QUERIES:
         spark.catalog.clearCache()
         df = registry[name](spark, sf_dir)
+        obs = Observation(f"rows_{name}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 2)
-    return times
+        rows[name] = obs.get["n"]
+    return times, rows
 
 
 def main() -> int:
@@ -110,14 +115,25 @@ def main() -> int:
         except Exception:
             pass
 
-    t1 = run_set(spark, REGISTRY, BASE)
-    tn = run_set(spark, REGISTRY, big)
+    t1, r1 = run_set(spark, REGISTRY, BASE)
+    tn, rn = run_set(spark, REGISTRY, big)
     factors = {
         k: round(tn[k] / t1[k], 1) if t1[k] > 0.05 else None for k in QUERIES
     }
+    out_growth = {
+        k: round(rn[k] / r1[k], 1) if r1[k] else None for k in QUERIES
+    }
     print(
         json.dumps(
-            {"replicas": replicas, "t_1x": t1, "t_Nx": tn, "factor": factors}
+            {
+                "replicas": replicas,
+                "t_1x": t1,
+                "t_Nx": tn,
+                "factor": factors,
+                "rows_1x": r1,
+                "rows_Nx": rn,
+                "output_growth": out_growth,
+            }
         )
     )
     spark.stop()
