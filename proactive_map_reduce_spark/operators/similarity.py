@@ -35,30 +35,58 @@ def cosine(a, b):
     return dot / (na * nb)
 
 
+# Test-data embedding dimensionality (embeddings.parquet, all SFs). Passed
+# as a constant so query construction never fires an eager probe job —
+# round 2's `_dim_of` first() probe cost one extra Spark job per plan build.
+EMBED_DIM = 64
+
+# Accumulator-chunk width for the unrolled dot/norm sums. Round 2 built the
+# 64-term sum as ONE maximally-deep left-leaning Add chain; Catalyst's
+# analyze/optimize passes over that ~63-deep tree (three of them per plan)
+# cost ~0.5 s of constant per-execution overhead at bench scale. Chunked
+# accumulation (8 sums of 8, then one 8-term combine) keeps the identical
+# term count inside whole-stage codegen but caps expression depth at ~15.
+# The chunk association is mirrored verbatim in oracles._cos_sql so both
+# engines compute bit-identical IEEE doubles.
+_CHUNK = 8
+
+
 def _dim_of(emb: DataFrame, vec_col: str) -> int:
-    """Probe the (fixed) vector dimensionality — one 1-row job."""
+    """Probe the (fixed) vector dimensionality — one 1-row job. Kept only
+    as the fallback for callers with non-test data; every registry query
+    passes ``dim=EMBED_DIM`` so no probe job runs on the bench path."""
     return emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
 
 
-def unrolled_dot(a, b, dim: int):
-    """Σ a[d]·b[d] unrolled over a statically-known dim. Bit-identical to
-    the F.aggregate/zip_with fold in ``cosine`` (same left-to-right
-    association starting at 0.0; IEEE products commute), but the whole
-    expression stays inside whole-stage codegen — Spark's array
-    higher-order functions are interpreted, which made the HOF cosine
-    the hot-path cost of every similarity query."""
-    out = F.lit(0.0)
-    for d in range(dim):
-        out = out + a[d] * b[d]
+def _chunked_sum(terms):
+    """Left-to-right fold of ``terms`` in chunks of ``_CHUNK``: chunk sums
+    first (each left-leaning), then one left-leaning combine. SQL's
+    left-associative `+` over the same chunk layout parses to the exact
+    same tree, so the oracle mirrors this association verbatim."""
+    chunks = []
+    for c0 in range(0, len(terms), _CHUNK):
+        s = terms[c0]
+        for t in terms[c0 + 1 : c0 + _CHUNK]:
+            s = s + t
+        chunks.append(s)
+    out = chunks[0]
+    for c in chunks[1:]:
+        out = out + c
     return out
 
 
+def unrolled_dot(a, b, dim: int):
+    """Σ a[d]·b[d] unrolled over a statically-known dim, chunk-accumulated
+    (see ``_CHUNK``). The whole expression stays inside whole-stage
+    codegen — Spark's array higher-order functions are interpreted, which
+    made the HOF cosine the hot-path cost of every similarity query —
+    while the shallow tree keeps Catalyst's per-plan constant cost flat."""
+    return _chunked_sum([a[d] * b[d] for d in range(dim)])
+
+
 def unrolled_norm(a, dim: int):
-    """‖a‖ with the same fold order as the HOF form in ``cosine``."""
-    s = F.lit(0.0)
-    for d in range(dim):
-        s = s + a[d] * a[d]
-    return F.sqrt(s)
+    """‖a‖ with the same chunked fold order as ``unrolled_dot``."""
+    return F.sqrt(_chunked_sum([a[d] * a[d] for d in range(dim)]))
 
 
 def brute_force_topk(

@@ -723,10 +723,26 @@ base AS (
 """
 
 
+# Chunked unrolled cosine — mirrors operators.similarity exactly: 8 chunk
+# sums of 8 terms, combined left-to-right. SQL `+` is left-associative, so
+# this string parses to the same IEEE association Spark's codegen computes
+# (round-3 change: both engines moved off whole-64-term left-leaning folds
+# together, keeping value hashes aligned).
+_COS_DIM, _COS_CHUNK = 64, 8
+
+
+def _chunked_sum_sql(term) -> str:
+    chunks = []
+    for c0 in range(0, _COS_DIM, _COS_CHUNK):
+        chunks.append("(" + " + ".join(term(d) for d in range(c0, c0 + _COS_CHUNK)) + ")")
+    return "(" + " + ".join(chunks) + ")"
+
+
 def _cos_sql(a: str, b: str) -> str:
-    dot = f"list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
-    na = f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
-    nb = f"sqrt(list_sum(list_transform({b}, x -> x * x)))"
+    # DuckDB lists are 1-based; Spark arrays 0-based — d+1 here ↔ a[d] there
+    dot = _chunked_sum_sql(lambda d: f"{a}[{d + 1}] * {b}[{d + 1}]")
+    na = f"sqrt({_chunked_sum_sql(lambda d: f'{a}[{d + 1}] * {a}[{d + 1}]')})"
+    nb = f"sqrt({_chunked_sum_sql(lambda d: f'{b}[{d + 1}] * {b}[{d + 1}]')})"
     return f"({dot} / ({na} * {nb}))"
 
 
