@@ -212,6 +212,7 @@ def _int_l2(a, b) -> "F.Column":
 def ivf_topk(
     emb: DataFrame, n_queries: int = 8, k: int = 5, n_clusters: int = 8,
     nprobe: int = 3, id_col: str = "vec_id", vec_col: str = "embedding",
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """IVF approximate top-k: deterministic seeded Lloyd's coarse
     quantizer + probed clusters — hash-checkable cross-engine.
@@ -226,7 +227,11 @@ def ivf_topk(
        division, so cluster boundaries are bit-stable across engines,
        partitionings and runs — unlike pyspark.ml KMeans, whose float
        reductions are partition-order sensitive. At 100 TB the training
-       input becomes a sample; assignment stays a full narrow pass.
+       input becomes a sample (`train_fraction` < 1): a deterministic
+       md5(vec_id) hash gate picks the training subset, so the sample —
+       and therefore the quantizer — is reproducible across runs and
+       partitionings, while seeding/assignment/probing are unchanged.
+       Assignment stays a full narrow pass over every vector.
     2. assign every corpus vector to its nearest centroid — narrow,
        embarrassingly parallel;
     3. per query, probe the `nprobe` nearest centroids (same integer
@@ -243,15 +248,37 @@ def ivf_topk(
         .withColumn("xi", _fixed_point(F.col("v")))
         .persist()
     )
+    if train_fraction < 1.0:
+        # Deterministic hash-gate sample: the first 8 hex chars of
+        # md5(vec_id) are a uniform 32-bit value; keep a vector for
+        # training iff it falls below fraction * 2^32. Same gate family
+        # as q_stratified_sample — no RNG state, stable under re-runs,
+        # re-partitioning and engine changes.
+        gate = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        train = base.filter(gate < int(train_fraction * 2**32)).persist()
+    else:
+        train = base
     seeds = (
-        base.withColumn("h", F.md5(F.col(id_col).cast("string")))
+        train.withColumn("h", F.md5(F.col(id_col).cast("string")))
         .orderBy("h")
         .limit(n_clusters)
         .collect()
     )
+    if not seeds:
+        # degenerate sample (fraction too small for the corpus): train on
+        # the full input rather than fail
+        train = base
+        seeds = (
+            train.withColumn("h", F.md5(F.col(id_col).cast("string")))
+            .orderBy("h")
+            .limit(n_clusters)
+            .collect()
+        )
     cent = [(j, list(r["xi"])) for j, r in enumerate(seeds)]
 
-    def assign(centroids):
+    def assign(centroids, over=None):
         # Assignment is a NARROW map: the k×dim centroid table (driver
         # model state) rides along as a one-row broadcast array column,
         # and the argmin is array-local — struct ordering gives (min
@@ -273,7 +300,8 @@ def ivf_topk(
             )
         )
         return (
-            base.crossJoin(F.broadcast(cents_row))
+            (base if over is None else over)
+            .crossJoin(F.broadcast(cents_row))
             .withColumn("cluster", best["cluster"])
             .select(id_col, "v", "xi", "cluster")
         )
@@ -288,7 +316,7 @@ def ivf_topk(
     dim = len(cent[0][1])
     sum_aggs = [F.sum(F.col("xi")[d]).alias(f"s{d}") for d in range(dim)]
     for _ in range(IVF_ITERS):
-        a = assign(cent)
+        a = assign(cent, over=train)
         rows = a.groupBy("cluster").agg(F.count("*").alias("n"), *sum_aggs).collect()
         cent = [
             (

@@ -51,11 +51,17 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(
+    df: DataFrame, text_col: str = "text", keep_cols: tuple = ("doc_id",)
+) -> DataFrame:
     """Quality-scoring features + composite score in [0, 1].
 
     Features mirror standard corpus filters: document length, mean word
     length, stopword ratio, distinct-word (repetition) ratio.
+
+    `keep_cols` lets a composed pipeline keep e.g. (doc_id, lang, text)
+    alongside the features so the gate can filter in the SAME narrow
+    projection — no self-join of two scans on doc_id.
     """
     ws = F.split(F.col(text_col), " ")
     n_words = F.size(ws)
@@ -67,7 +73,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.lit(0.4) * length_score + F.lit(0.3) * stop_ratio + F.lit(0.3) * distinct_ratio
     )
     return df.select(
-        "doc_id",
+        *keep_cols,
         n_words.cast("bigint").alias("n_words"),
         F.round(avg_word_len, 6).alias("avg_word_len"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),

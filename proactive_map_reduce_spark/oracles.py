@@ -608,13 +608,17 @@ FROM s GROUP BY user_id, session_id
 
 # --- batch 3: dedup / similarity / text analysis / multimodal ---------------
 
-_SHINGLES = """
+def _shingles_from(src: str) -> str:
+    return f"""
 sh AS (
   SELECT DISTINCT d.doc_id, array_to_string(d.ws[t.i + 1 : t.i + 3], ' ') AS shingle
-  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM {src}) d,
        UNNEST(generate_series(0, greatest(len(d.ws) - 3, 0))) AS t(i)
 )
 """
+
+
+_SHINGLES = _shingles_from("documents")
 
 from .operators.dedup import MINHASH_A, MINHASH_B, MINHASH_PRIME  # noqa: E402
 
@@ -1793,6 +1797,88 @@ SELECT lang, CAST(floor(start_off / 256.0) AS BIGINT) AS pack_id,
 FROM packed GROUP BY lang, CAST(floor(start_off / 256.0) AS BIGINT)
 """
 
+
+# Composed curation pipeline: gate -> minhash drop -> sentence dedup ->
+# pack. Mirrors queries.q_curation_pipeline stage by stage; the minhash
+# CTEs are the q_dedup_minhash_pairs oracle re-rooted at the gated docs.
+ORACLES["q_curation_pipeline"] = f"""
+WITH gated AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+      round(CAST(0.4 AS DOUBLE) * least(len(string_split(text, ' '))
+                / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+          + CAST(0.3 AS DOUBLE) * (len(list_filter(string_split(text, ' '),
+                x -> list_contains(['the','a','an','of','to','and','in','is','it','for'], x)))
+                / CAST(len(string_split(text, ' ')) AS DOUBLE))
+          + CAST(0.3 AS DOUBLE) * (len(list_distinct(string_split(text, ' ')))
+                / CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS q
+    FROM documents)
+  WHERE q >= 0.40
+),
+{_shingles_from('gated')},
+{_HS}, {_SIG}, {_BANDED}, {_CAND},
+sizes AS (SELECT doc_id, count(*) AS sz FROM hs GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM hs a JOIN hs b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+  GROUP BY 1, 2
+),
+jacc AS (
+  SELECT c.doc_a, c.doc_b,
+         round(coalesce(i.n_inter, 0)
+               / CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0) AS DOUBLE), 6) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+),
+dropped AS (SELECT DISTINCT doc_b AS doc_id FROM jacc WHERE jaccard >= 0.5),
+surv AS (
+  SELECT g.* FROM gated g LEFT JOIN dropped x ON g.doc_id = x.doc_id
+  WHERE x.doc_id IS NULL
+),
+s AS (
+  SELECT doc_id, lang, t.i - 1 AS sent_pos, d.ss[t.i] AS sentence
+  FROM (SELECT doc_id, lang,
+               string_split(regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'),
+                            chr(1)) AS ss
+        FROM surv) d,
+       UNNEST(generate_series(1, len(d.ss))) AS t(i)
+  WHERE length(d.ss[t.i]) > 0
+),
+k AS (
+  SELECT doc_id, lang, sent_pos,
+         len(string_split(sentence, ' ')) AS sent_tok,
+         md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(sentence),
+             '[^a-z0-9 ]', '', 'g'), '\\b(a|an|the)\\b', ' ', 'g'),
+             '\\s+', ' ', 'g'))) AS sent_key
+  FROM s
+),
+f AS (
+  SELECT doc_id, lang, sent_tok,
+         CASE WHEN row_number() OVER (
+           PARTITION BY sent_key ORDER BY doc_id, sent_pos) = 1
+         THEN 1 ELSE 0 END AS is_first
+  FROM k
+),
+kept AS (
+  SELECT doc_id, lang, sum(is_first * sent_tok) AS n_tok
+  FROM f GROUP BY doc_id, lang
+),
+packed AS (
+  SELECT doc_id, lang, n_tok,
+         coalesce(sum(n_tok) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM kept
+)
+SELECT lang, CAST(floor(start_off / 256.0) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM packed GROUP BY lang, CAST(floor(start_off / 256.0) AS BIGINT)
+"""
 
 ORACLES["q_html_strip"] = """
 WITH h AS (

@@ -1409,10 +1409,27 @@ def q_sketch_stats(spark, sf_dir):
     d = _docs(spark, sf_dir)
     words = _words(spark, sf_dir).join(d.select("doc_id", "lang"), "doc_id")
     wh = words.select("lang", portable_hash64("word").alias("h")).distinct()
-    wrn = wh.withColumn(
+    # Two-level min-k (the actual KMV merge shape): rank hashes within
+    # each (physical partition, lang) group and keep the k smallest, so
+    # no task ever sorts more than one partition's vocabulary; then
+    # re-rank only the surviving <= k * n_partitions candidates per lang.
+    # The final values are identical to a global per-lang rank:
+    #   - the global k-th minimum always survives the per-partition cut
+    #     (it is at worst the k-th smallest of its own partition), and
+    #   - the exact-count branch fires iff no partition truncated, in
+    #     which case the candidate set IS the full distinct set.
+    # spark_partition_id() here is only a locality label for the cut —
+    # any partitioning (including an AQE-coalesced one) yields the same
+    # final answer. At cluster scale, extend to a tree merge by adding a
+    # middle level keyed on pid % fan_in before the final per-lang rank.
+    loc = wh.withColumn("pid", F.spark_partition_id())
+    local_k = loc.withColumn(
+        "lrn", F.row_number().over(Window.partitionBy("pid", "lang").orderBy("h"))
+    ).filter(F.col("lrn") <= SKETCH_KMV_K)
+    cand = local_k.withColumn(
         "rn", F.row_number().over(Window.partitionBy("lang").orderBy("h"))
     )
-    kmv = wrn.groupBy("lang").agg(
+    kmv = cand.groupBy("lang").agg(
         F.max("rn").alias("n_distinct"),
         F.max(F.when(F.col("rn") == SKETCH_KMV_K, F.col("h"))).alias("kth"),
     ).select(
@@ -2094,6 +2111,103 @@ def q_pack_sequences(spark, sf_dir):
 
 
 REGISTRY.update({"q_pack_sequences": q_pack_sequences})
+
+
+CURATION_QUALITY_MIN = 0.40  # keeps ~40% of fixture docs (gate must bite)
+CURATION_JACCARD_MIN = 0.5   # near-dup drop threshold on exact Jaccard
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """The end-to-end training-data curation pipeline as ONE composed
+    plan — the engine's north-star user journey: scan → quality gate →
+    minhash near-dup drop → sentence-level dedup → sequence packing.
+
+    Stage composition (each reuses the operators the standalone queries
+    pin, sharing one documents scan on the heavy path):
+    1. GATE: quality_features in the scan projection, filter
+       quality_score >= CURATION_QUALITY_MIN. Cheap narrow filter FIRST,
+       so the expensive shingle explosion below only sees survivors.
+    2. NEAR-DUP DROP: minhash signatures + LSH banding + exact Jaccard
+       (same single-aggregation path as q_dedup_minhash_pairs) on gated
+       docs; for every verified pair (jaccard >= CURATION_JACCARD_MIN)
+       the larger doc_id is dropped (greedy keep-first — pairwise, not
+       transitive closure: a doc is dropped iff it directly pairs with a
+       smaller doc_id; the cluster minimum always survives).
+    3. SENTENCE DEDUP: C4-style first-occurrence sentence retention over
+       the surviving docs (same key/window as q_sentence_dedup), keeping
+       per-doc KEPT-token counts — later copies of a sentence contribute
+       no tokens.
+    4. PACK: greedy fixed-budget packing of kept tokens per lang in
+       deterministic doc_id order (same closed form as q_pack_sequences).
+
+    Scale shape: the gate is narrow; the minhash path is the documented
+    banding/bucket pipeline (no all-pairs); the anti-join's right side is
+    the drop list (pairs that verified), orders of magnitude smaller than
+    the corpus; sentence dedup shuffles once on the uniform sentence
+    hash; packing windows within lang partitions. No stage materializes
+    to the driver.
+    """
+    d = _docs(spark, sf_dir)
+    feats = ts_ops.quality_features(d, keep_cols=("doc_id", "lang", "text"))
+    # persist the gate output: it feeds the minhash path AND the
+    # anti-join left side — one filtered pass over the corpus instead of
+    # two re-scans (at 100 TB this is the staged intermediate a real
+    # pipeline writes between gate and dedup)
+    gated = (
+        feats.filter(F.col("quality_score") >= CURATION_QUALITY_MIN)
+        .select("doc_id", "lang", "text")
+        .persist()
+    )
+
+    combined = dedup_ops.minhash_with_sets(
+        dedup_ops.shingle_rows(chunking.split_words(gated)), MINHASH_N
+    ).persist()
+    pairs = dedup_ops.lsh_candidate_pairs(combined, MINHASH_N, MINHASH_BANDS)
+    jacc = dedup_ops.jaccard_pairs(combined.select("doc_id", "shingles"), pairs)
+    drop = (
+        jacc.filter(F.col("jaccard") >= CURATION_JACCARD_MIN)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    surv = gated.join(drop, "doc_id", "left_anti")
+
+    # sentence split inline (split_sentences shape + lang carried through
+    # the explode, so the post-rollup pack needs no lang restore-join)
+    marked = F.regexp_replace(F.col("text"), r"([.!?])\s+", "$1" + chunking._SENT_MARK)
+    sents = surv.select(
+        "doc_id", "lang",
+        F.posexplode(F.split(marked, chunking._SENT_MARK)).alias("sent_pos", "sentence"),
+    ).filter(F.length("sentence") > 0)
+    keyed = sents.select(
+        "doc_id", "lang", "sent_pos",
+        F.size(F.split(F.col("sentence"), " ")).alias("sent_tok"),
+        F.md5(normalize_text(F.col("sentence"))).alias("sent_key"),
+    )
+    wf = Window.partitionBy("sent_key").orderBy("doc_id", "sent_pos")
+    flagged = keyed.withColumn(
+        "is_first", (F.row_number().over(wf) == 1).cast("int")
+    )
+    kept = flagged.groupBy("doc_id", "lang").agg(
+        F.sum(F.col("is_first") * F.col("sent_tok")).alias("n_tok")
+    )
+
+    wp = Window.partitionBy("lang").orderBy("doc_id")
+    packed = kept.withColumn(
+        "start_off",
+        F.coalesce(
+            F.sum("n_tok").over(wp.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).withColumn("pack_id", F.floor(F.col("start_off") / PACK_BUDGET).cast("bigint"))
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+REGISTRY.update({"q_curation_pipeline": q_curation_pipeline})
 
 
 def q_html_strip(spark, sf_dir):

@@ -29,9 +29,13 @@ TABLES = [
     "embeddings",
 ]
 
-# Columns written as INT64(TIMESTAMP(NANOS)) by the fixture generator: Spark
-# reads them as long (nanos) under spark.sql.legacy.parquet.nanosAsLong and
-# we convert to microsecond timestamps (equal to what DuckDB's reader sees).
+# Timestamp columns whose parquet physical type has varied across fixture
+# generations: INT64(TIMESTAMP(NANOS)) (read as long nanos under
+# spark.sql.legacy.parquet.nanosAsLong) or TIMESTAMP(MICROS, isAdjustedToUTC
+# =false) (read as timestamp_ntz). Both are normalized to a session-zone
+# TIMESTAMP so downstream unix_micros()/window() calls see one type; the
+# engine session pins spark.sql.session.timeZone=UTC, making the ntz cast
+# value-preserving and equal to what DuckDB's reader sees.
 _NANO_TS_COLS = {"events": ["ts"]}
 
 
@@ -46,11 +50,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_nanos_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANO_TS_COLS.get(name, []):
-        if dict(df.dtypes).get(col) == "bigint":
+        dtype = dict(df.dtypes).get(col)
+        if dtype == "bigint":
             # integer DIV, not double division: nanos ~1e18 exceed double's
             # exact-integer range, so (col/1000).cast(long) can be ±1 µs off
             # DuckDB's exact ns→µs truncation.
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+        elif dtype == "timestamp_ntz":
+            # UTC session zone → wall-clock-preserving, matches DuckDB.
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -30,6 +30,14 @@ BUDGETS = {
     "q_bm25_search": 4,
     "q_corpus_stats": 3,
     "q_cube_events": 1,
+    # composed curation pipeline: the minhash near-dup path costs its
+    # standalone budget (5), then anti-join on doc_id (1), sentence-key
+    # window (1), per-doc kept rollup (1), lang pack window (1) with the
+    # final groupBy reusing the lang partitioning, plus the gate staging
+    # exchange — measured 10 at pin time. The contract: composing the
+    # four curation stages must never cost more than the sum of their
+    # parts (no hidden re-derivation shuffles).
+    "q_curation_pipeline": 10,
     "q_decode_detok": 2,
     "q_dedup_embedding": 0,
     "q_dedup_exact": 1,
@@ -104,10 +112,11 @@ BUDGETS = {
     "q_simhash": 1,
     "q_similarity_lsh": 1,
     "q_similarity_topk": 1,
-    # KMV distinct (distinct → per-lang rank window) + histogram bins
-    # (bounds agg → bin counts): deterministic sketches cost one more
-    # exchange than the old engine-native HLL/GK pair
-    "q_sketch_stats": 3,
+    # KMV distinct (distinct → per-(partition,lang) min-k cut → per-lang
+    # re-rank of <= k*P candidates) + histogram bins (bounds agg → bin
+    # counts): the extra exchange vs round 2 buys bounded-size sort
+    # groups — no task ever sorts a full per-language vocabulary
+    "q_sketch_stats": 4,
     "q_speedup_model": 1,
     "q_split_ratio_schedule": 0,
     "q_stratified_sample": 0,
