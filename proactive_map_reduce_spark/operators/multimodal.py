@@ -52,7 +52,15 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def real_decode(payload: bytes, media_type: str) -> dict:
-    """The real decode seam. Media libs are not available in this container."""
+    """The real decode seam. Media libs are not available in this container.
+
+    Seam contract (pinned by tests/test_multimodal_codec.py): a codec is
+    any ``(payload bytes, media_type) -> {width, height, n_frames}``
+    callable; it executes inside the Arrow batch loop, so swapping
+    fake_decode for a real decoder (the test drops in a pure-python PPM
+    parser, and Pillow where installed) changes ZERO plan nodes — same
+    single narrow mapInPandas stage, same schema, no exchange.
+    """
     raise NotImplementedError(
         "media decode requires PIL/torchaudio/ffmpeg; plug a codec into "
         "extract_features(codec=...)"
