@@ -225,6 +225,115 @@ def stateful_accumulate(spark: SparkSession, chunks_df: DataFrame) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def rate_source_soak(
+    spark: SparkSession,
+    duration_s: int = 30,
+    rows_per_second: int = 20000,
+    n_keys: int = 200,
+) -> dict:
+    """Unbounded-source soak: drive the two stateful shapes (watermarked
+    window aggregation; applyInPandasWithState accumulator) from a `rate`
+    source for `duration_s` wall seconds, concurrently, and report
+    throughput + state-store growth from StreamingQueryProgress.
+
+    What fixture replay cannot evidence and this does:
+    - state EVICTION: the watermark (2 s on 1 s windows) must hold window
+      state near `n_keys × horizon` rows indefinitely — unbounded input,
+      bounded state;
+    - keyed state PLATEAU: the accumulator's state rows equal the
+      distinct-key count, independent of rows processed;
+    - sustained rate: numInputRows over wall time with the Python state
+      worker in the loop.
+
+    Both queries sink to `noop` so the measurement excludes sink cost.
+    Returns {"window": {...}, "stateful": {...}} with rows/sec and the
+    max/final state-store row counts.
+    """
+    ckpts = [_ckpt_dir(), _ckpt_dir()]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    def src():
+        s = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", str(rows_per_second))
+            .load()
+        )
+        return s.select(
+            (F.col("value") % n_keys).alias("user_id"),
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 97).cast("double").alias("value"),
+        )
+
+    win = (
+        src()
+        .withWatermark("ts", "2 seconds")
+        .groupBy(F.window("ts", "1 second"), "user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("s"))
+    )
+
+    def _acc_count(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    acc = (
+        src()
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _acc_count,
+            outputStructType="user_id long, n long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+    queries = []
+    try:
+        for df, ckpt in ((win, ckpts[0]), (acc, ckpts[1])):
+            queries.append(
+                df.writeStream.outputMode("update")
+                .format("noop")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+        time.sleep(duration_s)
+        out = {}
+        for label, q in zip(("window", "stateful"), queries):
+            progresses = [p for p in q.recentProgress if p is not None]
+            rows_in = sum(p["numInputRows"] for p in progresses)
+            state_rows = [
+                p["stateOperators"][0]["numRowsTotal"]
+                for p in progresses
+                if p.get("stateOperators")
+            ]
+            out[label] = {
+                "batches": len(progresses),
+                "rows_in": int(rows_in),
+                "rows_per_sec": round(rows_in / duration_s, 1),
+                "state_rows_max": int(max(state_rows)) if state_rows else 0,
+                "state_rows_final": int(state_rows[-1]) if state_rows else 0,
+            }
+        return out
+    finally:
+        # stopping an unbounded query mid-batch races its in-flight
+        # broadcast cleanup — the JVM logs a benign TorrentBroadcast
+        # ERROR; mute below ERROR for just the stop window
+        spark.sparkContext.setLogLevel("FATAL")
+        for q in queries:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        for c in ckpts:
+            shutil.rmtree(c, ignore_errors=True)
+
+
 def final_accumulation(updates: DataFrame) -> DataFrame:
     """Reduce W2's running updates to the final row per doc (max stage).
 

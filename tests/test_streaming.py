@@ -243,3 +243,24 @@ def test_checkpoint_recovery_exactly_once(spark):
         for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_rate_source_soak_bounded_state(spark):
+    """Unbounded-source soak (short CI variant of tools/soak_stream.py):
+    state must stay bounded while input keeps flowing — window state by
+    watermark eviction (≈ n_keys × live-window horizon), accumulator
+    state by the distinct-key count exactly."""
+    from proactive_map_reduce_spark.streaming.proactive import rate_source_soak
+
+    n_keys = 50
+    out = rate_source_soak(spark, duration_s=12, rows_per_second=5000, n_keys=n_keys)
+    # both shapes processed real volume
+    assert out["window"]["rows_in"] >= 20000, out
+    assert out["stateful"]["rows_in"] >= 20000, out
+    # watermark eviction: window state never exceeds a small multiple of
+    # the live horizon (2 s watermark + in-flight windows ≪ 12 s of
+    # windows had eviction not run)
+    assert 0 < out["window"]["state_rows_max"] <= n_keys * 8, out
+    # keyed accumulator: state == distinct keys, independent of volume
+    assert out["stateful"]["state_rows_max"] == n_keys, out
+    assert out["stateful"]["state_rows_final"] == n_keys, out
