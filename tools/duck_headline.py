@@ -1,0 +1,69 @@
+"""Time the headline queries' ORACLE SQL in DuckDB at a given sf_dir.
+
+The judge's governing performance number is Spark bench.py wall-clock vs
+DuckDB running the SAME oracle SQL at the same scale factor (best-of-3).
+This tool produces the DuckDB side locally so the bench margin can be
+tracked per round without guessing the denominator.
+
+Usage: python tools/duck_headline.py [sf_dir]   # one JSON line
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+HEADLINE = [
+    "q_pricing_summary",
+    "q_top_revenue",
+    "q_region_revenue",
+    "q_window_tumbling",
+    "q_sessionize",
+    "q_flagship",
+    "q_tokenize",
+    "q_dedup_minhash_pairs",
+    "q_simhash",
+    "q_similarity_topk",
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    import duckdb
+
+    from proactive_map_reduce_spark.oracles import ORACLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    times: dict[str, float] = {}
+    for _ in range(3):
+        for name in HEADLINE:
+            sql = ORACLES.get(name)
+            if sql is None:
+                continue
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            dt = round(time.time() - t0, 3)
+            if name not in times or dt < times[name]:
+                times[name] = dt
+    total = round(sum(times.values()), 3)
+    print(json.dumps({"metric": "duckdb_headline_wall_clock", "value": total,
+                      "unit": "sec", "queries": times, "sf_dir": sf_dir}))
+
+
+if __name__ == "__main__":
+    main()
