@@ -1880,6 +1880,59 @@ SELECT lang, CAST(floor(start_off / 256.0) AS BIGINT) AS pack_id,
 FROM packed GROUP BY lang, CAST(floor(start_off / 256.0) AS BIGINT)
 """
 
+ORACLES["q_pii_redact"] = """
+WITH dirty AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 4 = 0 THEN ' contact me at user.name@example.com now'
+         WHEN doc_id % 4 = 1 THEN ' call 555-123-4567 or 555-987-6543'
+         WHEN doc_id % 4 = 2 THEN ' server at 192.168.1.77 responded'
+         ELSE '' END AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id, t,
+    regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                   '[EMAIL]', 'g') AS s1
+  FROM dirty
+),
+s2 AS (
+  SELECT doc_id, t,
+    regexp_replace(s1, '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g') AS p
+  FROM s
+),
+s3 AS (
+  SELECT doc_id, t, p,
+    regexp_replace(p, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                   '[IP]', 'g') AS clean
+  FROM s2
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t,
+    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(p,
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+  CAST(length(clean) AS BIGINT) AS clean_len,
+  CASE WHEN strpos(clean, '@') = 0 THEN 1 ELSE 0 END AS no_email_left
+FROM s3
+"""
+
+ORACLES["q_decontaminate"] = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g5 AS (
+  SELECT DISTINCT d.doc_id,
+         {_h("array_to_string(d.ws[t.i + 1 : t.i + 5], ' ')")} AS g
+  FROM w d, UNNEST(generate_series(0, greatest(len(d.ws) - 5, 0))) AS t(i)
+),
+bench AS (SELECT doc_id AS bench_id, g FROM g5 WHERE doc_id % 17 = 0),
+train AS (SELECT doc_id, g FROM g5 WHERE doc_id % 17 <> 0)
+SELECT t.doc_id,
+  CAST(count(DISTINCT t.g) AS BIGINT) AS n_contaminated_grams,
+  CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs_hit
+FROM train t JOIN bench b ON t.g = b.g
+GROUP BY t.doc_id
+"""
+
 ORACLES["q_html_strip"] = """
 WITH h AS (
   SELECT doc_id, text,

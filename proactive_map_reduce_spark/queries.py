@@ -2237,6 +2237,80 @@ def q_html_strip(spark, sf_dir):
 REGISTRY.update({"q_html_strip": q_html_strip})
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing (the redaction stage of a web-corpus pipeline):
+    deterministic synthetic PII (email / phone / IPv4 — fixtures carry
+    none) is injected per doc_id residue, then the scrubber replaces
+    each class with a typed placeholder and reports per-class counts.
+
+    Zero-shuffle narrow projection — at 100 TB this is a scan-fused
+    regexp pass, the cheapest possible shape. The injection stands in
+    for raw crawl text exactly like q_html_strip's synthetic markup, so
+    redaction semantics stay value-checkable against the oracle.
+    """
+    d = _docs(spark, sf_dir)
+    dirty = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" contact me at user.name@example.com now"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" call 555-123-4567 or 555-987-6543"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" server at 192.168.1.77 responded"))
+        .otherwise(F.lit("")),
+    )
+    email_re = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    phone_re = r"\b\d{3}-\d{3}-\d{4}\b"
+    ip_re = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    step1 = F.regexp_replace(dirty, email_re, "[EMAIL]")
+    step2 = F.regexp_replace(step1, phone_re, "[PHONE]")
+    clean = F.regexp_replace(step2, ip_re, "[IP]")
+    return d.select(
+        "doc_id",
+        F.coalesce(F.size(F.regexp_extract_all(dirty, F.lit(email_re), F.lit(0))), F.lit(0))
+        .cast("bigint").alias("n_emails"),
+        F.coalesce(F.size(F.regexp_extract_all(dirty, F.lit(phone_re), F.lit(0))), F.lit(0))
+        .cast("bigint").alias("n_phones"),
+        F.coalesce(F.size(F.regexp_extract_all(step2, F.lit(ip_re), F.lit(0))), F.lit(0))
+        .cast("bigint").alias("n_ips"),
+        F.length(clean).cast("bigint").alias("clean_len"),
+        (F.instr(clean, "@") == 0).cast("int").alias("no_email_left"),
+    )
+
+
+DECONTAM_NGRAM = 5
+
+
+def q_decontaminate(spark, sf_dir):
+    """Train/test decontamination (GPT-3/The-Pile style): flag every
+    training document sharing any {DECONTAM_NGRAM}-gram with the held-out
+    benchmark set (stand-in: docs with doc_id % 17 == 0).
+
+    Shape: 5-gram shingles on BOTH sides via the same codegen window
+    pipeline as minhash (explode → lead() grams → hash to int64), then
+    an equi-join on the uniform gram hash and a per-doc rollup. At
+    100 TB the benchmark side is tiny (eval suites), so the join
+    broadcasts; candidate work is proportional to true collisions —
+    never a cross product. Output: per contaminated train doc, how many
+    distinct benchmark grams hit and with how many benchmark docs it
+    collides.
+    """
+    d = _docs(spark, sf_dir)
+    is_bench = F.col("doc_id") % 17 == 0
+    grams = dedup_ops.shingle_rows(
+        chunking.split_words(d), n=DECONTAM_NGRAM
+    ).select("doc_id", portable_hash64("shingle").alias("g"))
+    bench = grams.filter(is_bench).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    ).distinct()
+    train = grams.filter(~is_bench).distinct()
+    hits = train.join(F.broadcast(bench), "g")
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("g").cast("bigint").alias("n_contaminated_grams"),
+        F.countDistinct("bench_id").cast("bigint").alias("n_bench_docs_hit"),
+    )
+
+
+REGISTRY.update({"q_pii_redact": q_pii_redact, "q_decontaminate": q_decontaminate})
+
+
 def q_embedding_centroids(spark, sf_dir):
     """Per-label embedding centroids (the building block of IVF training
     and cluster-based curation): posexplode the vectors, average per

@@ -39,6 +39,10 @@ BUDGETS = {
     # parts (no hidden re-derivation shuffles).
     "q_curation_pipeline": 10,
     "q_decode_detok": 2,
+    # 5-gram decontamination: shingle window (doc_id) + two distincts
+    # (train/bench gram sets) + the per-doc rollup; the gram join itself
+    # broadcasts the benchmark side
+    "q_decontaminate": 4,
     "q_dedup_embedding": 0,
     "q_dedup_exact": 1,
     "q_dedup_minhash_pairs": 5,
@@ -82,6 +86,8 @@ BUDGETS = {
     "q_pivot_event_types": 2,
     "q_positional_shift": 2,
     "q_prefix_scan_inputs": 1,
+    # scan-fused regexp scrub, the cheapest possible shape
+    "q_pii_redact": 0,
     "q_pricing_summary": 1,
     "q_project_lengths": 0,
     "q_promo_revenue": 0,

@@ -28,7 +28,15 @@ def canon(v):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    # accept space- and/or comma-separated names; reject unknown ones so a
+    # typo can't produce a vacuous "0 failures"
+    only = {n for arg in sys.argv[2:] for n in arg.split(",") if n}
+    from proactive_map_reduce_spark.queries import REGISTRY as _REG
+
+    unknown = only - set(_REG)
+    if unknown:
+        print(f"unknown queries: {sorted(unknown)}")
+        return 2
 
     import duckdb
 
