@@ -1933,6 +1933,49 @@ FROM train t JOIN bench b ON t.g = b.g
 GROUP BY t.doc_id
 """
 
+ORACLES["q_corpus_mix"] = f"""
+WITH k AS (
+  SELECT source,
+         CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3 = 0 THEN 100
+              WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3 = 1 THEN 50
+              ELSE 25 END AS target_pct,
+         CASE WHEN {_h("CAST(doc_id AS VARCHAR)", salt="mix")} % 100 <
+              CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3 = 0 THEN 100
+                   WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3 = 1 THEN 50
+                   ELSE 25 END
+         THEN 1 ELSE 0 END AS keep
+  FROM documents
+)
+SELECT source, target_pct,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       round(sum(keep) / CAST(count(*) AS DOUBLE), 6) AS realized_frac
+FROM k GROUP BY source, target_pct
+"""
+
+ORACLES["q_quantize_embeddings"] = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+  FROM v
+),
+q AS (
+  SELECT vec_id, s,
+         list_transform(v, x -> CAST(round(x / s) AS INT)) AS qv,
+         list_transform(v, x -> abs(x - round(x / s) * s)) AS errv
+  FROM s
+)
+SELECT vec_id, round(s, 6) AS scale,
+       CAST(list_max(qv) AS INT) AS q_max,
+       CAST(list_min(qv) AS INT) AS q_min,
+       round(list_max(errv), 6) AS max_abs_err
+FROM q
+"""
+
 ORACLES["q_html_strip"] = """
 WITH h AS (
   SELECT doc_id, text,

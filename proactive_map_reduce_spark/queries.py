@@ -2311,6 +2311,76 @@ def q_decontaminate(spark, sf_dir):
 REGISTRY.update({"q_pii_redact": q_pii_redact, "q_decontaminate": q_decontaminate})
 
 
+def q_corpus_mix(spark, sf_dir):
+    """Domain-mixture control (the "data mixing weights" primitive of
+    LLM corpus assembly): each source gets a target keep-fraction
+    (residue-derived here: src%3 → 100/50/25 percent), applied via the
+    deterministic hash gate, with a per-source realized-vs-target
+    report — the audit artifact a mixing run ships with.
+
+    Scale: the gate is a narrow scan-fused filter (same idiom as
+    q_stratified_sample, different stratum axis); the report is ONE
+    groupBy(source). Changing the mixture = changing literals — no data
+    movement beyond the one report aggregation.
+    """
+    d = _docs(spark, sf_dir)
+    srcnum = F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int")
+    target = (
+        F.when(srcnum % 3 == 0, 100).when(srcnum % 3 == 1, 50).otherwise(25)
+    )
+    gate = portable_hash64(F.col("doc_id").cast("string"), salt="mix") % 100
+    kept = d.select(
+        "source",
+        target.alias("target_pct"),
+        (gate < target).cast("int").alias("keep"),
+    )
+    return kept.groupBy("source", "target_pct").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum("keep").cast("bigint").alias("n_kept"),
+        F.round(F.sum("keep") / F.count("*"), 6).alias("realized_frac"),
+    )
+
+
+QUANT_SCALE = 127.0
+
+
+def q_quantize_embeddings(spark, sf_dir):
+    """Int8 embedding quantization (the storage/serving compression every
+    vector index applies before ANN): per-vector symmetric scale
+    s = max|x|/127, dims quantized to round(x/s), plus reconstruction
+    error stats — max abs error must stay ≤ s/2 by construction.
+
+    Narrow zero-shuffle projection: quantization is per-row arithmetic
+    over the array column, entirely inside the scan stage — dim-unrolled
+    (EMBED_DIM is schema-known) so the whole pass stays in whole-stage
+    codegen rather than interpreted array HOFs, same as the similarity
+    hot path. At 100 TB this is the prep pass that shrinks the vector
+    column 4× before the IVF/LSH index build reads it.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = sim_ops.EMBED_DIM
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", v.alias("v"))
+    amax = F.greatest(*[F.abs(F.col("v")[d]) for d in range(dim)])
+    staged = base.select("vec_id", "v", (amax / F.lit(QUANT_SCALE)).alias("s"))
+    qd = [F.round(F.col("v")[d] / F.col("s")).cast("int") for d in range(dim)]
+    errd = [
+        F.abs(F.col("v")[d] - qd[d] * F.col("s")) for d in range(dim)
+    ]
+    return staged.select(
+        "vec_id",
+        F.round(F.col("s"), 6).alias("scale"),
+        F.greatest(*qd).alias("q_max"),
+        F.least(*qd).alias("q_min"),
+        F.round(F.greatest(*errd), 6).alias("max_abs_err"),
+    )
+
+
+REGISTRY.update(
+    {"q_corpus_mix": q_corpus_mix, "q_quantize_embeddings": q_quantize_embeddings}
+)
+
+
 def q_embedding_centroids(spark, sf_dir):
     """Per-label embedding centroids (the building block of IVF training
     and cluster-based curation): posexplode the vectors, average per

@@ -28,6 +28,8 @@ BUDGETS = {
     "q_bleu": 2,
     "q_blocklist_filter": 0,
     "q_bm25_search": 4,
+    # per-source mixing gate is scan-fused; only the report aggregates
+    "q_corpus_mix": 1,
     "q_corpus_stats": 3,
     "q_cube_events": 1,
     # composed curation pipeline: the minhash near-dup path costs its
@@ -94,6 +96,8 @@ BUDGETS = {
     "q_prompt_assemble": 0,
     "q_qa_pipeline": 4,
     "q_quality_score": 0,
+    # dim-unrolled int8 quantization: pure narrow projection
+    "q_quantize_embeddings": 0,
     "q_quality_topn_per_lang": 1,
     "q_range_join": 0,
     "q_rechunk_fixed": 1,
