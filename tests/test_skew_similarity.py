@@ -152,3 +152,18 @@ def test_sketch_stats_accuracy(spark):
         rel = abs(s["approx_distinct_words"] - e["n_distinct_words"]) / e["n_distinct_words"]
         assert rel < 0.05, (lang, rel)
         assert s["p25"] <= e["median_chars"] <= s["p75"]
+
+
+def test_brute_force_param_equals_broadcast(spark):
+    """The parameterized-literal query plan and the broadcast-join plan
+    are two physical strategies for the same logical query — result sets
+    must be bit-identical (same rounding, same tie-breaks)."""
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    a = {tuple(r) for r in sim.brute_force_topk(emb, dim=64).collect()}
+    b = {
+        tuple(r)
+        for r in sim.brute_force_topk(
+            emb, dim=64, parameterize_queries=False
+        ).collect()
+    }
+    assert a == b and len(a) == 40
