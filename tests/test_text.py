@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from proactive_map_reduce_spark.functions import text as tx
+from tests.conftest import SF0001
 
 
 def _eval(spark, col, *rows_schema):
@@ -71,3 +72,44 @@ def test_any_answer_contained(spark):
 def test_first_line(spark):
     df = spark.createDataFrame([("\n\nfirst line\nsecond",)], "t string")
     assert df.select(tx.first_line(F.col("t")).alias("out")).collect()[0]["out"] == "first line"
+
+
+def test_quantization_error_bound(spark):
+    """Symmetric int8 quantization property: every reconstruction error
+    is <= scale/2 (round-to-nearest), and q values fit in [-127, 127]."""
+    import proactive_map_reduce_spark.queries as Q
+
+    rows = Q.q_quantize_embeddings(spark, SF0001).collect()
+    assert rows
+    for r in rows:
+        assert -127 <= r["q_min"] <= r["q_max"] <= 127
+        # both sides are reported rounded to 6 decimals, so allow 1e-6
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-6
+
+
+def test_decontaminate_excludes_benchmark_side(spark):
+    """Contamination report lists TRAINING docs only (never the held-out
+    benchmark docs themselves), and every hit count is positive."""
+    import proactive_map_reduce_spark.queries as Q
+
+    rows = Q.q_decontaminate(spark, SF0001).collect()
+    for r in rows:
+        assert r["doc_id"] % 17 != 0
+        assert r["n_contaminated_grams"] >= 1
+        assert r["n_bench_docs_hit"] >= 1
+
+
+def test_pii_redact_leaves_no_pii(spark):
+    """After the scrub no email survives anywhere; counts match the
+    deterministic injection pattern."""
+    import proactive_map_reduce_spark.queries as Q
+
+    rows = Q.q_pii_redact(spark, SF0001).collect()
+    for r in rows:
+        assert r["no_email_left"] == 1
+        if r["doc_id"] % 4 == 0:
+            assert r["n_emails"] == 1
+        elif r["doc_id"] % 4 == 1:
+            assert r["n_phones"] == 2
+        elif r["doc_id"] % 4 == 2:
+            assert r["n_ips"] == 1
