@@ -42,6 +42,9 @@ def main() -> int:
 
     if os.path.exists(os.path.join(args.corpus, "documents.parquet")):
         docs = load_table(spark, args.corpus, "documents").select("doc_id", "text")
+    elif args.corpus.endswith(".parquet"):
+        # direct path to a documents parquet file/dir
+        docs = spark.read.parquet(args.corpus).select("doc_id", "text")
     else:
         docs = read_text_corpus(spark, args.corpus)
 
