@@ -1976,6 +1976,23 @@ SELECT vec_id, round(s, 6) AS scale,
 FROM q
 """
 
+ORACLES["q_vocab_oov"] = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+f AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+v AS (SELECT word FROM f ORDER BY c DESC, word LIMIT 1000),
+j AS (
+  SELECT w.doc_id, CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+  FROM w LEFT JOIN v ON w.word = v.word
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       round(sum(oov) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+FROM j GROUP BY doc_id
+"""
+
 ORACLES["q_html_strip"] = """
 WITH h AS (
   SELECT doc_id, text,

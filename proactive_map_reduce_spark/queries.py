@@ -2381,6 +2381,46 @@ REGISTRY.update(
 )
 
 
+VOCAB_TOP = 1000
+
+
+def q_vocab_oov(spark, sf_dir):
+    """Vocabulary induction + out-of-vocabulary rate (tokenizer prep):
+    induce the top-{VOCAB_TOP} corpus vocabulary by frequency
+    (deterministic tie-break: count desc, then word), then report each
+    document's OOV word rate against it.
+
+    Scale shape: pass 1 is a uniform-key word-count aggregation plus a
+    top-V selection (TakeOrdered — V is small and rides to the driver
+    like any model state); pass 2 re-joins the tiny vocabulary
+    broadcast-side and rolls up per doc. The corpus-sized exchanges are
+    the two word aggregations; the vocabulary never shuffles.
+    """
+    words = _words(spark, sf_dir).select("doc_id", "word")
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("word").asc())
+        .limit(VOCAB_TOP)
+        .select("word")
+    )
+    flagged = words.join(
+        F.broadcast(vocab.withColumn("in_v", F.lit(1))), "word", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0)) / F.count("*"), 6
+        ).alias("oov_rate"),
+    )
+
+
+REGISTRY.update({"q_vocab_oov": q_vocab_oov})
+
+
 def q_embedding_centroids(spark, sf_dir):
     """Per-label embedding centroids (the building block of IVF training
     and cluster-based curation): posexplode the vectors, average per

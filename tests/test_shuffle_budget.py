@@ -142,6 +142,9 @@ BUDGETS = {
     "q_topn_per_group": 2,
     "q_unigram_lm_score": 3,
     "q_union_outputs": 1,
+    # vocab induction (word-count agg + TakeOrdered top-V) + per-doc OOV
+    # rollup; the vocabulary joins broadcast-side
+    "q_vocab_oov": 2,
     "q_value_percentiles": 1,
     "q_window_sliding": 1,
     "q_window_tumbling": 1,
