@@ -1976,6 +1976,21 @@ SELECT vec_id, round(s, 6) AS scale,
 FROM q
 """
 
+ORACLES["q_event_anomaly"] = """
+WITH s AS (
+  SELECT user_id, event_id, value,
+         avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS mu,
+         stddev(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS sd
+  FROM events
+)
+SELECT user_id, event_id,
+       round((value - mu) / sd, 6) AS z,
+       CASE WHEN abs((value - mu) / sd) > 2 THEN 1 ELSE 0 END AS is_anomaly
+FROM s WHERE sd IS NOT NULL AND sd > 0
+"""
+
 ORACLES["q_vocab_oov"] = """
 WITH w AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents

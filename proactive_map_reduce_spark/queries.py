@@ -2421,6 +2421,41 @@ def q_vocab_oov(spark, sf_dir):
 REGISTRY.update({"q_vocab_oov": q_vocab_oov})
 
 
+def q_event_anomaly(spark, sf_dir):
+    """Per-user event anomaly detection: z-score of each event's value
+    against the TRAILING window of its user's previous 10 events
+    (monitoring/alerting shape — the trailing frame means new events
+    never rewrite old scores, so the query is incrementally maintainable).
+
+    One exchange (user_id window); anomalies = |z| > 2 with a sample-std
+    denominator, rows with an undefined baseline (fewer than 2 prior
+    events or zero variance) are excluded deterministically.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    scored = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev("value").over(w).alias("sd"),
+    ).filter(F.col("sd").isNotNull() & (F.col("sd") > 0))
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return scored.select(
+        "user_id",
+        "event_id",
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 2).cast("int").alias("is_anomaly"),
+    )
+
+
+REGISTRY.update({"q_event_anomaly": q_event_anomaly})
+
+
 def q_embedding_centroids(spark, sf_dir):
     """Per-label embedding centroids (the building block of IVF training
     and cluster-based curation): posexplode the vectors, average per

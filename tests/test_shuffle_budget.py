@@ -52,6 +52,8 @@ BUDGETS = {
     "q_doc_fingerprint": 0,
     "q_embed_documents": 0,
     "q_embedding_centroids": 2,
+    # trailing-window z-score: the user_id window is the only exchange
+    "q_event_anomaly": 1,
     "q_event_interarrival": 1,
     "q_exact_match": 0,
     "q_except_docs": 1,
