@@ -1,0 +1,105 @@
+"""Keyed upsert sink: maintain latest-row-per-key state from a stream.
+
+The production pattern for serving state (feature stores, dashboards,
+read replicas): each micro-batch MERGEs its rows into a keyed table,
+keeping the newest row per key. Structured Streaming has no built-in
+merge sink for plain files, so this implements the standard
+``foreachBatch`` recipe:
+
+    read current state → union the batch → latest-wins per key → rewrite
+
+with a temp-dir + atomic-rename swap so a crash mid-write never leaves a
+half-replaced table, and a batch-id high-water mark making re-delivered
+batches idempotent (foreachBatch is at-least-once after recovery; the
+rewrite must tolerate replays).
+
+Scale notes: on a real deployment the state table is Delta/Iceberg and
+this whole function collapses to ``MERGE INTO`` (log-level atomicity,
+partition-pruned rewrites). The plain-parquet fallback rewrites the full
+state per batch — O(|state|) per trigger — which is the honest cost of
+merge-on-file-listing storage; keys partition the rewrite so it stays a
+distributed job, never a driver loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _mark_path(state_dir: str) -> str:
+    return state_dir + ".batchmark"
+
+
+def _last_batch(state_dir: str) -> int:
+    try:
+        with open(_mark_path(state_dir)) as f:
+            return json.load(f)["batch_id"]
+    except Exception:
+        return -1
+
+
+def upsert_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> None:
+    """The foreachBatch body: merge ``batch_df`` into ``state_dir``.
+
+    Latest-wins by ``order_cols`` (descending, ties by key order is not
+    needed — order_cols must be a total order per key, e.g. (ts,
+    event_id)). Replayed batch ids (<= high-water mark) are skipped.
+    """
+    if batch_id <= _last_batch(state_dir):
+        return
+    if os.path.isdir(state_dir):
+        cur = spark.read.parquet(state_dir)
+        allr = cur.unionByName(batch_df)
+    else:
+        allr = batch_df
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    latest = (
+        allr.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    tmp = state_dir + f".tmp_{batch_id}"
+    latest.write.mode("overwrite").parquet(tmp)
+    old = state_dir + f".old_{batch_id}"
+    if os.path.isdir(state_dir):
+        os.rename(state_dir, old)
+    os.rename(tmp, state_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    with open(_mark_path(state_dir), "w") as f:
+        json.dump({"batch_id": batch_id}, f)
+
+
+def stream_upsert(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    state_dir: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    checkpoint: str,
+) -> None:
+    """Run ``stream_df`` into the keyed state table until exhausted
+    (availableNow trigger — bounded replay; production drops the trigger
+    for continuous operation)."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            lambda b, i: upsert_batch(spark, b, i, state_dir, key_cols, order_cols)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import datetime
+import os
 
 from pyspark.sql import functions as F
 
@@ -264,3 +265,65 @@ def test_rate_source_soak_bounded_state(spark):
     # keyed accumulator: state == distinct keys, independent of volume
     assert out["stateful"]["state_rows_max"] == n_keys, out
     assert out["stateful"]["state_rows_final"] == n_keys, out
+
+
+def test_stream_upsert_latest_per_key(spark):
+    """The foreachBatch upsert sink converges to exactly the batch
+    latest-row-per-key answer, across multi-batch replay, and replayed
+    batch ids are idempotent."""
+    import datetime
+    import shutil as _sh
+    import tempfile as _tf
+
+    from proactive_map_reduce_spark.streaming import upsert as up
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, i % 5, "set", base + datetime.timedelta(minutes=i), float(i))
+        for i in range(40)
+    ]
+    ev = spark.createDataFrame(rows, stream_ops.EVENT_SCHEMA)
+    root = stream_ops.write_event_files(ev, n_buckets=4)
+    state = _tf.mkdtemp(prefix="pmr_upsert_") + "/state"
+    ckpt = _tf.mkdtemp(prefix="pmr_upsert_ck_")
+    try:
+        stream = (
+            spark.readStream.schema(stream_ops.EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(root)
+        )
+        up.stream_upsert(
+            spark, stream, state, ["user_id"], ["ts", "event_id"], ckpt
+        )
+        got = {
+            r["user_id"]: (r["event_id"], r["value"])
+            for r in spark.read.parquet(state).collect()
+        }
+        want = {u: (35 + u, float(35 + u)) for u in range(5)}
+        assert got == want
+        # idempotency: re-applying an already-seen batch id is a no-op
+        extra = spark.createDataFrame(
+            [(999, 0, "set", base, 999.0)], stream_ops.EVENT_SCHEMA
+        )
+        up.upsert_batch(spark, extra, 0, state, ["user_id"], ["ts", "event_id"])
+        assert spark.read.parquet(state).filter("event_id = 999").count() == 0
+        # but a NEW batch id applies
+        up.upsert_batch(
+            spark,
+            spark.createDataFrame(
+                [(1000, 0, "set", base + datetime.timedelta(days=1), 7.0)],
+                stream_ops.EVENT_SCHEMA,
+            ),
+            10_000,
+            state,
+            ["user_id"],
+            ["ts", "event_id"],
+        )
+        assert (
+            spark.read.parquet(state).filter("user_id = 0").collect()[0]["event_id"]
+            == 1000
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+        _sh.rmtree(ckpt, ignore_errors=True)
+        _sh.rmtree(os.path.dirname(state), ignore_errors=True)
