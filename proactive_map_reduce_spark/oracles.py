@@ -850,11 +850,20 @@ FROM kmv k JOIN quart q USING (lang)
 # IVF top-k: deterministic fixed-point Lloyd's, unrolled one CTE pair per
 # iteration — mirror of operators/similarity.py ivf_topk (integer L2,
 # md5-ranked seeds, floor(s/n + 0.5) centroid quantization).
-def _ivf_sql(n_queries=8, k=5, n_clusters=8, nprobe=3, iters=5, scale=1_000_000):
+def _ivf_sql(n_queries=8, k=5, n_clusters=8, nprobe=3, iters=5, scale=1_000_000, train_fraction=None):
     dist = (
         "list_sum(list_transform(generate_series(1, len(x.xi)), "
         "d -> (x.xi[d] - c.ci[d]) * (x.xi[d] - c.ci[d])))"
     )
+    if train_fraction is None:
+        gate_cte, train_src = "", "xint"
+    else:
+        th = int(train_fraction * 2**32)
+        gate_cte = (
+            ",\nxtrain AS (SELECT * FROM xint WHERE "
+            f"CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) < {th})"
+        )
+        train_src = "xtrain"
     parts = [
         f"""
 xint AS (
@@ -863,11 +872,11 @@ xint AS (
            x -> CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS xi,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
-),
+){gate_cte},
 c0 AS (
   SELECT CAST(rn - 1 AS INT) AS cluster, xi AS ci FROM (
     SELECT xi, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
-    FROM xint
+    FROM {train_src}
   ) WHERE rn <= {n_clusters}
 )"""
     ]
@@ -878,7 +887,7 @@ a{i} AS (
   SELECT vec_id, xi, cluster FROM (
     SELECT x.vec_id, x.xi, c.cluster,
            row_number() OVER (PARTITION BY x.vec_id ORDER BY {dist}, c.cluster) AS rn
-    FROM xint x, c{i - 1} c
+    FROM {train_src} x, c{i - 1} c
   ) WHERE rn = 1
 ),
 c{i} AS (
@@ -930,6 +939,10 @@ ranked AS (
 
 
 ORACLES["q_similarity_ivf"] = _ivf_sql()
+
+# the 100 TB training path: quantizer trained on the deterministic
+# md5-gated half of the corpus, assignment/probing over everything
+ORACLES["q_similarity_ivf_sampled"] = _ivf_sql(train_fraction=0.5)
 
 ORACLES["q_lang_id"] = """
 WITH l AS (

@@ -2456,6 +2456,21 @@ def q_event_anomaly(spark, sf_dir):
 REGISTRY.update({"q_event_anomaly": q_event_anomaly})
 
 
+def q_similarity_ivf_sampled(spark, sf_dir):
+    """IVF with the sampled-training path ON (train_fraction=0.5, the
+    deterministic md5 hash gate): the 100 TB configuration, where the
+    coarse quantizer trains on a corpus sample while assignment and
+    probing stay full passes. Fully hash-checked — the sample, and thus
+    the quantizer, is bit-reproducible cross-engine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.ivf_topk(
+        emb, n_queries=8, k=5, n_clusters=8, nprobe=3, train_fraction=0.5
+    )
+
+
+REGISTRY.update({"q_similarity_ivf_sampled": q_similarity_ivf_sampled})
+
+
 def q_embedding_centroids(spark, sf_dir):
     """Per-label embedding centroids (the building block of IVF training
     and cluster-based curation): posexplode the vectors, average per
