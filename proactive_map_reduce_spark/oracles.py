@@ -1989,6 +1989,33 @@ SELECT vec_id, round(s, 6) AS scale,
 FROM q
 """
 
+ORACLES["q_resample_ffill"] = """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM b
+),
+hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, round(avg(value), 6) AS v
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT g.user_id, g.hour, h.v
+  FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+)
+SELECT user_id,
+       CAST(floor(epoch(hour)) AS BIGINT) AS hour_ts,
+       round(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_ffill,
+       CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_gap
+FROM j
+"""
+
 ORACLES["q_event_anomaly"] = """
 WITH s AS (
   SELECT user_id, event_id, value,

@@ -2471,6 +2471,46 @@ def q_similarity_ivf_sampled(spark, sf_dir):
 REGISTRY.update({"q_similarity_ivf_sampled": q_similarity_ivf_sampled})
 
 
+def q_resample_ffill(spark, sf_dir):
+    """Time-series resampling with forward fill: regularize each user's
+    event stream onto an hourly grid (per-user min..max span), averaging
+    in-hour values and carrying the last observation forward across
+    gaps — the gap-fill shape of monitoring/feature pipelines.
+
+    Shape: the grid is generated per user with sequence()+explode (no
+    driver-side date loop), hourly means aggregate once, and the fill is
+    a running last(ignorenulls) window — one exchange keyed by user_id
+    serves the join, the window, and the grid generation's groupBy.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    joined = grid.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        F.unix_timestamp("hour").cast("bigint").alias("hour_ts"),
+        F.round(F.last("v", ignorenulls=True).over(w), 6).alias("value_ffill"),
+        F.col("v").isNull().cast("int").alias("was_gap"),
+    )
+
+
+REGISTRY.update({"q_resample_ffill": q_resample_ffill})
+
+
 def q_embedding_centroids(spark, sf_dir):
     """Per-label embedding centroids (the building block of IVF training
     and cluster-based curation): posexplode the vectors, average per

@@ -107,6 +107,9 @@ BUDGETS = {
     # explode + window-lead + stacked groupBys: one exchange on doc_id
     # serves the window AND both aggregations (subset-key distributions)
     "q_repetition_signals": 1,
+    # hourly grid + per-hour means share the user_id exchange; the
+    # ffill window rides the join's partitioning
+    "q_resample_ffill": 2,
     "q_rollup_multi": 1,
     "q_rouge": 1,
     "q_running_metric": 1,
