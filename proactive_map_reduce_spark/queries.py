@@ -1406,86 +1406,17 @@ def q_sketch_stats(spark, sf_dir):
     set and answers exactly. Quartiles report the lower bound of the bin
     where the cumulative count crosses p·n (bin width = range/64).
     """
+    from .operators import sketch as sketch_ops
+
     d = _docs(spark, sf_dir)
     words = _words(spark, sf_dir).join(d.select("doc_id", "lang"), "doc_id")
     wh = words.select("lang", portable_hash64("word").alias("h")).distinct()
-    # Two-level min-k (the actual KMV merge shape): rank hashes within
-    # each (physical partition, lang) group and keep the k smallest, so
-    # no task ever sorts more than one partition's vocabulary; then
-    # re-rank only the surviving <= k * n_partitions candidates per lang.
-    # The final values are identical to a global per-lang rank:
-    #   - the global k-th minimum always survives the per-partition cut
-    #     (it is at worst the k-th smallest of its own partition), and
-    #   - the exact-count branch fires iff no partition truncated, in
-    #     which case the candidate set IS the full distinct set.
-    # spark_partition_id() here is only a locality label for the cut —
-    # any partitioning (including an AQE-coalesced one) yields the same
-    # final answer. At cluster scale, extend to a tree merge by adding a
-    # middle level keyed on pid % fan_in before the final per-lang rank.
-    loc = wh.withColumn("pid", F.spark_partition_id())
-    local_k = loc.withColumn(
-        "lrn", F.row_number().over(Window.partitionBy("pid", "lang").orderBy("h"))
-    ).filter(F.col("lrn") <= SKETCH_KMV_K)
-    cand = local_k.withColumn(
-        "rn", F.row_number().over(Window.partitionBy("lang").orderBy("h"))
+    kmv = sketch_ops.kmv_distinct(
+        wh, "lang", "h", SKETCH_KMV_K, out_col="approx_distinct_words"
     )
-    kmv = cand.groupBy("lang").agg(
-        F.max("rn").alias("n_distinct"),
-        F.max(F.when(F.col("rn") == SKETCH_KMV_K, F.col("h"))).alias("kth"),
-    ).select(
-        "lang",
-        F.when(F.col("n_distinct") < SKETCH_KMV_K, F.col("n_distinct"))
-        .otherwise(
-            F.floor((SKETCH_KMV_K - 1) * F.lit(float(2**32)) / F.col("kth") + 0.5)
-        )
-        .cast("bigint")
-        .alias("approx_distinct_words"),
-    )
-
-    bounds = d.groupBy("lang").agg(
-        F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi"),
-        F.count("*").alias("n"),
-    )
-    binned = (
-        d.select("lang", "n_chars")
-        .join(bounds, "lang")
-        .select(
-            "lang", "lo", "hi", "n",
-            F.floor(
-                (F.col("n_chars") - F.col("lo"))
-                * SKETCH_BINS
-                / (F.col("hi") - F.col("lo") + 1)
-            ).cast("int").alias("bin"),
-        )
-        .groupBy("lang", "lo", "hi", "n", "bin")
-        .agg(F.count("*").alias("c"))
-    )
-    cum = binned.withColumn(
-        "cum", F.sum("c").over(Window.partitionBy("lang").orderBy("bin"))
-    )
-
-    def quantile_bin(p: float):
-        # lower bound of the first bin whose cumulative count reaches p·n
-        hit = F.when(
-            F.col("cum") - F.col("c") < F.lit(p) * F.col("n"), F.col("bin")
-        )
-        return F.max(hit)
-
-    quart = cum.groupBy("lang", "lo", "hi").agg(
-        quantile_bin(0.25).alias("b25"),
-        quantile_bin(0.50).alias("b50"),
-        quantile_bin(0.75).alias("b75"),
-    )
-
-    def bin_lo(b):
-        return (
-            F.col("lo")
-            + F.floor(F.col(b) * (F.col("hi") - F.col("lo") + 1) / SKETCH_BINS)
-        ).cast("bigint")
-
-    q = quart.select(
-        "lang", bin_lo("b25").alias("p25"), bin_lo("b50").alias("p50"),
-        bin_lo("b75").alias("p75"),
+    q = sketch_ops.histogram_quantiles(
+        d, "lang", "n_chars", SKETCH_BINS, probs=[0.25, 0.50, 0.75],
+        out_cols=["p25", "p50", "p75"],
     )
     return kmv.join(q, "lang")
 
