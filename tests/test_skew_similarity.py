@@ -167,3 +167,36 @@ def test_brute_force_param_equals_broadcast(spark):
         ).collect()
     }
     assert a == b and len(a) == 40
+
+
+def test_kmv_distinct_operator_branches(spark):
+    """kmv_distinct: groups under k answer EXACTLY; groups over k
+    estimate within KMV's expected error (~1/sqrt(k))."""
+    from proactive_map_reduce_spark.functions.hashing import portable_hash64
+    from proactive_map_reduce_spark.operators import sketch as sk
+
+    rows = [("small", f"s{i}") for i in range(10)]
+    rows += [("big", f"b{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, v string").repartition(8)
+    hashed = df.select("g", portable_hash64("v").alias("h")).distinct()
+    got = {
+        r["g"]: r["approx_distinct"]
+        for r in sk.kmv_distinct(hashed, "g", "h", k=64).collect()
+    }
+    assert got["small"] == 10  # exact branch
+    assert abs(got["big"] - 5000) / 5000 < 0.25  # estimate branch
+
+
+def test_histogram_quantiles_operator(spark):
+    """histogram_quantiles brackets the true quartiles of a uniform
+    integer column within one bin width."""
+    from proactive_map_reduce_spark.operators import sketch as sk
+
+    df = spark.createDataFrame(
+        [("g", i) for i in range(1000)], "g string, v long"
+    ).repartition(4)
+    out = sk.histogram_quantiles(df, "g", "v", bins=64).collect()[0]
+    binw = 1000 / 64 + 1  # lower-bound semantics: up to one (integer) bin below
+    assert abs(out["p25"] - 250) <= binw
+    assert abs(out["p50"] - 500) <= binw
+    assert abs(out["p75"] - 750) <= binw
