@@ -17,18 +17,7 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-HEADLINE = [
-    "q_pricing_summary",
-    "q_top_revenue",
-    "q_region_revenue",
-    "q_window_tumbling",
-    "q_sessionize",
-    "q_flagship",
-    "q_tokenize",
-    "q_dedup_minhash_pairs",
-    "q_simhash",
-    "q_similarity_topk",
-]
+from bench import HEADLINE  # single source of truth for the headline set
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
