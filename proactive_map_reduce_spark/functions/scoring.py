@@ -1,10 +1,14 @@
 """Scoring functions (SURVEY §2.6 A5-A7, §2.9 F6-F7).
 
-Set/multiset scores are pure built-in array algebra (oracle-checkable);
-BLEU and ROUGE-L are Arrow-batched pandas UDFs (the reference uses NLTK
-``sentence_bleu`` with chencherry smoothing and Google's ``rouge_scorer`` —
-both re-implemented here as small deterministic pure-Python functions, no
-external deps).
+Set/multiset scores are pure built-in array algebra (oracle-checkable).
+BLEU and ROUGE-L each exist in TWO forms: the hash-checked RELATIONAL
+implementations used by the registry queries (integer n-gram counts via
+explode+window, window-recurrence LCS — every value verified against a
+DuckDB oracle), and Arrow-batched pandas UDF references (the reference
+uses NLTK ``sentence_bleu`` with chencherry smoothing and Google's
+``rouge_scorer`` — re-implemented as small deterministic pure-Python
+functions, no external deps) that the property tests cross-check the
+relational forms against.
 
 Reference parallels:
 - token-counter multiset F1: pipeline_70b_samsum.py:83-97 (Counter & Counter).
