@@ -1166,9 +1166,10 @@ def q_scan_text_corpus(spark, sf_dir):
 
 
 def q_similarity_ivf(spark, sf_dir):
-    """IVF approximate top-k (KMeans coarse quantizer, nprobe=3 of 8
-    clusters). Environment-sensitive cluster boundaries → rows-only in the
-    driver gate; recall vs brute force is pinned by tests."""
+    """IVF approximate top-k (deterministic fixed-point Lloyd's coarse
+    quantizer, nprobe=3 of 8 clusters). Integer distance/centroid math
+    makes cluster boundaries bit-stable cross-engine → fully hash-checked
+    in the driver gate; recall vs brute force is pinned by tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim_ops.ivf_topk(emb, n_queries=8, k=5, n_clusters=8, nprobe=3)
 
