@@ -170,15 +170,41 @@ def minhash_signatures(
     return rows.groupBy(id_col).agg(*aggs)
 
 
+LSH_MAX_BUCKET = 256  # representatives per bucket; >K members star-link to rep
+
+
 def lsh_candidate_pairs(
-    sig_df: DataFrame, n_hashes: int = 16, bands: int = 4, id_col: str = "doc_id"
+    sig_df: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    max_bucket: int = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """LSH banding: docs sharing any band's full sub-signature are candidates.
 
-    band_hash = h(mh_a || '|' || mh_b || ...) over the band's rows. The
-    self-join is an equi-join on (band_id, band_hash) — at scale this is a
-    shuffle join on a uniform composite key, never an all-pairs product.
-    Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+    band_hash = h(mh_a || '|' || mh_b || ...) over the band's rows. Docs
+    are grouped per (band_id, band_hash) — one shuffle on a uniform
+    composite key, never an all-pairs product. Returns distinct
+    (doc_a, doc_b) with doc_a < doc_b.
+
+    Mega-bucket guard (the 100 TB edge): a near-identical boilerplate
+    cluster (templated pages that survive exact dedup) can land its whole
+    id set in ONE bucket; unbounded i<j expansion is O(B²) pairs in a
+    single task — 1M docs → 5×10¹¹ pairs → OOM. Instead, each bucket's
+    members are ranked by id (row_number over a window — spills to disk,
+    never holds a mega-bucket in an agg buffer) and:
+
+    - full i<j expansion runs only among the first `max_bucket` members
+      (the K smallest ids — deterministic, so the DuckDB oracle mirrors
+      it with the same rank-≤-K rule);
+    - every member past K emits ONE star pair (bucket min id, member).
+
+    Buckets with ≤ max_bucket members behave exactly as before, so small
+    data is unchanged; oversized buckets produce O(K² + B) pairs instead
+    of O(B²), and the star links keep the cluster CONNECTED — downstream
+    connected_components resolves the same clusters full expansion would.
+    Only pairwise Jaccard scores for non-representative × non-representative
+    pairs are skipped, which is the intended cap.
     """
     rows_per_band = n_hashes // bands
     band_exprs = []
@@ -187,33 +213,42 @@ def lsh_candidate_pairs(
         band_exprs.append(
             portable_hash64(reduce(lambda x, y: F.concat(x, F.lit("|"), y), cols))
         )
-    # Bucket-collect instead of a banded self-join: group docs per
-    # (band_id, band_hash), then expand i<j pairs inside each bucket with
-    # array combinatorics. One shuffle on the uniform band key, no join,
-    # no persist of an intermediate both join sides would share. Bucket
-    # pair expansion is quadratic in bucket size — by construction LSH
-    # buckets are small; run exact_dedup FIRST so identical documents
-    # (the only unbounded-bucket source) never reach this operator.
     banded = sig_df.select(
         F.col(id_col), F.posexplode(F.array(*band_exprs)).alias("band_id", "band_hash")
     )
-    buckets = (
-        banded.groupBy("band_id", "band_hash")
-        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
-        .filter(F.size("ids") >= 2)
+    # ONE ordered window pass, three expressions over the same exchange +
+    # sort (docs are unique per bucket, so id order is total and
+    # deterministic): row_number ranks members; first() with the default
+    # running frame is the bucket min id; the sliding collect_list frame
+    # carries each row's PRECEDING members capped at max_bucket − 1
+    # elements — per-row window state is bounded by K, never by the
+    # bucket, and WindowExec spills partitions to disk, so a mega-bucket
+    # cannot OOM a task.
+    w = Window.partitionBy("band_id", "band_hash").orderBy(id_col)
+    ranked = banded.select(
+        F.col(id_col),
+        F.row_number().over(w).alias("rk"),
+        F.first(id_col).over(w).alias("rep"),
+        F.collect_list(id_col)
+        .over(w.rowsBetween(-(max_bucket - 1), -1))
+        .alias("preds"),
     )
-    n = F.size("ids")
-    pair_structs = F.flatten(
+    # Members ranked ≤ K pair with every earlier member (the sliding frame
+    # holds exactly ranks 1..rk−1 for them) — full i<j expansion among the
+    # K smallest ids. Members past K emit ONE star link to the bucket min;
+    # rep < member always, so doc_a < doc_b holds everywhere.
+    this_doc = F.col(id_col)
+    pair_arr = F.when(
+        F.col("rk") <= max_bucket,
         F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice("ids", i + 2, n - i - 1),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+            "preds",
+            lambda x: F.struct(x.alias("doc_a"), this_doc.alias("doc_b")),
+        ),
+    ).otherwise(
+        F.array(F.struct(F.col("rep").alias("doc_a"), this_doc.alias("doc_b")))
     )
     return (
-        buckets.select(F.explode(pair_structs).alias("p"))
+        ranked.select(F.explode(pair_arr).alias("p"))
         .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
     )

@@ -645,11 +645,28 @@ _BANDED = "banded AS (" + "\nUNION ALL\n".join(
     for b in range(4)
 ) + ")"
 
-_CAND = """
+from .operators.dedup import LSH_MAX_BUCKET  # noqa: E402
+
+# Mirrors lsh_candidate_pairs' mega-bucket cap: full i<j expansion only
+# among each bucket's K smallest ids (rank ≤ K); members past K star-link
+# to the bucket's min id. Buckets ≤ K behave exactly as unbounded banding.
+_CAND = f"""
+ranked AS (
+  SELECT doc_id, band_id, band_hash,
+         row_number() OVER (PARTITION BY band_id, band_hash ORDER BY doc_id) AS rk,
+         min(doc_id) OVER (PARTITION BY band_id, band_hash) AS rep
+  FROM banded
+),
 cand AS (
-  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM banded l JOIN banded r
-    ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM ranked l JOIN ranked r
+      ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+     AND l.doc_id < r.doc_id
+     AND l.rk <= {LSH_MAX_BUCKET} AND r.rk <= {LSH_MAX_BUCKET}
+    UNION ALL
+    SELECT rep AS doc_a, doc_id AS doc_b FROM ranked WHERE rk > {LSH_MAX_BUCKET}
+  )
 )
 """
 

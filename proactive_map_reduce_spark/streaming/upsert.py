@@ -43,6 +43,61 @@ def _last_batch(state_dir: str) -> int:
         return -1
 
 
+def _stranded(state_dir: str, suffix: str) -> list[tuple[int, str]]:
+    """(batch_id, path) for leftover ``<state>.{tmp,old}_<id>`` dirs, sorted."""
+    base = os.path.basename(state_dir) + suffix
+    parent = os.path.dirname(state_dir) or "."
+    out = []
+    if os.path.isdir(parent):
+        for nm in os.listdir(parent):
+            if nm.startswith(base):
+                try:
+                    out.append((int(nm[len(base):]), os.path.join(parent, nm)))
+                except ValueError:
+                    pass
+    return sorted(out)
+
+
+def _recover(state_dir: str) -> None:
+    """Heal an interrupted swap before merging (the crash-safety half of
+    the atomic-rename contract).
+
+    The swap sequence is: write tmp → rename state→old → rename
+    tmp→state → drop old → advance mark. A crash can strand:
+
+    - a COMPLETED tmp (has Spark's ``_SUCCESS`` marker) with state_dir
+      missing — died between the two renames. The tmp IS the post-merge
+      state: promote it and advance the mark to its batch id, so the
+      replayed batch is skipped as already applied.
+    - an old dir with state_dir missing and no completed tmp — restore
+      the pre-batch state; the batch replays on top of it.
+    - stale tmp/old next to a live state_dir (died before the first
+      rename, or before the old-cleanup) — deleted below.
+
+    Without this, the ADVICE-flagged window (crash between the renames)
+    silently rebuilt state from the lone replayed batch and lost all
+    prior accumulations stranded in ``.old_<id>``.
+    """
+    tmps = _stranded(state_dir, ".tmp_")
+    olds = _stranded(state_dir, ".old_")
+    if not os.path.isdir(state_dir):
+        done = [
+            (b, p) for b, p in tmps if os.path.exists(os.path.join(p, "_SUCCESS"))
+        ]
+        if done:
+            b, p = done[-1]
+            os.rename(p, state_dir)
+            with open(_mark_path(state_dir), "w") as f:
+                json.dump({"batch_id": b}, f)
+            tmps = [t for t in tmps if t[1] != p]
+        elif olds:
+            _, p = olds[-1]
+            os.rename(p, state_dir)
+            olds = olds[:-1]
+    for _, p in tmps + olds:
+        shutil.rmtree(p, ignore_errors=True)
+
+
 def upsert_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -57,6 +112,7 @@ def upsert_batch(
     needed — order_cols must be a total order per key, e.g. (ts,
     event_id)). Replayed batch ids (<= high-water mark) are skipped.
     """
+    _recover(state_dir)
     if batch_id <= _last_batch(state_dir):
         return
     if os.path.isdir(state_dir):

@@ -96,3 +96,45 @@ def test_connected_components_chains_and_islands(spark):
     }
     # chain 9-1-2-3 collapses to rep 1; island 5-6 to rep 5
     assert out == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_lsh_mega_bucket_capped_star_expansion(spark):
+    """Adversarial near-dup boilerplate cluster: 12k docs share every band
+    signature (one 12k-member bucket per band). Unbounded i<j expansion
+    would emit ~288M pair structs in one task; the cap must bound it to
+    C(K,2) representative pairs + (B-K) star links, stay deterministic,
+    and keep the cluster connected."""
+    k = dedup.LSH_MAX_BUCKET
+    n_docs = 12_000
+    sig = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        *[F.lit(7).alias(f"mh_{j}") for j in range(16)],
+    )
+    pairs = dedup.lsh_candidate_pairs(sig)
+    n_pairs = pairs.count()
+    assert n_pairs == k * (k - 1) // 2 + (n_docs - k)
+
+    # star links: every overflow member pairs with the bucket min (doc 0)
+    star = pairs.filter(F.col("doc_b") >= k)
+    assert star.filter(F.col("doc_a") != 0).count() == 0
+    assert star.count() == n_docs - k
+
+    # cluster connectivity survives the cap: one component, rep = min id
+    comp = dedup.connected_components(pairs.limit(0).unionByName(
+        spark.createDataFrame(
+            [(0, 1), (0, 300), (0, 11_999)], "doc_a long, doc_b long"
+        )
+    ))
+    assert {r["cluster_rep"] for r in comp.collect()} == {0}
+
+
+def test_lsh_cap_noop_for_small_buckets(spark):
+    """Buckets at exactly K members still get full i<j expansion —
+    the cap changes nothing until a bucket EXCEEDS max_bucket."""
+    k = 8
+    sig = spark.range(k).select(
+        F.col("id").alias("doc_id"),
+        *[F.lit(3).alias(f"mh_{j}") for j in range(16)],
+    )
+    pairs = dedup.lsh_candidate_pairs(sig, max_bucket=k)
+    assert pairs.count() == k * (k - 1) // 2

@@ -1,0 +1,273 @@
+"""Crash-recovery tests: the exactly-once claims under forced restarts.
+
+The soak test proves bounded state; these prove the RECOVERY half:
+- the upsert sink's atomic-swap heals every crash window (including the
+  between-renames window where prior state is stranded in `.old_<id>`),
+- a streaming query killed mid-stream and restarted from its checkpoint
+  replays to the same final state with no duplicate or lost rows,
+- applyInPandasWithState restores accumulator state from the state store
+  on restart, so post-crash accumulations still contain pre-crash chunks.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from proactive_map_reduce_spark.operators import chunking, mapstage
+from proactive_map_reduce_spark.streaming import proactive as stream_ops
+from proactive_map_reduce_spark.streaming import upsert as up
+
+BASE_TS = datetime.datetime(2024, 1, 1)
+
+
+def _ev_rows(spark, rows):
+    return spark.createDataFrame(rows, stream_ops.EVENT_SCHEMA)
+
+
+def _state_dirs(tmp_root):
+    state = os.path.join(tmp_root, "state")
+    return state
+
+
+def _read_state(spark, state):
+    return {
+        r["user_id"]: (r["event_id"], r["value"])
+        for r in spark.read.parquet(state).collect()
+    }
+
+
+def test_upsert_recovers_crash_between_renames(spark, tmp_path):
+    """Crash after rename(state→old) but before rename(tmp→state): the
+    completed tmp is promoted, the mark advances to its batch id, and
+    the replayed batch is skipped — no prior state lost, no double-merge."""
+    state = str(tmp_path / "state")
+    keys, order = ["user_id"], ["ts", "event_id"]
+    b0 = _ev_rows(spark, [(1, 0, "set", BASE_TS, 1.0), (2, 1, "set", BASE_TS, 2.0)])
+    up.upsert_batch(spark, b0, 0, state, keys, order)
+
+    b1 = _ev_rows(
+        spark, [(3, 0, "set", BASE_TS + datetime.timedelta(minutes=1), 3.0)]
+    )
+    # reproduce upsert_batch's work for batch 1 up to the crash point:
+    merged = spark.read.parquet(state).unionByName(b1)
+    latest = (
+        merged.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter("__rn = 1")
+        .drop("__rn")
+    )
+    latest.write.mode("overwrite").parquet(state + ".tmp_1")
+    os.rename(state, state + ".old_1")  # ← crash here: no state dir, no mark
+
+    # restart: foreachBatch replays batch 1
+    up.upsert_batch(spark, b1, 1, state, keys, order)
+    got = _read_state(spark, state)
+    assert got == {0: (3, 3.0), 1: (2, 2.0)}  # user 1's row NOT lost
+    assert up._last_batch(state) == 1
+    assert not os.path.isdir(state + ".old_1")
+    assert not os.path.isdir(state + ".tmp_1")
+
+
+def test_upsert_recovers_incomplete_tmp(spark, tmp_path):
+    """Crash with state renamed away but tmp write unfinished (no
+    _SUCCESS): the old dir is restored and the batch replays on top."""
+    state = str(tmp_path / "state")
+    keys, order = ["user_id"], ["ts", "event_id"]
+    b0 = _ev_rows(spark, [(1, 0, "set", BASE_TS, 1.0), (2, 1, "set", BASE_TS, 2.0)])
+    up.upsert_batch(spark, b0, 0, state, keys, order)
+
+    os.makedirs(state + ".tmp_1")  # partial write, no _SUCCESS marker
+    with open(state + ".tmp_1/part-x.parquet", "wb") as f:
+        f.write(b"garbage")
+    os.rename(state, state + ".old_1")  # ← crash
+
+    b1 = _ev_rows(
+        spark, [(3, 0, "set", BASE_TS + datetime.timedelta(minutes=1), 3.0)]
+    )
+    up.upsert_batch(spark, b1, 1, state, keys, order)
+    got = _read_state(spark, state)
+    assert got == {0: (3, 3.0), 1: (2, 2.0)}
+    assert up._last_batch(state) == 1
+    assert not os.path.isdir(state + ".tmp_1")
+    assert not os.path.isdir(state + ".old_1")
+
+
+def test_upsert_cleans_stale_leftovers(spark, tmp_path):
+    """Stale tmp/old dirs next to a LIVE state dir are swept, and the
+    live state is untouched."""
+    state = str(tmp_path / "state")
+    keys, order = ["user_id"], ["ts", "event_id"]
+    b0 = _ev_rows(spark, [(1, 0, "set", BASE_TS, 1.0)])
+    up.upsert_batch(spark, b0, 0, state, keys, order)
+    os.makedirs(state + ".tmp_0")
+    os.makedirs(state + ".old_0")
+
+    b1 = _ev_rows(
+        spark, [(2, 1, "set", BASE_TS + datetime.timedelta(minutes=1), 2.0)]
+    )
+    up.upsert_batch(spark, b1, 1, state, keys, order)
+    assert _read_state(spark, state) == {0: (1, 1.0), 1: (2, 2.0)}
+    assert not os.path.isdir(state + ".tmp_0")
+    assert not os.path.isdir(state + ".old_0")
+
+
+def test_stream_upsert_restart_from_checkpoint_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """End-to-end: kill the streaming upsert INSIDE the dangerous rename
+    window mid-stream, restart from the same checkpoint, and the final
+    state equals the latest-row-per-key answer over the whole input —
+    nothing lost to the stranded .old dir, nothing double-applied."""
+    rows = [
+        (i, i % 4, "set", BASE_TS + datetime.timedelta(minutes=i), float(i))
+        for i in range(24)
+    ]
+    ev = _ev_rows(spark, rows)
+    root = stream_ops.write_event_files(ev, n_buckets=6)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    keys, order = ["user_id"], ["ts", "event_id"]
+
+    real_rename = os.rename
+    armed = {"on": True}
+
+    def crashing_rename(src, dst):
+        real_rename(src, dst)
+        # crash exactly once, in the window AFTER state→old succeeded
+        if armed["on"] and src == state:
+            armed["on"] = False
+            raise RuntimeError("injected crash between renames")
+
+    def stream():
+        return (
+            spark.readStream.schema(stream_ops.EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(root)
+        )
+
+    try:
+        monkeypatch.setattr(up.os, "rename", crashing_rename)
+        try:
+            up.stream_upsert(spark, stream(), state, keys, order, ckpt)
+            raise AssertionError("injected crash did not fire")
+        except Exception as e:
+            assert "injected crash" in str(e)
+        monkeypatch.setattr(up.os, "rename", real_rename)
+        assert not os.path.isdir(state)  # the crash really stranded state
+
+        up.stream_upsert(spark, stream(), state, keys, order, ckpt)
+        got = _read_state(spark, state)
+        want = {u: (20 + u, float(20 + u)) for u in range(4)}
+        assert got == want
+        # exactly one row per key — replay did not duplicate
+        cnt = spark.read.parquet(state).groupBy("user_id").count().collect()
+        assert all(r["count"] == 1 for r in cnt)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stateful_accumulate_restart_restores_state(spark, tmp_path):
+    """applyInPandasWithState survives a stop/restart from checkpoint: the
+    restarted query's accumulations contain chunks seen only BEFORE the
+    stop (possible only if the state store restored them), and the final
+    per-doc accumulation equals the batch answer.
+
+    Deterministic restart: run 1 drains (availableNow) with only the
+    first two stage files present; the remaining stages are added and
+    run 2 resumes from the SAME checkpoint."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    chunks = chunking.partition_equal(chunking.split_words(docs), 4)
+    src_root = stream_ops.write_stage_files(chunks)  # stage-0000k-*.parquet
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    ckpt = str(tmp_path / "ckpt")
+    files = sorted(f for f in os.listdir(src_root) if f.endswith(".parquet"))
+    assert len(files) == 4  # 4 chunk stages, one file each
+
+    state_schema = T.StructType(
+        [
+            T.StructField("chunk_ids", T.ArrayType(T.IntegerType())),
+            T.StructField("texts", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def run():
+        # foreachBatch sink (memory sink refuses checkpoint recovery)
+        got: list = []
+        stream = (
+            spark.readStream.schema(stream_ops.CHUNK_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(live)
+        )
+        out = mapstage.llm_map(stream).groupBy("doc_id").applyInPandasWithState(
+            stream_ops._accumulate,
+            outputStructType=stream_ops._ACC_OUT,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            out.writeStream.foreachBatch(lambda b, i: got.extend(b.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        for f in files[:2]:
+            shutil.copy(os.path.join(src_root, f), os.path.join(live, f))
+        r1 = run()
+        assert r1 and max(x["n_chunks_seen"] for x in r1) == 2  # stopped mid-doc
+
+        for f in files[2:]:
+            shutil.copy(os.path.join(src_root, f), os.path.join(live, f))
+        r2 = run()
+
+        # every post-restart emission already carries the pre-restart
+        # chunks — only a restored state store can supply them
+        assert r2 and min(x["n_chunks_seen"] for x in r2) >= 3
+        final = {
+            x["doc_id"]: x["acc_text"]
+            for x in r2
+            if x["n_chunks_seen"] == 4
+        }
+        batch = mapstage.llm_map(chunks)
+        want = {
+            r["doc_id"]: r["acc"]
+            for r in batch.groupBy("doc_id")
+            .agg(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_id", "out_text"))
+                    ).getField("out_text"),
+                    " ",
+                ).alias("acc")
+            )
+            .collect()
+        }
+        assert final == want  # exactly-once: equals the batch answer
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(src_root, ignore_errors=True)
