@@ -29,22 +29,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q_flagship"](spark, SF0001)
 
 
-def _driver_green() -> set[str]:
-    """Query names already green in a prior round's CORRECTNESS_r*.json.
+# Queries whose PLAN was rewritten since their last driver check — jump
+# the staleness queue so the current round re-pins their oracle hash.
+_REWRITTEN = [
+    "q_dedup_minhash_pairs",   # LSH mega-bucket cap (round 4)
+    "q_dedup_clusters",        # consumes the capped pair set
+    "q_curation_pipeline",     # embeds the capped minhash stage
+    "q_corpus_mix",            # oracle moved to TRY_CAST
+    "q_sketch_stats",          # round-3 two-level KMV rewrite, last green r2
+    "q_similarity_topk",       # round-3 parameterized-literal rewrite
+]
 
-    The driver verifies queries in `queries()` ordering under a budget;
-    putting not-yet-driver-checked queries first makes the union of
-    per-round green tables converge to full coverage. Every query is
-    independently correct (the repo gate runs all of them each round) —
-    this only prioritizes which ones the driver re-derives first.
+
+def _green_round() -> dict[str, int]:
+    """name → latest round number whose CORRECTNESS_r*.json has it green.
+
+    The driver verifies queries in `queries()` ordering under a ~50/round
+    budget; ordering by STALENESS (never-checked first, then oldest last
+    green) both converges the union to full coverage and keeps every
+    green row at most a couple of rounds old — testdata schemas can
+    change between rounds, so old green rows decay in evidential value.
+    Every query is independently correct each round via the repo's own
+    full gate (tools/compare_oracle.py); this only prioritizes which
+    ones the driver re-derives next.
     """
     import glob
     import json
     import pathlib
+    import re
 
     here = pathlib.Path(__file__).resolve().parent
-    seen: set[str] = set()
+    latest: dict[str, int] = {}
     for p in glob.glob(str(here / "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", p)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(p) as f:
                 report = json.load(f)
@@ -53,8 +71,8 @@ def _driver_green() -> set[str]:
         for name, row in report.items():
             checks = [v for k, v in row.items() if k.endswith("_match") and v is not None]
             if row.get("err") is None and checks and all(checks):
-                seen.add(name)
-    return seen
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -65,8 +83,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    green = _driver_green()
-    ordered = sorted(REGISTRY, key=lambda name: name in green)  # unchecked first
+    green = _green_round()
+    ordered = sorted(
+        REGISTRY,
+        key=lambda n: (n not in _REWRITTEN, green.get(n, -1), n),
+    )
     return {name: wrap(REGISTRY[name]) for name in ordered}
 
 

@@ -133,8 +133,10 @@ def main() -> None:
                 if name not in duck_timings or dt < duck_timings[name]:
                     duck_timings[name] = dt
         duck_total = round(sum(duck_timings.values()), 3)
-    except Exception:
-        pass
+    except Exception as e:  # surface a broken oracle run, don't mask it
+        duck_error = f"{type(e).__name__}: {e}"
+    else:
+        duck_error = None
 
     out = {
         "metric": "headline_queries_wall_clock",
@@ -143,10 +145,14 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    if duck_total:
+    # `is not None`: a (theoretical) 0.0 total is a result, not an absence
+    if duck_total is not None:
         out["duckdb_oracle_sec"] = duck_total
         out["duckdb_queries"] = duck_timings
-        out["ratio_vs_duckdb"] = round(total / duck_total, 2)
+        if duck_total > 0:
+            out["ratio_vs_duckdb"] = round(total / duck_total, 2)
+    if duck_error is not None:
+        out["duckdb_error"] = duck_error
     print(json.dumps(out))
     spark.stop()
 

@@ -1963,15 +1963,17 @@ FROM train t JOIN bench b ON t.g = b.g
 GROUP BY t.doc_id
 """
 
+# TRY_CAST mirrors Spark's cast-to-null: a digit-free source falls to the
+# ELSE 25 branch on BOTH engines instead of raising in DuckDB's strict CAST.
 ORACLES["q_corpus_mix"] = f"""
 WITH k AS (
   SELECT source,
-         CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3 = 0 THEN 100
-              WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3 = 1 THEN 50
+         CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3 = 0 THEN 100
+              WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3 = 1 THEN 50
               ELSE 25 END AS target_pct,
          CASE WHEN {_h("CAST(doc_id AS VARCHAR)", salt="mix")} % 100 <
-              CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3 = 0 THEN 100
-                   WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3 = 1 THEN 50
+              CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3 = 0 THEN 100
+                   WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3 = 1 THEN 50
                    ELSE 25 END
          THEN 1 ELSE 0 END AS keep
   FROM documents
