@@ -372,6 +372,15 @@ def simhash(
     (codegen'd shiftright/mask) — no |words|×bits row blow-up, shuffle
     width stays |words|, and the final bit assembly is plain column
     arithmetic on the aggregated row.
+
+    Round-4 A/B on the round-3 "codegen weight" theory: a packed variant
+    (four 16-bit counters per long, 9 aggregate functions instead of 33,
+    identical outputs) measured EQUAL to this form within noise at sf0.1
+    (min 0.418 s vs 0.443 s interleaved, same medians), and an
+    explode-plus-count-only strawman costs the same ~0.45-0.49 s — the
+    query is bounded by the word explode + per-doc shuffle base, not by
+    the aggregate count or the 32-CASE assembly. Kept unrolled: same
+    speed, simpler, and the oracle SQL mirrors it term by term.
     """
     from ..sources.tables import ensure_parallelism
 

@@ -50,16 +50,20 @@ EMBED_DIM = 64
 # The chunk association is mirrored verbatim in oracles._cos_sql so both
 # engines compute bit-identical IEEE doubles.
 #
-# Measured cost breakdown for q_similarity_topk at sf0.1 (local[32]):
-# re-executing an already-planned QueryExecution takes ~0.13 s; a warm
-# Catalyst optimize of this plan takes ~0.10 s (chunked or not — the
-# round-2 "deep Add chain" theory did not reproduce once the optimizer's
-# own JIT warm-up was controlled for); codegen compilation is cache-hit
-# across repeated builds (CodegenMetrics count is flat). The remaining
-# ~0.4-0.5 s per measured action is per-action constant overhead —
-# broadcast rebuild job, AQE stage scheduling, noop-write command wrap —
-# shared by every small query in the bench and independent of data size,
-# so it vanishes at real scale.
+# Round-4 root cause of the bench gap (supersedes the round-3 "per-action
+# constants" theory): a 64-term dot over TWO DISTINCT array operands
+# generates a fused doConsume past HotSpot's 8000-bytecode compile limit
+# (DontCompileHugeMethods), so the stage ran as interpreted bytecode —
+# term-count sweep showed a cliff between 32 and 64 mixed terms (0.12 s →
+# 0.33 s) while one-operand 64-term sums (v·v, qv·qv — subexpression
+# sharing halves the bytecode) stayed compiled and fast. Fixed globally by
+# spark.sql.codegen.hugeMethodLimit=8000 in session._RUNTIME_CONFS: Spark
+# now abandons fusion exactly where the JVM would refuse to JIT, and
+# per-operator codegen (split methods under the limit) runs compiled.
+# Measured interleaved at sf0.1: noop-save 0.57 s → 0.38 s. The remaining
+# ~0.3 s over DuckDB's 0.09 s is the two-AQE-stage action floor (~0.22 s
+# for a trivial aggregation) plus one serial single-split scan task —
+# constants that vanish at real scale and with resident plans.
 _CHUNK = 8
 
 
@@ -162,24 +166,36 @@ def brute_force_topk(
             .select(id_col, "v", "nv")
             .collect()
         )
-        qlit = F.array(
-            *[
-                F.struct(
-                    F.lit(int(r[id_col])).alias("query_id"),
-                    F.array(*[F.lit(float(x)) for x in r["v"]]).alias("qv"),
-                    F.lit(float(r["nv"])).alias("nq"),
-                )
-                for r in qrows
-            ]
-        )
+        if not qrows:
+            # F.array() with zero args is array<null> — explode + struct
+            # field access would fail analysis. An empty query set has a
+            # well-defined answer: no rows, in the output schema.
+            return emb.sparkSession.createDataFrame(
+                [],
+                "query_id bigint, neighbor_id bigint, cos_sim double, rank int",
+            )
+        # THREE single Literal nodes (ids, vectors, norms), indexed by the
+        # explode position — not an array of per-query structs built from
+        # |Q|·dim scalar literal nodes. The values are identical, but the
+        # analyzed tree shrinks from ~600 nodes to ~10: Catalyst's
+        # per-action optimize of this plan measured ~0.3 s with unrolled
+        # scalar literals vs ~0.05 s with packed ones (the whole
+        # remaining bench-floor gap for this query).
+        qids = F.lit([int(r[id_col]) for r in qrows])
+        qvecs = F.lit([[float(x) for x in r["v"]] for r in qrows])
+        qnorms = F.lit([float(r["nv"]) for r in qrows])
         scored = (
-            base.select(id_col, "v", "nv", F.explode(qlit).alias("q"))
-            .filter(F.col(id_col) != F.col("q.query_id"))
+            base.select(
+                id_col, "v", "nv", F.posexplode(qids).alias("qi", "query_id")
+            )
+            .filter(F.col(id_col) != F.col("query_id"))
+            .withColumn("qv", qvecs[F.col("qi")])
             .select(
-                F.col("q.query_id").alias("query_id"),
+                "query_id",
                 F.col(id_col).alias("neighbor_id"),
                 F.round(
-                    unrolled_dot("q.qv", "v", dim) / (F.col("q.nq") * F.col("nv")),
+                    unrolled_dot("qv", "v", dim)
+                    / (qnorms[F.col("qi")] * F.col("nv")),
                     6,
                 ).alias("cos_sim"),
             )

@@ -38,6 +38,16 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Align Spark's whole-stage-codegen bail-out with HotSpot's compile
+    # limit. The JIT refuses to compile methods over 8000 bytecodes
+    # (-XX:+DontCompileHugeMethods), so a fused doConsume bigger than that
+    # runs as INTERPRETED bytecode forever — measured 3x slower on the
+    # 64-term unrolled-cosine stage (two distinct array operands defeat
+    # subexpression sharing and blow past 8000; one-operand expressions
+    # stay under). At 8000 Spark abandons fusion for exactly the stages
+    # the JVM would never compile and per-operator codegen (whose split
+    # methods DO stay under the limit) runs JIT-compiled instead.
+    "spark.sql.codegen.hugeMethodLimit": "8000",
 }
 
 
