@@ -707,6 +707,37 @@ WITH {_SHINGLES}, {_HS}, {_SIG}, {_BANDED}, {_CAND},
 {_jaccard_select('cand', src='hs', key='h0')}
 """
 
+# Signature-agreement guard: candidates confirmed at n_sig_match >= 8
+# (est J >= 0.5) before the exact set join — mirrors
+# queries.q_dedup_minhash_confirmed / dedup.signature_agreement.
+_AGREE_TERMS = " + ".join(
+    f"CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END" for j in range(16)
+)
+ORACLES["q_dedup_minhash_confirmed"] = f"""
+WITH {_SHINGLES}, {_HS}, {_SIG}, {_BANDED}, {_CAND},
+agree AS (
+  SELECT c.doc_a, c.doc_b, ({_AGREE_TERMS}) AS n_sig_match
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+),
+conf AS (SELECT * FROM agree WHERE n_sig_match >= 8),
+sizes AS (SELECT doc_id, count(*) AS sz FROM hs GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM hs a JOIN hs b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+  JOIN conf c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, c.n_sig_match,
+       round(coalesce(i.n_inter, 0)
+             / CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0) AS DOUBLE), 6) AS jaccard
+FROM conf c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+"""
+
 ORACLES["q_dedup_ngram_jaccard"] = f"""
 WITH {_SHINGLES},
 blocked AS (

@@ -786,6 +786,44 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     )
 
 
+MINHASH_MIN_AGREEMENT = 8  # confirmation gate: est-Jaccard >= 8/16 = 0.5
+
+
+def q_dedup_minhash_confirmed(spark, sf_dir):
+    """MinHash near-dup pairs with the signature-agreement guard.
+
+    LSH candidates are CONFIRMED against the 16-component signatures
+    (n_sig_match >= 8, i.e. estimated Jaccard >= 0.5) before the exact
+    set join — the pair-expansion guard: after a high-dup round the
+    shingle-set shuffle costs |pairs| x (|A|+|B|) hashed shingles, while
+    the agreement join costs 16 ints per side, so the heavy traffic
+    tracks confirmed near-dups instead of raw band candidates. Output
+    carries both the estimate (n_sig_match) and the exact jaccard of the
+    survivors."""
+    combined = dedup_ops.minhash_with_sets(
+        dedup_ops.shingle_rows(_words(spark, sf_dir)), MINHASH_N
+    ).persist()
+    pairs = dedup_ops.lsh_candidate_pairs(combined, MINHASH_N, MINHASH_BANDS)
+    confirmed = dedup_ops.signature_agreement(pairs, combined, MINHASH_N).filter(
+        F.col("n_sig_match") >= MINHASH_MIN_AGREEMENT
+    )
+    a = combined.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = combined.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        confirmed.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_sig_match",
+            F.round(inter / (F.size("sh_a") + F.size("sh_b") - inter), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard near-dup within (lang, length-bucket) blocks."""
     d = _docs(spark, sf_dir)
@@ -860,6 +898,7 @@ REGISTRY.update(
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_signatures": q_minhash_signatures,
         "q_dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "q_dedup_minhash_confirmed": q_dedup_minhash_confirmed,
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "q_simhash": q_simhash,
         "q_dedup_embedding": q_dedup_embedding,

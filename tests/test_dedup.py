@@ -138,3 +138,28 @@ def test_lsh_cap_noop_for_small_buckets(spark):
     )
     pairs = dedup.lsh_candidate_pairs(sig, max_bucket=k)
     assert pairs.count() == k * (k - 1) // 2
+
+
+def test_signature_agreement_counts_and_guard(spark):
+    """n_sig_match counts exactly the shared MinHash components, and the
+    >= 8 confirmation gate drops low-estimate candidates before any
+    shingle-set work."""
+    rows = []
+    # doc 0 baseline; doc 1 identical; doc 2 shares first 8; doc 3 none
+    rows.append(tuple([0] + [100 + j for j in range(16)]))
+    rows.append(tuple([1] + [100 + j for j in range(16)]))
+    rows.append(tuple([2] + [100 + j for j in range(8)] + [900 + j for j in range(8)]))
+    rows.append(tuple([3] + [700 + j for j in range(16)]))
+    sig = spark.createDataFrame(
+        rows, "doc_id long, " + ", ".join(f"mh_{j} long" for j in range(16))
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_sig_match"]
+        for r in dedup.signature_agreement(pairs, sig).collect()
+    }
+    assert got == {(0, 1): 16, (0, 2): 8, (0, 3): 0}
+    kept = dedup.signature_agreement(pairs, sig).filter("n_sig_match >= 8")
+    assert {(r["doc_a"], r["doc_b"]) for r in kept.collect()} == {(0, 1), (0, 2)}

@@ -47,6 +47,10 @@ BUDGETS = {
     "q_decontaminate": 4,
     "q_dedup_embedding": 0,
     "q_dedup_exact": 1,
+    # candidates (5) + the signature-agreement join pair (2): the guard
+    # pays two narrow 16-int joins so the shingle-set join only sees
+    # confirmed near-dups
+    "q_dedup_minhash_confirmed": 7,
     "q_dedup_minhash_pairs": 5,
     "q_dedup_ngram_jaccard": 2,
     "q_doc_fingerprint": 0,
