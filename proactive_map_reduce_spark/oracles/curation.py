@@ -1,0 +1,668 @@
+"""Corpus-curation oracles (dedup, text analysis, curation pipeline)."""
+
+from ._base import *  # noqa: F401,F403
+from ._base import (  # noqa: F401
+    ORACLES,
+    _AGREE_TERMS,
+    _BANDED,
+    _BEST_ANS,
+    _BLEU_LOGSUM,
+    _BLEU_PIV,
+    _CAND,
+    _CHUNKS,
+    _COS_CHUNK,
+    _COS_DIM,
+    _EMB_BASE,
+    _FLAGSHIP_CTES,
+    _HS,
+    _LAST,
+    _MAPPED,
+    _MM_META,
+    _RECHUNK,
+    _SHINGLES,
+    _SIG,
+    _TAIL_LIMIT,
+    _WORDS,
+    _chunked_sum_sql,
+    _cos_sql,
+    _h,
+    _ivf_sql,
+    _jaccard_select,
+    _norm,
+    _set_f1_sql,
+    _shingles_from,
+)
+
+ORACLES["q_dedup_exact"] = f"""
+SELECT sha256({_norm('text')}) AS content_key,
+       min(doc_id) AS rep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+ORACLES["q_minhash_signatures"] = f"""
+WITH {_SHINGLES}, {_HS}, {_SIG}
+SELECT * FROM sig
+"""
+
+
+ORACLES["q_dedup_minhash_pairs"] = f"""
+WITH {_SHINGLES}, {_HS}, {_SIG}, {_BANDED}, {_CAND},
+{_jaccard_select('cand', src='hs', key='h0')}
+"""
+
+
+ORACLES["q_dedup_minhash_confirmed"] = f"""
+WITH {_SHINGLES}, {_HS}, {_SIG}, {_BANDED}, {_CAND},
+agree AS (
+  SELECT c.doc_a, c.doc_b, ({_AGREE_TERMS}) AS n_sig_match
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+),
+conf AS (SELECT * FROM agree WHERE n_sig_match >= 8),
+sizes AS (SELECT doc_id, count(*) AS sz FROM hs GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM hs a JOIN hs b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+  JOIN conf c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, c.n_sig_match,
+       round(coalesce(i.n_inter, 0)
+             / CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0) AS DOUBLE), 6) AS jaccard
+FROM conf c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+"""
+
+
+ORACLES["q_dedup_ngram_jaccard"] = f"""
+WITH {_SHINGLES},
+blocked AS (
+  SELECT doc_id, lang, n_chars // 100 AS blk_bucket FROM documents
+),
+bpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocked a JOIN blocked b
+    ON a.lang = b.lang AND a.blk_bucket = b.blk_bucket AND a.doc_id < b.doc_id
+),
+{_jaccard_select('bpairs')}
+"""
+
+
+ORACLES["q_simhash"] = f"""
+WITH {_WORDS},
+wh AS (SELECT doc_id, {_h('word')} AS h FROM w),
+pb AS (
+  SELECT doc_id, t.b,
+         sum(2 * ((h // CAST(pow(2, t.b) AS BIGINT)) % 2) - 1) AS bal
+  FROM wh, UNNEST(generate_series(0, 31)) AS t(b)
+  GROUP BY doc_id, t.b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN bal >= 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM pb GROUP BY doc_id
+"""
+
+
+ORACLES["q_lang_id"] = """
+WITH l AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents
+),
+c AS (
+  SELECT doc_id, lang,
+    len(list_filter(ws, x -> list_contains(['der','die','das','und','ist'], x))) AS c_de,
+    len(list_filter(ws, x -> list_contains(['the','a','of','and','is'], x))) AS c_en,
+    len(list_filter(ws, x -> list_contains(['el','la','de','que','y'], x))) AS c_es,
+    len(list_filter(ws, x -> list_contains(['le','la','les','et','que'], x))) AS c_fr
+  FROM l
+)
+SELECT doc_id, lang,
+  CASE WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+       WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+       WHEN c_es >= c_fr THEN 'es' ELSE 'fr' END AS pred_lang,
+  CAST(greatest(c_de, c_en, c_es, c_fr) AS BIGINT) AS marker_hits
+FROM c
+"""
+
+
+ORACLES["q_quality_score"] = """
+WITH f AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+),
+r AS (
+  SELECT doc_id,
+    len(ws) AS n,
+    (length(text) - (len(ws) - 1)) / CAST(len(ws) AS DOUBLE) AS awl,
+    len(list_filter(ws, x -> list_contains(
+      ['the','a','an','of','to','and','in','is','it','for'], x)))
+      / CAST(len(ws) AS DOUBLE) AS sr,
+    len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE) AS dr,
+    least(len(ws) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) AS ls
+  FROM f
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_words,
+  round(awl, 6) AS avg_word_len,
+  round(sr, 6) AS stopword_ratio,
+  round(dr, 6) AS distinct_ratio,
+  round(CAST(0.4 AS DOUBLE) * ls + CAST(0.3 AS DOUBLE) * sr
+        + CAST(0.3 AS DOUBLE) * dr, 6) AS quality_score
+FROM r
+"""
+
+
+ORACLES["q_token_stats"] = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(ceil(length(text) / CAST(4.0 AS DOUBLE)) AS BIGINT) AS n_bpe_est
+FROM documents
+"""
+
+
+ORACLES["q_doc_fingerprint"] = f"""
+WITH g AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+),
+h AS (
+  SELECT doc_id, text,
+         list_transform(generate_series(0, greatest(len(ws) - 5, 0)),
+                        i -> {_h("array_to_string(ws[i + 1 : i + 5], ' ')")}) AS gh
+  FROM g
+)
+SELECT doc_id, md5({_norm('text')}) AS content_md5,
+       list_min(gh) AS winnow_min, list_max(gh) AS winnow_max
+FROM h
+"""
+
+
+ORACLES["q_corpus_stats"] = f"""
+WITH {_WORDS},
+wl AS (
+  SELECT d.lang, w.word
+  FROM w JOIN documents d USING (doc_id)
+),
+pw AS (
+  SELECT lang, CAST(count(DISTINCT word) AS BIGINT) AS n_distinct_words,
+         CAST(count(*) AS BIGINT) AS n_words_total
+  FROM wl GROUP BY lang
+),
+pd AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         round(quantile_cont(n_chars, 0.5), 6) AS median_chars
+  FROM documents GROUP BY lang
+)
+SELECT pd.lang, n_docs, median_chars, n_distinct_words, n_words_total
+FROM pd JOIN pw USING (lang)
+"""
+
+
+# Transitive closure of the LSH pair graph; representative = min
+# reachable node (including self). The pair derivation is the
+# q_dedup_minhash_pairs oracle minus the jaccard scoring.
+_LSH_PAIRS_SQL = ORACLES["q_dedup_minhash_pairs"]
+
+
+ORACLES["q_dedup_clusters"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_LSH_PAIRS_SQL}) base_pairs
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id,
+       least(src, min(dst)) AS cluster_rep
+FROM reach GROUP BY src
+"""
+
+
+# Gopher-style repetition signals: k-gram lists built with 1-based
+# inclusive slices (ws[i+1 : i+k] = k words), mirroring Spark's
+# slice(ws, i+1, k).
+ORACLES["q_repetition_signals"] = """
+WITH g AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+r AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= 2 THEN list_transform(
+      generate_series(0, len(ws) - 2),
+      i -> array_to_string(ws[i + 1 : i + 2], ' '))
+    ELSE CAST([] AS VARCHAR[]) END AS g2,
+    CASE WHEN len(ws) >= 3 THEN list_transform(
+      generate_series(0, len(ws) - 3),
+      i -> array_to_string(ws[i + 1 : i + 3], ' '))
+    ELSE CAST([] AS VARCHAR[]) END AS g3
+  FROM g
+)
+SELECT doc_id,
+  CAST(len(g2) AS BIGINT) AS n_bigrams,
+  CAST(len(g3) AS BIGINT) AS n_trigrams,
+  round(CASE WHEN len(g2) > 0 THEN
+    list_max(list_transform(list_distinct(g2),
+                            d -> len(list_filter(g2, x -> x = d))))
+      / CAST(len(g2) AS DOUBLE)
+    ELSE 0.0 END, 6) AS top_bigram_frac,
+  round(CASE WHEN len(g3) > 0 THEN
+    len(list_filter(g3, y -> len(list_filter(g3, x -> x = y)) > 1))
+      / CAST(len(g3) AS DOUBLE)
+    ELSE 0.0 END, 6) AS dup_trigram_frac
+FROM r
+"""
+
+
+ORACLES["q_stratified_sample"] = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {_h("CAST(doc_id AS VARCHAR)", salt="sample")} % 100 <
+      CASE lang WHEN 'de' THEN 100 WHEN 'en' THEN 25
+                WHEN 'es' THEN 50 WHEN 'fr' THEN 75 ELSE 0 END
+"""
+
+
+ORACLES["q_tfidf_top_terms"] = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tc AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df_t FROM tc GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tc.doc_id, tc.term, tc.tf, dfs.df_t,
+         round(tc.tf * (ln((n.n_docs + 1) / CAST(dfs.df_t + 1 AS DOUBLE)) + 1), 6)
+           AS tfidf
+  FROM tc JOIN dfs USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df_t AS BIGINT) AS df_t,
+       tfidf, rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+# BM25 with k1=1.2, b=0.75 and Robertson idf; expression shapes mirror
+# operators/ranking.py term-for-term so both engines compute identical
+# doubles before the 6-place round.
+ORACLES["q_bm25_search"] = """
+WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+hits AS (
+  SELECT doc_id, term, count(*) AS tf FROM w
+  WHERE term IN ('join', 'hash', 'stream') GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df_t FROM hits GROUP BY term),
+scored AS (
+  SELECT h.doc_id,
+         ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * h.tf * (1.2 + 1)
+           / (h.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS contrib
+  FROM hits h JOIN dfs d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+per_doc AS (
+  SELECT doc_id, round(sum(contrib), 6) AS bm25,
+         CAST(count(*) AS BIGINT) AS n_terms_hit
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, bm25, n_terms_hit FROM per_doc
+ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+
+ORACLES["q_blocklist_filter"] = """
+WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n_words
+FROM d WHERE NOT (list_contains(ws, 'error') OR list_contains(ws, 'slow'))
+"""
+
+
+ORACLES["q_sentence_dedup"] = """
+WITH s AS (
+  SELECT doc_id, t.i - 1 AS sent_pos, d.ss[t.i] AS sentence
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'),
+                            chr(1)) AS ss
+        FROM documents) d,
+       UNNEST(generate_series(1, len(d.ss))) AS t(i)
+  WHERE length(d.ss[t.i]) > 0
+),
+k AS (
+  SELECT doc_id, sent_pos, md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(sentence), '[^a-z0-9 ]', '', 'g'), '\\b(a|an|the)\\b', ' ', 'g'), '\\s+', ' ', 'g'))) AS sent_key FROM s
+),
+f AS (
+  SELECT doc_id,
+         CASE WHEN row_number() OVER (
+           PARTITION BY sent_key ORDER BY doc_id, sent_pos) = 1
+         THEN 1 ELSE 0 END AS is_first
+  FROM k
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents,
+       CAST(sum(is_first) AS BIGINT) AS n_kept,
+       round(sum(is_first) / CAST(count(*) AS DOUBLE), 6) AS keep_frac
+FROM f GROUP BY doc_id
+"""
+
+
+ORACLES["q_unigram_lm_score"] = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tc AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+ctf AS (SELECT term, sum(tf) AS ctf FROM tc GROUP BY term),
+tot AS (SELECT sum(ctf) AS total_tokens FROM ctf),
+s AS (
+  SELECT tc.doc_id, tc.tf,
+         -tc.tf * ln(ctf.ctf / CAST(tot.total_tokens AS DOUBLE)) AS surprisal
+  FROM tc JOIN ctf USING (term) CROSS JOIN tot
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(sum(surprisal) / sum(tf), 6) AS avg_surprisal
+FROM s GROUP BY doc_id
+"""
+
+
+# JSON round-trip: serialize then path-extract == direct projection.
+ORACLES["q_json_extract"] = """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+"""
+
+
+# Hybrid retrieval: the BM25 top-20 CTE chain reused, then stand-in
+# embedding cosine rerank against the encoded literal query string.
+ORACLES["q_hybrid_search"] = """
+WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+hits AS (
+  SELECT doc_id, term, count(*) AS tf FROM w
+  WHERE term IN ('join', 'hash', 'stream') GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df_t FROM hits GROUP BY term),
+scored AS (
+  SELECT h.doc_id,
+         ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * h.tf * (1.2 + 1)
+           / (h.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS contrib
+  FROM hits h JOIN dfs d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+cand AS (
+  SELECT doc_id, round(sum(contrib), 6) AS bm25
+  FROM scored GROUP BY doc_id
+  ORDER BY bm25 DESC, doc_id LIMIT 20
+),
+vecs AS (
+  SELECT c.doc_id, c.bm25,
+         list_transform(generate_series(0, 7), i -> round((CAST(('0x' || substr(md5(((d.text) || CAST(i AS VARCHAR))), 1, 8)) AS BIGINT) % 10000) / 10000.0, 6)) AS dv,
+         list_transform(generate_series(0, 7), i -> round((CAST(('0x' || substr(md5((('join hash stream') || CAST(i AS VARCHAR))), 1, 8)) AS BIGINT) % 10000) / 10000.0, 6)) AS qv
+  FROM cand c JOIN documents d USING (doc_id)
+),
+reranked AS (
+  SELECT doc_id, bm25, round((list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * dv[i])) / (sqrt(list_sum(list_transform(qv, x -> x * x))) * sqrt(list_sum(list_transform(dv, x -> x * x))))), 6) AS cos_sim
+  FROM vecs
+)
+SELECT doc_id, bm25, cos_sim,
+       CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INT) AS rank
+FROM reranked QUALIFY rank <= 5
+"""
+
+
+ORACLES["q_pack_sequences"] = """
+WITH toks AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+packed AS (
+  SELECT doc_id, lang, n_tok,
+         coalesce(sum(n_tok) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM toks
+)
+SELECT lang, CAST(floor(start_off / 256.0) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM packed GROUP BY lang, CAST(floor(start_off / 256.0) AS BIGINT)
+"""
+
+
+# Composed curation pipeline: gate -> minhash drop -> sentence dedup ->
+# pack. Mirrors queries.q_curation_pipeline stage by stage; the minhash
+# CTEs are the q_dedup_minhash_pairs oracle re-rooted at the gated docs.
+ORACLES["q_curation_pipeline"] = f"""
+WITH gated AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+      round(CAST(0.4 AS DOUBLE) * least(len(string_split(text, ' '))
+                / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+          + CAST(0.3 AS DOUBLE) * (len(list_filter(string_split(text, ' '),
+                x -> list_contains(['the','a','an','of','to','and','in','is','it','for'], x)))
+                / CAST(len(string_split(text, ' ')) AS DOUBLE))
+          + CAST(0.3 AS DOUBLE) * (len(list_distinct(string_split(text, ' ')))
+                / CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS q
+    FROM documents)
+  WHERE q >= 0.40
+),
+{_shingles_from('gated')},
+{_HS}, {_SIG}, {_BANDED}, {_CAND},
+sizes AS (SELECT doc_id, count(*) AS sz FROM hs GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM hs a JOIN hs b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+  GROUP BY 1, 2
+),
+jacc AS (
+  SELECT c.doc_a, c.doc_b,
+         round(coalesce(i.n_inter, 0)
+               / CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0) AS DOUBLE), 6) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+),
+dropped AS (SELECT DISTINCT doc_b AS doc_id FROM jacc WHERE jaccard >= 0.5),
+surv AS (
+  SELECT g.* FROM gated g LEFT JOIN dropped x ON g.doc_id = x.doc_id
+  WHERE x.doc_id IS NULL
+),
+s AS (
+  SELECT doc_id, lang, t.i - 1 AS sent_pos, d.ss[t.i] AS sentence
+  FROM (SELECT doc_id, lang,
+               string_split(regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'),
+                            chr(1)) AS ss
+        FROM surv) d,
+       UNNEST(generate_series(1, len(d.ss))) AS t(i)
+  WHERE length(d.ss[t.i]) > 0
+),
+k AS (
+  SELECT doc_id, lang, sent_pos,
+         len(string_split(sentence, ' ')) AS sent_tok,
+         md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(sentence),
+             '[^a-z0-9 ]', '', 'g'), '\\b(a|an|the)\\b', ' ', 'g'),
+             '\\s+', ' ', 'g'))) AS sent_key
+  FROM s
+),
+f AS (
+  SELECT doc_id, lang, sent_tok,
+         CASE WHEN row_number() OVER (
+           PARTITION BY sent_key ORDER BY doc_id, sent_pos) = 1
+         THEN 1 ELSE 0 END AS is_first
+  FROM k
+),
+kept AS (
+  SELECT doc_id, lang, sum(is_first * sent_tok) AS n_tok
+  FROM f GROUP BY doc_id, lang
+),
+packed AS (
+  SELECT doc_id, lang, n_tok,
+         coalesce(sum(n_tok) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM kept
+)
+SELECT lang, CAST(floor(start_off / 256.0) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM packed GROUP BY lang, CAST(floor(start_off / 256.0) AS BIGINT)
+"""
+
+
+ORACLES["q_pii_redact"] = """
+WITH dirty AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 4 = 0 THEN ' contact me at user.name@example.com now'
+         WHEN doc_id % 4 = 1 THEN ' call 555-123-4567 or 555-987-6543'
+         WHEN doc_id % 4 = 2 THEN ' server at 192.168.1.77 responded'
+         ELSE '' END AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id, t,
+    regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                   '[EMAIL]', 'g') AS s1
+  FROM dirty
+),
+s2 AS (
+  SELECT doc_id, t,
+    regexp_replace(s1, '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g') AS p
+  FROM s
+),
+s3 AS (
+  SELECT doc_id, t, p,
+    regexp_replace(p, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                   '[IP]', 'g') AS clean
+  FROM s2
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t,
+    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(p,
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+  CAST(length(clean) AS BIGINT) AS clean_len,
+  CASE WHEN strpos(clean, '@') = 0 THEN 1 ELSE 0 END AS no_email_left
+FROM s3
+"""
+
+
+ORACLES["q_decontaminate"] = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g5 AS (
+  SELECT DISTINCT d.doc_id,
+         {_h("array_to_string(d.ws[t.i + 1 : t.i + 5], ' ')")} AS g
+  FROM w d, UNNEST(generate_series(0, greatest(len(d.ws) - 5, 0))) AS t(i)
+),
+bench AS (SELECT doc_id AS bench_id, g FROM g5 WHERE doc_id % 17 = 0),
+train AS (SELECT doc_id, g FROM g5 WHERE doc_id % 17 <> 0)
+SELECT t.doc_id,
+  CAST(count(DISTINCT t.g) AS BIGINT) AS n_contaminated_grams,
+  CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs_hit
+FROM train t JOIN bench b ON t.g = b.g
+GROUP BY t.doc_id
+"""
+
+
+# TRY_CAST mirrors Spark's cast-to-null: a digit-free source falls to the
+# ELSE 25 branch on BOTH engines instead of raising in DuckDB's strict CAST.
+ORACLES["q_corpus_mix"] = f"""
+WITH k AS (
+  SELECT source,
+         CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3 = 0 THEN 100
+              WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3 = 1 THEN 50
+              ELSE 25 END AS target_pct,
+         CASE WHEN {_h("CAST(doc_id AS VARCHAR)", salt="mix")} % 100 <
+              CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3 = 0 THEN 100
+                   WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3 = 1 THEN 50
+                   ELSE 25 END
+         THEN 1 ELSE 0 END AS keep
+  FROM documents
+)
+SELECT source, target_pct,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       round(sum(keep) / CAST(count(*) AS DOUBLE), 6) AS realized_frac
+FROM k GROUP BY source, target_pct
+"""
+
+
+ORACLES["q_vocab_oov"] = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+f AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+v AS (SELECT word FROM f ORDER BY c DESC, word LIMIT 1000),
+j AS (
+  SELECT w.doc_id, CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+  FROM w LEFT JOIN v ON w.word = v.word
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       round(sum(oov) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+FROM j GROUP BY doc_id
+"""
+
+
+ORACLES["q_html_strip"] = """
+WITH h AS (
+  SELECT doc_id, text,
+         '<html><body><p class="c">' || replace(text, ' ', '&nbsp;')
+           || '</p><br/></body></html>' AS html
+  FROM documents
+),
+s AS (
+  SELECT doc_id, text, html,
+         trim(regexp_replace(
+           replace(regexp_replace(html, '<[^>]+>', ' ', 'g'), '&nbsp;', ' '),
+           '\\s+', ' ', 'g')) AS clean
+  FROM h
+)
+SELECT doc_id, CAST(length(html) AS BIGINT) AS html_len,
+       CAST(length(clean) AS BIGINT) AS clean_len,
+       CAST(clean = text AS INT) AS roundtrip_ok
+FROM s
+"""
+
+
+ORACLES["q_quality_topn_per_lang"] = """
+WITH f AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+    len(list_filter(ws, x -> list_contains(
+      ['the','a','an','of','to','and','in','is','it','for'], x)))
+      / CAST(len(ws) AS DOUBLE) AS sr,
+    len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE) AS dr,
+    least(len(ws) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) AS ls
+  FROM f
+),
+scored AS (
+  SELECT doc_id, lang,
+         round(CAST(0.4 AS DOUBLE) * ls + CAST(0.3 AS DOUBLE) * sr
+               + CAST(0.3 AS DOUBLE) * dr, 6) AS quality_score
+  FROM r
+),
+ranked AS (
+  SELECT lang, doc_id, quality_score,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS INT) AS rnk
+  FROM scored
+)
+SELECT lang, rnk, doc_id, quality_score FROM ranked WHERE rnk <= 20
+"""

@@ -1,0 +1,401 @@
+"""Relational-substrate oracles (TPC-H-style and event windowing)."""
+
+from ._base import *  # noqa: F401,F403
+from ._base import (  # noqa: F401
+    ORACLES,
+    _AGREE_TERMS,
+    _BANDED,
+    _BEST_ANS,
+    _BLEU_LOGSUM,
+    _BLEU_PIV,
+    _CAND,
+    _CHUNKS,
+    _COS_CHUNK,
+    _COS_DIM,
+    _EMB_BASE,
+    _FLAGSHIP_CTES,
+    _HS,
+    _LAST,
+    _MAPPED,
+    _MM_META,
+    _RECHUNK,
+    _SHINGLES,
+    _SIG,
+    _TAIL_LIMIT,
+    _WORDS,
+    _chunked_sum_sql,
+    _cos_sql,
+    _h,
+    _ivf_sql,
+    _jaccard_select,
+    _norm,
+    _set_f1_sql,
+    _shingles_from,
+)
+
+ORACLES["q_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-06-30'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+ORACLES["q_top_revenue"] = """
+SELECT o.o_orderkey, o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey ASC
+LIMIT 10
+"""
+
+
+ORACLES["q_region_revenue"] = """
+SELECT r.r_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+ORACLES["q_window_tumbling"] = """
+SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS hour_bucket,
+       event_type,
+       round(avg(value), 6) AS avg_value,
+       round(sum(value), 2) AS sum_value,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+ORACLES["q_sessionize"] = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+           AS gap
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id, ts,
+         CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# Sketch stats: KMV distinct estimator + equi-width histogram quartiles —
+# mirror of queries.q_sketch_stats (portable md5 hash, exact int bins).
+ORACLES["q_sketch_stats"] = f"""
+WITH {_WORDS},
+wl AS (SELECT w.doc_id, w.word, d.lang FROM w JOIN documents d USING (doc_id)),
+wh AS (SELECT DISTINCT lang, {_h('word')} AS h FROM wl),
+wrn AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM wh
+),
+kmv AS (
+  SELECT lang,
+         CAST(CASE WHEN max(rn) < 1024 THEN max(rn)
+                   ELSE floor(1023 * 4294967296.0
+                              / max(CASE WHEN rn = 1024 THEN h END) + 0.5) END
+              AS BIGINT) AS approx_distinct_words
+  FROM wrn GROUP BY lang
+),
+bounds AS (
+  SELECT lang, min(n_chars) AS lo, max(n_chars) AS hi, count(*) AS n
+  FROM documents GROUP BY lang
+),
+binned AS (
+  SELECT d.lang, b.lo, b.hi, b.n,
+         CAST(floor(((d.n_chars - b.lo) * 64) / (b.hi - b.lo + 1)) AS INT) AS bin
+  FROM documents d JOIN bounds b USING (lang)
+),
+cnt AS (
+  SELECT lang, lo, hi, n, bin, count(*) AS c
+  FROM binned GROUP BY lang, lo, hi, n, bin
+),
+cum AS (
+  SELECT *, sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cum FROM cnt
+),
+quart AS (
+  SELECT lang, lo, hi,
+         max(CASE WHEN cum - c < 0.25 * n THEN bin END) AS b25,
+         max(CASE WHEN cum - c < 0.50 * n THEN bin END) AS b50,
+         max(CASE WHEN cum - c < 0.75 * n THEN bin END) AS b75
+  FROM cum GROUP BY lang, lo, hi
+)
+SELECT k.lang, k.approx_distinct_words,
+       CAST(q.lo + floor((q.b25 * (q.hi - q.lo + 1)) / 64) AS BIGINT) AS p25,
+       CAST(q.lo + floor((q.b50 * (q.hi - q.lo + 1)) / 64) AS BIGINT) AS p50,
+       CAST(q.lo + floor((q.b75 * (q.hi - q.lo + 1)) / 64) AS BIGINT) AS p75
+FROM kmv k JOIN quart q USING (lang)
+"""
+
+
+ORACLES["q_salted_agg"] = """
+SELECT event_type, round(sum(value), 2) AS sum_value,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM events GROUP BY event_type
+"""
+
+
+ORACLES["q_salted_join"] = """
+SELECT s.s_nationkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+"""
+
+
+ORACLES["q_rollup_multi"] = """
+SELECT event_type,
+       CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+"""
+
+
+ORACLES["q_promo_revenue"] = """
+SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_share,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= DATE '1998-01-01' AND l.l_shipdate < DATE '1998-03-01'
+"""
+
+
+ORACLES["q_asof_join"] = """
+SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+       CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS age_us
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+
+# native session_window ≡ gap-based sessionization: a session starts at
+# any event >30 min after its predecessor; session key = min ts in group.
+ORACLES["q_session_window"] = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, value
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g
+)
+SELECT user_id,
+       CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, sess_id
+"""
+
+
+# sliding window: event at t belongs to starts {floor(t/1800)*1800,
+# floor(t/1800)*1800 - 1800} (width 3600, slide 1800).
+ORACLES["q_window_sliding"] = """
+WITH e AS (
+  SELECT event_type, value,
+         (epoch_us(ts) // 1000000) AS t
+  FROM events
+),
+x AS (
+  SELECT event_type, value,
+         (t // 1800) * 1800 - u.k * 1800 AS win_start_s
+  FROM e, UNNEST([0, 1]) AS u(k)
+)
+SELECT CAST(win_start_s AS BIGINT) AS win_start_s, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM x GROUP BY 1, 2
+"""
+
+
+ORACLES["q_semi_anti_join"] = """
+SELECT c_mktsegment,
+       CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            THEN 1 ELSE 0 END AS has_orders,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM customer c
+GROUP BY 1, 2
+"""
+
+
+ORACLES["q_cube_events"] = """
+SELECT event_type,
+       CAST(dayofweek(ts) AS INT) + 1 AS dow,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, CAST(dayofweek(ts) AS INT) + 1)
+"""
+
+
+ORACLES["q_pivot_event_types"] = """
+SELECT user_id,
+  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+FROM events
+GROUP BY user_id
+"""
+
+
+ORACLES["q_ship_priority"] = """
+SELECT o.o_orderkey, o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1998-06-01'
+  AND l.l_shipdate > DATE '1998-06-01'
+GROUP BY o.o_orderkey, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+"""
+
+
+ORACLES["q_topn_per_group"] = """
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT c.c_mktsegment,
+         CAST(row_number() OVER (
+           PARTITION BY c.c_mktsegment
+           ORDER BY s.total_spend DESC, c.c_custkey) AS INT) AS rank,
+         c.c_custkey, s.total_spend
+  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, rank, c_custkey, total_spend
+FROM ranked WHERE rank <= 3
+"""
+
+
+ORACLES["q_local_supplier_volume"] = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+GROUP BY n_name
+"""
+
+
+ORACLES["q_value_percentiles"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+
+ORACLES["q_event_interarrival"] = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+       round(sum(gap_us) / CAST(count(*) AS DOUBLE) / 1e6, 6) AS mean_gap_s,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(sum(CASE WHEN gap_us < 60000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bursts
+FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+"""
+
+
+# The maintained incremental view must equal the full recompute.
+ORACLES["q_incremental_rollup"] = """
+SELECT user_id, round(sum(value), 6) AS total_value,
+       CAST(count(value) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+ORACLES["q_resample_ffill"] = """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM b
+),
+hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, round(avg(value), 6) AS v
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT g.user_id, g.hour, h.v
+  FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+)
+SELECT user_id,
+       CAST(floor(epoch(hour)) AS BIGINT) AS hour_ts,
+       round(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_ffill,
+       CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_gap
+FROM j
+"""
+
+
+ORACLES["q_event_anomaly"] = """
+WITH s AS (
+  SELECT user_id, event_id, value,
+         avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS mu,
+         stddev(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS sd
+  FROM events
+)
+SELECT user_id, event_id,
+       round((value - mu) / sd, 6) AS z,
+       CASE WHEN abs((value - mu) / sd) > 2 THEN 1 ELSE 0 END AS is_anomaly
+FROM s WHERE sd IS NOT NULL AND sd > 0
+"""

@@ -1,0 +1,572 @@
+"""Relational substrate: TPC-H-style aggregations/joins over lineitem/orders
+and event-table windowing/sessionization/rollups (§2.8/§2.11 + bench headliners)."""
+
+from ._base import *  # noqa: F401,F403
+from ._base import (  # noqa: F401
+    _chunks,
+    _docs,
+    _events_with_pos,
+    _hashlib_sha256,
+    _shutil,
+    _standin_embed,
+    _tempfile,
+    _words,
+)
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary over lineitem (bench headliner).
+
+    Scale: single scan + partial-agg shuffle on a low-cardinality key;
+    filter pushed to parquet; no joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "2001-06-30")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue(spark, sf_dir):
+    """TPC-H Q3-style: top 10 orders by revenue for one market segment.
+
+    Scale: customer dim is broadcast (no shuffle of lineitem on custkey);
+    the only wide shuffle is the groupBy(o_orderkey) aggregation."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # Broadcast the DIM side (segment-filtered orders⋈customer), never the
+    # fact table: without the hint Spark's size estimate can pick BuildLeft
+    # on lineitem's 3-column projection — fine at sf0.1, catastrophic at
+    # 100 TB where lineitem is the big table. At even larger orders
+    # cardinality AQE's runtime stats would fall back to shuffle join.
+    j = li.join(
+        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.l_orderkey == orders.o_orderkey,
+    )
+    return (
+        j.groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_region_revenue(spark, sf_dir):
+    """Star-schema rollup: revenue per region via broadcast dim chain
+    (lineitem ⋈ supplier ⋈ nation ⋈ region)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    dims = F.broadcast(
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey).join(
+            reg, nat.n_regionkey == reg.r_regionkey
+        ).select("s_suppkey", "r_name")
+    )
+    return (
+        li.join(dims, li.l_suppkey == dims.s_suppkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+def q_window_tumbling(spark, sf_dir):
+    """Tumbling 1-hour window aggregation over the events stream table
+    (batch form; the streaming mode reuses the same expression)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .select(
+            (F.unix_timestamp(F.col("w.start")) / 3600).cast("bigint").alias("hour_bucket"),
+            "event_type",
+            "avg_value",
+            "sum_value",
+            "n_events",
+        )
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Session windows: per-user sessions split at >30 min inactivity gaps
+    (engine streaming capability, batch-checkable form)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_sess = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("bigint"),
+    )
+    return with_sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.unix_timestamp(F.min("ts")).cast("bigint").alias("session_start"),
+        F.unix_timestamp(F.max("ts")).cast("bigint").alias("session_end"),
+    )
+
+
+def q_salted_agg(spark, sf_dir):
+    """Skew-safe two-phase aggregation: per-event_type value sum/count via
+    a deterministic salt (hot keys spread across N_SALTS reducers).
+    Value-identical to the plain groupBy — the oracle IS the plain SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    out = skew_ops.salted_agg(
+        ev, ["event_type"], "value", salt_source="event_id", n_salts=N_SALTS
+    )
+    return out.select("event_type", F.round("sum_value", 2).alias("sum_value"), "n_rows")
+
+
+def q_salted_join(spark, sf_dir):
+    """Skew-safe fact⋈dim join with N_SALTS-fold dim replication instead of
+    broadcast: lineitem ⋈ supplier on (suppkey, salt)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    j = skew_ops.salted_join(
+        li, sup, "l_suppkey", "s_suppkey", salt_source="l_orderkey", n_salts=N_SALTS
+    )
+    return j.groupBy("s_nationkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").cast("bigint").alias("n_items"),
+    )
+
+
+def q_rollup_multi(spark, sf_dir):
+    """Multi-granularity rollup over events: (event_type, day) → event_type
+    → grand total in one pass (hypertable-style continuous-aggregate
+    shape; partial aggregation handles all levels in a single shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    return (
+        ev.select(F.col("event_type"), day, F.col("value"))
+        .rollup("event_type", "day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp("day").cast("bigint").alias("day_epoch"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-style promo revenue share: part dim broadcast into the
+    lineitem scan, one month of shipdates (filter pushed to parquet),
+    conditional aggregation — single wide shuffle of one partial-agg row
+    per partition."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-03-01")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
+            / F.sum(rev),
+            6,
+        ).alias("promo_share"),
+        F.count("*").cast("bigint").alias("n_items"),
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: each click matched to the user's latest view at-or-
+    before it (union + ordered carry-forward — one exchange, one sort,
+    linear cost; never a range cross-product). DuckDB oracles it with
+    native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts"
+    )
+    j = asof_ops.asof_join(clicks, views, on="user_id")
+    return j.select(
+        "user_id",
+        "click_id",
+        F.col("r_view_id").alias("view_id"),
+        (F.unix_micros("ts") - F.unix_micros("r_ts")).cast("bigint").alias("age_us"),
+    )
+
+
+def q_range_join(spark, sf_dir):
+    """Batch range join (click x view within ±30 min per user) via time-
+    bucket expansion — the whole range condition becomes an equi-join on
+    (user_id, bucket); same result set as the streaming q_stream_stream_
+    join (shared oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("l_id"), "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("r_id"), "ts"
+    )
+    j = range_ops.interval_join(clicks, views, on="user_id", within_us=30 * 60 * 1_000_000)
+    return j.select(
+        "user_id",
+        "l_id",
+        F.col("r_r_id").alias("r_id"),
+        (F.unix_micros("r_ts") - F.unix_micros("ts")).cast("bigint").alias("gap_us"),
+    )
+
+
+def q_sketch_stats(spark, sf_dir):
+    """Sketch statistics: approximate distinct words (KMV — k minimum
+    hash values) and approximate doc-length quartiles (equi-width
+    histogram bins) per language — constant-memory, mergeable forms of
+    q_corpus_stats' exact aggregates (what actually runs at 100 TB).
+
+    Both sketches are built on the portable md5 hash / exact integer bin
+    counts, so unlike engine-native HLL and GK/t-digest summaries the
+    values are bit-identical cross-engine → fully hash-checked in the
+    driver gate; accuracy vs the exact aggregates stays pinned by tests.
+
+    KMV estimator: with h uniform on [0, 2^32), E[k-th min] ≈ k/|S|·2^32
+    → |S| ≈ (k-1)·2^32 / h_(k). When |S| < k the sketch holds the whole
+    set and answers exactly. Quartiles report the lower bound of the bin
+    where the cumulative count crosses p·n (bin width = range/64).
+    """
+    from ..operators import sketch as sketch_ops
+
+    d = _docs(spark, sf_dir)
+    words = _words(spark, sf_dir).join(d.select("doc_id", "lang"), "doc_id")
+    wh = words.select("lang", portable_hash64("word").alias("h")).distinct()
+    kmv = sketch_ops.kmv_distinct(
+        wh, "lang", "h", SKETCH_KMV_K, out_col="approx_distinct_words"
+    )
+    q = sketch_ops.histogram_quantiles(
+        d, "lang", "n_chars", SKETCH_BINS, probs=[0.25, 0.50, 0.75],
+        out_cols=["p25", "p50", "p75"],
+    )
+    return kmv.join(q, "lang")
+
+
+def q_session_window(spark, sf_dir):
+    """Native session_window aggregation (30-min inactivity gap) — the
+    built-in form of q_sessionize's hand-rolled lag/cumsum, usable
+    unchanged under Structured Streaming. Oracle mirrors the gap
+    semantics with window functions."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).cast("bigint").alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_window_sliding(spark, sf_dir):
+    """Sliding 1-hour window, 30-minute slide (each event contributes to
+    two windows) — completes the tumbling/sliding/session triple; the
+    same expression runs under Structured Streaming."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("win_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_semi_anti_join(spark, sf_dir):
+    """§2.11: left-semi and left-anti joins — customers with vs without
+    orders, as one labeled union (both sides broadcast the orders key
+    set; at scale this is a shuffle semi-join AQE can re-plan)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ord_keys = load_table(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = cust.join(
+        ord_keys, cust.c_custkey == ord_keys.o_custkey, "left_semi"
+    ).withColumn("has_orders", F.lit(1))
+    without = cust.join(
+        ord_keys, cust.c_custkey == ord_keys.o_custkey, "left_anti"
+    ).withColumn("has_orders", F.lit(0))
+    return (
+        with_orders.unionByName(without)
+        .groupBy("c_mktsegment", "has_orders")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+    )
+
+
+def q_cube_events(spark, sf_dir):
+    """CUBE over (event_type, day-of-week): all four grouping levels in
+    one pass (partial aggregation covers every cell)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.dayofweek("ts").cast("int").alias("dow"), "value")
+        .cube("event_type", "dow")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q_pivot_event_types(spark, sf_dir):
+    """PIVOT: per-user event counts spread into one column per event
+    type. The value list is given explicitly, so the plan is a single
+    conditional aggregation pass (no extra distinct scan) — the shape
+    that survives 100 TB: one shuffle keyed by user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    return p.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+            for c in EVENT_TYPES
+        ],
+    )
+
+
+def q_ship_priority(spark, sf_dir):
+    """TPC-H Q3-style shipping priority: segment-filtered customers
+    broadcast into orders, orders x lineitem joined on the order key,
+    one grouped aggregation, top 10 by revenue via TakeOrderedAndProject
+    (no global sort).
+
+    The join strategy is deliberately left to Catalyst/AQE: at test
+    scale the date-filtered lineitem side fits the broadcast threshold
+    and the plan is exchange-free; at 100 TB the same code becomes a
+    sort-merge join keyed by orderkey with both date filters already
+    pushed to the parquet scans."""
+    cutoff = "1998-06-01"
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).join(
+        li, orders.o_orderkey == li.l_orderkey
+    )
+    grouped = j.groupBy("o_orderkey", "o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    return grouped.orderBy(F.col("revenue").desc(), "o_orderkey").limit(10)
+
+
+def q_topn_per_group(spark, sf_dir):
+    """Per-group top-N: the 3 highest-value customers inside each market
+    segment by total order spend — the standard rank-within-partition
+    pattern (aggregate, then row_number over a keyed window).
+
+    Scale: one shuffle on custkey for the aggregate, one on mktsegment
+    for the window; segment cardinality is tiny but per-segment rows
+    shard by the range-partitioned sort, and N bounds the output."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    )
+    j = spend.join(cust, spend.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("total_spend").desc(), F.col("c_custkey")
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("c_mktsegment", "rank", "c_custkey", "total_spend")
+    )
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-style local-supplier volume, written as SQL TEXT against
+    registered temp views — exercising the spark.sql() entry path (same
+    Catalyst plan space as the DataFrame API; the 6-way join reorders
+    under CBO/AQE, dims broadcast, date filter pushes to the orders
+    scan). The c_nationkey = s_nationkey predicate makes it a genuine
+    multi-way join, not a star lookup."""
+    from ..sources.tables import register_views
+
+    register_views(
+        spark, sf_dir,
+        ["customer", "orders", "lineitem", "supplier", "nation", "region"],
+    )
+    return spark.sql(
+        """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+        GROUP BY n_name
+        """
+    )
+
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact percentiles (median / p95) of event value per event type —
+    `percentile` with linear interpolation, matching DuckDB's
+    quantile_cont. Exact percentiles sort within each group post-shuffle;
+    the sketch-based scale path for wide groups is q_sketch_stats
+    (approx_percentile), this is the exact complement."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+def q_event_interarrival(spark, sf_dir):
+    """Per-user inter-arrival gap statistics via lag(): mean/max gap in
+    MICROSECONDS (exact integers — unix_timestamp would truncate
+    sub-second precision) and burst count (gaps under 60 s). One shuffle
+    keyed by user_id; the window sort rides the same exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    gaps = ev.withColumn("gap_us", gap).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        # sum/count of exact int64, reported in seconds: at the µs
+        # magnitude (~1e10) a 6-decimal round exceeds double precision
+        # and engine round() implementations disagree at the last ulp
+        F.round(F.sum("gap_us") / F.count("*") / 1e6, 6).alias("mean_gap_s"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        F.sum(F.when(F.col("gap_us") < 60_000_000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bursts"),
+    )
+
+
+def q_incremental_rollup(spark, sf_dir):
+    """§2.13 partial recomputation as a query surface: a per-user rollup
+    initialized on the pre-split events, then maintained by merging ONLY
+    the post-split delta's partial aggregates — the base is never
+    rescanned (the engine analog of the reference's partial KV update,
+    modeling_llama.py:860-869 / cache_utils.py:99-112). The maintained
+    view must equal the full recompute, which is exactly what the oracle
+    checks."""
+    from ..plans.incremental import IncrementalAggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("ts") < INCR_SPLIT_DATE)
+    delta = ev.filter(F.col("ts") >= INCR_SPLIT_DATE)
+    inc = IncrementalAggregate(
+        "user_id", {"total_value": ("sum", "value"), "n_events": ("count", "value")}
+    )
+    inc.initialize(base)
+    inc.apply_delta(delta)
+    out = inc.result().select(
+        "user_id",
+        F.round("total_value", 6).alias("total_value"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+    return out
+
+
+def q_event_anomaly(spark, sf_dir):
+    """Per-user event anomaly detection: z-score of each event's value
+    against the TRAILING window of its user's previous 10 events
+    (monitoring/alerting shape — the trailing frame means new events
+    never rewrite old scores, so the query is incrementally maintainable).
+
+    One exchange (user_id window); anomalies = |z| > 2 with a sample-std
+    denominator, rows with an undefined baseline (fewer than 2 prior
+    events or zero variance) are excluded deterministically.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    scored = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev("value").over(w).alias("sd"),
+    ).filter(F.col("sd").isNotNull() & (F.col("sd") > 0))
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return scored.select(
+        "user_id",
+        "event_id",
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 2).cast("int").alias("is_anomaly"),
+    )
+
+
+def q_resample_ffill(spark, sf_dir):
+    """Time-series resampling with forward fill: regularize each user's
+    event stream onto an hourly grid (per-user min..max span), averaging
+    in-hour values and carrying the last observation forward across
+    gaps — the gap-fill shape of monitoring/feature pipelines.
+
+    Shape: the grid is generated per user with sequence()+explode (no
+    driver-side date loop), hourly means aggregate once, and the fill is
+    a running last(ignorenulls) window — one exchange keyed by user_id
+    serves the join, the window, and the grid generation's groupBy.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    joined = grid.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        F.unix_timestamp("hour").cast("bigint").alias("hour_ts"),
+        F.round(F.last("v", ignorenulls=True).over(w), 6).alias("value_ffill"),
+        F.col("v").isNull().cast("int").alias("was_gap"),
+    )

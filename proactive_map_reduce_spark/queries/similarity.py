@@ -1,0 +1,168 @@
+"""Embedding similarity and multimodal queries: brute-force/LSH/IVF top-k,
+centroids, quantization, and the binary-column multimodal stages."""
+
+from ._base import *  # noqa: F401,F403
+from ._base import (  # noqa: F401
+    _chunks,
+    _docs,
+    _events_with_pos,
+    _hashlib_sha256,
+    _shutil,
+    _standin_embed,
+    _tempfile,
+    _words,
+)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (label-blocked)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.embedding_near_dup_pairs(emb, NEAR_DUP_COS, dim=sim_ops.EMBED_DIM)
+
+
+def q_similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for the first 8 query vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.brute_force_topk(emb, n_queries=8, k=5, dim=sim_ops.EMBED_DIM)
+
+
+def q_similarity_lsh(spark, sf_dir):
+    """Sign-bucket LSH approximate top-5 (scale path: bucket equi-join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.lsh_topk(emb, n_queries=8, k=5, n_bits=4, dim=sim_ops.EMBED_DIM)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-payload feature extraction through the mapInPandas seam
+    (deterministic fake codec; real decode is the documented stub)."""
+    payloads = mm_ops.attach_payload(_docs(spark, sf_dir))
+    return mm_ops.extract_features(payloads)
+
+
+def q_multimodal_resize(spark, sf_dir):
+    """Resize stage (stub codec, real mapInPandas plumbing): scale-to-width
+    with integer aspect math, audio passes through 0x0."""
+    payloads = mm_ops.attach_payload(_docs(spark, sf_dir))
+    out = mm_ops.resize_media(payloads, target_w=512)
+    return out.select(
+        "doc_id", "media_type", "width", "height", "out_width", "out_height",
+        F.length("out_payload").cast("bigint").alias("out_payload_len"),
+    )
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Frame sampling: every 30th frame id of each video payload."""
+    feats = mm_ops.extract_features(mm_ops.attach_payload(_docs(spark, sf_dir)))
+    return mm_ops.sample_frames(feats, every=30).select(
+        "doc_id", F.col("n_frames"), F.col("frame_id").cast("bigint").alias("frame_id")
+    )
+
+
+def q_similarity_ivf(spark, sf_dir):
+    """IVF approximate top-k (deterministic fixed-point Lloyd's coarse
+    quantizer, nprobe=3 of 8 clusters). Integer distance/centroid math
+    makes cluster boundaries bit-stable cross-engine → fully hash-checked
+    in the driver gate; recall vs brute force is pinned by tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.ivf_topk(emb, n_queries=8, k=5, n_clusters=8, nprobe=3)
+
+
+def q_embed_documents(spark, sf_dir):
+    """Documents → embeddings bridge: deterministic stand-in encoder
+    (hash-derived unit-less vector per doc; a real encoder swaps in as a
+    mapInPandas stage exactly like M1). Emits the vector's checksum and
+    first component so the full array is value-checked without float-
+    array hashing ambiguity."""
+    d = _docs(spark, sf_dir)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(EMBED_DIM - 1)),
+        lambda i: F.round(
+            (portable_hash64(F.concat(F.col("text"), i.cast("string"))) % 10000) / 10000.0, 6
+        ),
+    )
+    return d.select(
+        "doc_id",
+        vec.alias("emb"),
+    ).select(
+        "doc_id",
+        F.lit(EMBED_DIM).cast("int").alias("dim"),
+        F.round(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x), 6).alias("emb_sum"),
+        F.col("emb")[0].alias("emb_0"),
+    )
+
+
+def q_quantize_embeddings(spark, sf_dir):
+    """Int8 embedding quantization (the storage/serving compression every
+    vector index applies before ANN): per-vector symmetric scale
+    s = max|x|/127, dims quantized to round(x/s), plus reconstruction
+    error stats — max abs error must stay ≤ s/2 by construction.
+
+    Narrow zero-shuffle projection: quantization is per-row arithmetic
+    over the array column, entirely inside the scan stage — dim-unrolled
+    (EMBED_DIM is schema-known) so the whole pass stays in whole-stage
+    codegen rather than interpreted array HOFs, same as the similarity
+    hot path. At 100 TB this is the prep pass that shrinks the vector
+    column 4× before the IVF/LSH index build reads it.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = sim_ops.EMBED_DIM
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", v.alias("v"))
+    amax = F.greatest(*[F.abs(F.col("v")[d]) for d in range(dim)])
+    staged = base.select("vec_id", "v", (amax / F.lit(QUANT_SCALE)).alias("s"))
+    qd = [F.round(F.col("v")[d] / F.col("s")).cast("int") for d in range(dim)]
+    errd = [
+        F.abs(F.col("v")[d] - qd[d] * F.col("s")) for d in range(dim)
+    ]
+    return staged.select(
+        "vec_id",
+        F.round(F.col("s"), 6).alias("scale"),
+        F.greatest(*qd).alias("q_max"),
+        F.least(*qd).alias("q_min"),
+        F.round(F.greatest(*errd), 6).alias("max_abs_err"),
+    )
+
+
+def q_similarity_ivf_sampled(spark, sf_dir):
+    """IVF with the sampled-training path ON (train_fraction=0.5, the
+    deterministic md5 hash gate): the 100 TB configuration, where the
+    coarse quantizer trains on a corpus sample while assignment and
+    probing stay full passes. Fully hash-checked — the sample, and thus
+    the quantizer, is bit-reproducible cross-engine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.ivf_topk(
+        emb, n_queries=8, k=5, n_clusters=8, nprobe=3, train_fraction=0.5
+    )
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label embedding centroids (the building block of IVF training
+    and cluster-based curation): posexplode the vectors, average per
+    (label, dim), reassemble in dim order. Two exchanges — (label, dim)
+    partial-agg then label reassembly; vector width is a constant, so
+    exchanged volume is rows x dim regardless of corpus size.
+
+    Output is the centroid's checksum + first component (same
+    float-array-hash-free convention as q_embed_documents)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "x")
+    )
+    per_dim = dims.groupBy("label", "dim").agg(
+        F.sum(F.col("x").cast("double")).alias("sx"),
+        F.count("*").alias("n"),
+    )
+    cent = per_dim.groupBy("label").agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", (F.col("sx") / F.col("n")).alias("m")))
+        ).alias("dims"),
+        F.max("n").cast("bigint").alias("n_vectors"),
+    )
+    mean_vec = F.transform("dims", lambda s: s["m"])
+    return cent.select(
+        "label",
+        "n_vectors",
+        F.size("dims").cast("int").alias("dim"),
+        F.round(F.aggregate(mean_vec, F.lit(0.0), lambda a, x: a + x), 6).alias("centroid_sum"),
+        F.round(F.element_at(mean_vec, 1), 6).alias("centroid_0"),
+    )
