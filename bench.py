@@ -78,13 +78,17 @@ def main() -> None:
             except Exception:
                 pass
 
-    # Three measured iterations per query, report the best: the first
-    # fresh-JVM pass is dominated by C2 JIT ramp-up (the same plans run
-    # 2-4x faster once hot — measured: flagship 3.9 s cold vs 1.0 s hot);
-    # steady state is what a resident cluster executes. Every iteration
-    # is a full end-to-end execution at sf_dir.
+    # Five measured iterations per query, report the best: the first
+    # fresh-JVM passes are dominated by C2 JIT ramp-up (the same plans run
+    # 2-4x faster once hot — measured: flagship 3.9 s cold vs 1.0 s hot,
+    # and the per-operator-codegen path that hugeMethodLimit=8000 selects
+    # for wide expressions needs ~5 passes to fully compile: similarity
+    # top-k measured 0.60 s at rep 3 vs 0.38 s steady-state over 8
+    # interleaved reps). Steady state is what a resident cluster
+    # executes. Every iteration is a full end-to-end execution at sf_dir;
+    # DuckDB below gets the same rep count.
     timings: dict[str, float] = {}
-    for _ in range(3):
+    for _ in range(5):
         # drop persisted intermediates so every iteration re-executes the
         # full pipeline (plan-cache matching would otherwise let a query
         # reuse its previous iteration's persist() blocks)
@@ -100,8 +104,8 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
 
     # Same-run DuckDB reference: the oracle SQL of the same headline set,
-    # best-of-3, timed seconds after the Spark numbers on the same
-    # machine. The host shows large external load drift between rounds
+    # best-of-5 (matching the Spark rep count), timed seconds after the
+    # Spark numbers on the same machine. The host shows large external load drift between rounds
     # (measured: identical code, +20% wall), so a ratio built from a
     # denominator recorded at a DIFFERENT time mis-measures the engine;
     # this one cancels the drift. Judges can still re-time independently.
@@ -122,7 +126,7 @@ def main() -> None:
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
                 )
-        for _ in range(3):
+        for _ in range(5):
             for name in HEADLINE:
                 sql = ORACLES.get(name)
                 if sql is None:
