@@ -148,3 +148,95 @@ def test_ansi_arithmetic_and_try_escape_hatches(spark):
         F.try_add("maxlong", F.lit(1)).alias("a"),
     ).first()
     assert r["d"] is None and r["a"] is None
+
+
+# --- LSH cap property tests: capped output vs a pure-Python reference -------
+
+def _ref_banded_pairs(sigs: dict[int, list[int]], bands=4, rows_per_band=4):
+    """Reference full LSH expansion: bucket by the band's raw value tuple
+    (equivalent to hashing the concat, minus astronomically-unlikely md5
+    collisions), emit all i<j pairs per bucket."""
+    pairs = set()
+    for b in range(bands):
+        buckets: dict[tuple, list[int]] = {}
+        for d, mh in sigs.items():
+            key = tuple(mh[b * rows_per_band:(b + 1) * rows_per_band])
+            buckets.setdefault(key, []).append(d)
+        for ids in buckets.values():
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    pairs.add((ids[i], ids[j]))
+    return pairs
+
+
+def _components(pairs, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    out = {}
+    for n in nodes:
+        out.setdefault(find(n), set()).add(n)
+    return {frozenset(v) for v in out.values()}
+
+
+def _sig_df(spark, sigs):
+    rows = [tuple([d] + mh) for d, mh in sigs.items()]
+    return spark.createDataFrame(
+        rows, "doc_id long, " + ", ".join(f"mh_{j} long" for j in range(16))
+    )
+
+
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=40),
+        st.lists(st.integers(min_value=0, max_value=2), min_size=16, max_size=16),
+        min_size=1,
+        max_size=18,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_lsh_cap_equals_full_expansion_under_cap(spark, hyp_sigs):
+    """With max_bucket >= any bucket size, the capped operator's output is
+    exactly the reference full banded expansion."""
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(
+            _sig_df(spark, hyp_sigs), max_bucket=1000
+        ).collect()
+    }
+    assert got == _ref_banded_pairs(hyp_sigs)
+
+
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=40),
+        st.lists(st.integers(min_value=0, max_value=1), min_size=16, max_size=16),
+        min_size=2,
+        max_size=18,
+    ),
+    st.integers(min_value=2, max_value=6),
+)
+@settings(max_examples=12, deadline=None)
+def test_lsh_cap_preserves_components(spark, hyp_sigs, max_bucket):
+    """Any cap value: the capped pair set yields the SAME connected
+    components as full expansion (star links keep clusters whole), and
+    every emitted pair is orientation-valid (doc_a < doc_b)."""
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(
+            _sig_df(spark, hyp_sigs), max_bucket=max_bucket
+        ).collect()
+    }
+    full = _ref_banded_pairs(hyp_sigs)
+    assert all(a < b for a, b in got)
+    assert got <= full  # the cap only removes pairs, never invents them
+    nodes = set(hyp_sigs)
+    assert _components(got, nodes) == _components(full, nodes)
