@@ -271,3 +271,102 @@ def test_stateful_accumulate_restart_restores_state(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(src_root, ignore_errors=True)
+
+
+def test_windowed_watermark_restart_no_dup_no_loss(spark, tmp_path):
+    """The window state store AND the watermark survive a stop/restart:
+    windows emitted before the stop are not re-emitted after it (append
+    mode + restored watermark), and no window is lost — the union of the
+    two runs equals the batch aggregation."""
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    for h in range(4):
+        for k in range(6):
+            rows.append(
+                (
+                    eid,
+                    k % 3,
+                    "set",
+                    BASE_TS + datetime.timedelta(hours=h, minutes=k * 7),
+                    float(h * 10 + k),
+                )
+            )
+            eid += 1
+    ev = _ev_rows(spark, rows)
+    src = stream_ops.write_event_files(ev, n_buckets=4)  # one file per hour
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    ckpt = str(tmp_path / "ckpt")
+    files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    assert len(files) == 4
+
+    def run():
+        got: list = []
+        s = (
+            spark.readStream.schema(stream_ops.EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(live)
+        )
+        out = (
+            s.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .select(
+                (F.unix_timestamp(F.col("w.start")) / 3600)
+                .cast("bigint")
+                .alias("hour_bucket"),
+                "user_id",
+                "n",
+            )
+        )
+        q = (
+            out.writeStream.foreachBatch(lambda b, i: got.extend(b.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        for f in files[:3]:
+            shutil.copy(os.path.join(src, f), os.path.join(live, f))
+        r1 = run()
+        assert r1  # at least hour 0 finalized before the "crash"
+
+        for f in files[3:]:
+            shutil.copy(os.path.join(src, f), os.path.join(live, f))
+        # sentinel far in the future flushes the trailing windows
+        sentinel_ts = BASE_TS + datetime.timedelta(hours=24)
+        _ev_rows(spark, [(-1, -1, "__sentinel__", sentinel_ts, 0.0)]).coalesce(
+            1
+        ).write.mode("append").parquet(live)
+        r2 = run()
+
+        key = lambda x: (x["hour_bucket"], x["user_id"])
+        k1, k2 = {key(x) for x in r1}, {key(x) for x in r2}
+        assert not (k1 & k2)  # restart re-emitted nothing
+        sentinel_bucket = int(sentinel_ts.timestamp() // 3600)
+        got = {
+            key(x): x["n"]
+            for x in r1 + r2
+            if x["hour_bucket"] != sentinel_bucket
+        }
+        batch = (
+            ev.groupBy(
+                (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+                .cast("bigint")
+                .alias("hour_bucket"),
+                "user_id",
+            )
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .collect()
+        )
+        assert got == {(r["hour_bucket"], r["user_id"]): r["n"] for r in batch}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(src, ignore_errors=True)
