@@ -29,16 +29,17 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q_flagship"](spark, SF0001)
 
 
-# Queries whose PLAN was rewritten since their last driver check — jump
-# the staleness queue so the current round re-pins their oracle hash.
-_REWRITTEN = [
-    "q_dedup_minhash_pairs",   # LSH mega-bucket cap (round 4)
-    "q_dedup_clusters",        # consumes the capped pair set
-    "q_curation_pipeline",     # embeds the capped minhash stage
-    "q_corpus_mix",            # oracle moved to TRY_CAST
-    "q_sketch_stats",          # round-3 two-level KMV rewrite, last green r2
-    "q_similarity_topk",       # round-3 parameterized-literal rewrite
-]
+# Queries whose PLAN was rewritten in a given round — they jump the
+# staleness queue until a CORRECTNESS_r*.json from that round (or later)
+# has them green, then fall back to normal staleness ordering.
+_REWRITTEN = {
+    "q_dedup_minhash_pairs": 4,   # LSH mega-bucket cap
+    "q_dedup_clusters": 4,        # consumes the capped pair set
+    "q_curation_pipeline": 4,     # embeds the capped minhash stage
+    "q_corpus_mix": 4,            # oracle moved to TRY_CAST
+    "q_sketch_stats": 4,          # r3 two-level KMV rewrite, last green r2
+    "q_similarity_topk": 4,       # r3/r4 parameterized-literal + codegen work
+}
 
 
 def _green_round() -> dict[str, int]:
@@ -86,7 +87,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     green = _green_round()
     ordered = sorted(
         REGISTRY,
-        key=lambda n: (n not in _REWRITTEN, green.get(n, -1), n),
+        key=lambda n: (
+            green.get(n, -1) >= _REWRITTEN.get(n, 0),  # un-re-pinned rewrites first
+            green.get(n, -1),
+            n,
+        ),
     )
     return {name: wrap(REGISTRY[name]) for name in ordered}
 
