@@ -250,6 +250,13 @@ def lsh_candidate_pairs(
     return (
         ranked.select(F.explode(pair_arr).alias("p"))
         .select(F.col("p.doc_a"), F.col("p.doc_b"))
+        # doc_a < doc_b is the output contract. With unique ids per bucket
+        # (every in-repo caller — groupBy outputs) this is a no-op: preds
+        # hold strictly smaller ids and rep < member past K. It matters
+        # only for duplicate doc_id inputs (e.g. a unioned signature
+        # table), where the duplicate rows would otherwise emit (X, X)
+        # self-pairs that downstream jaccard scores as 1.0.
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
 

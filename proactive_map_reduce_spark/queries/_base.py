@@ -83,6 +83,7 @@ MINHASH_BANDS = 4
 
 
 NEAR_DUP_COS = 0.4   # fixture embeddings are random (max cos ~0.48); at this
+                     # threshold the operator returns a small nonzero pair set
 
 
 MINHASH_MIN_AGREEMENT = 8  # confirmation gate: est-Jaccard >= 8/16 = 0.5

@@ -119,13 +119,27 @@ def test_lsh_mega_bucket_capped_star_expansion(spark):
     assert star.filter(F.col("doc_a") != 0).count() == 0
     assert star.count() == n_docs - k
 
-    # cluster connectivity survives the cap: one component, rep = min id
-    comp = dedup.connected_components(pairs.limit(0).unionByName(
-        spark.createDataFrame(
-            [(0, 1), (0, 300), (0, 11_999)], "doc_a long, doc_b long"
-        )
-    ))
-    assert {r["cluster_rep"] for r in comp.collect()} == {0}
+    # cluster connectivity survives the cap: connected_components over the
+    # operator's ACTUAL capped output (not a fabricated edge list) must
+    # put all 12k docs in one component with rep = min id
+    comp = dedup.connected_components(pairs).collect()
+    assert len(comp) == n_docs
+    assert {r["cluster_rep"] for r in comp} == {0}
+
+
+def test_lsh_pairs_tolerate_duplicate_doc_ids(spark):
+    """Duplicate doc_id rows in sig_df (e.g. a unioned signature table)
+    must not emit self-pairs — doc_a < doc_b is the output contract."""
+    one = spark.range(6).select(
+        F.col("id").alias("doc_id"),
+        *[F.lit(5).alias(f"mh_{j}") for j in range(16)],
+    )
+    doubled = one.unionByName(one)
+    pairs = dedup.lsh_candidate_pairs(doubled).collect()
+    assert all(r["doc_a"] < r["doc_b"] for r in pairs)
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {
+        (a, b) for a in range(6) for b in range(6) if a < b
+    }
 
 
 def test_lsh_cap_noop_for_small_buckets(spark):

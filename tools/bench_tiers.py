@@ -70,12 +70,17 @@ def main() -> int:
     mgr = CacheManager()
     key_of = {t: cache_key("bench_tiers", t) for t in TIERS}
     fetch: dict[str, list[float]] = {t: [] for t in TIERS}
+    est_load: dict[str, float] = {}
     recompute = []
     for rep in range(reps):
         for tier in TIERS:
             df = intermediate()
             mgr.add(key_of[tier], df, tier=tier)
             df.count()  # materialize the store
+            # the model prediction under test — captured while the entry
+            # is live, so estimated_load_time's size_gb/bandwidth path
+            # actually runs (not just the raw TIERS constants)
+            est_load[tier] = mgr.estimated_load_time(key_of[tier])
             fetch[tier].append(consume(mgr.fetch(key_of[tier])))
             mgr.evict(key_of[tier])
         recompute.append(consume(intermediate()))
@@ -91,12 +96,18 @@ def main() -> int:
                 "recompute_sec": round(recompute_sec, 3),
                 "speedup_vs_recompute": round(recompute_sec / best, 2) if best > 0 else None,
                 "model_rel_bandwidth": TIERS[tier][1],
+                # size_gb / relative-bandwidth — unit-less model cost, tiny
+                # at bench scale; keep significant digits so the per-tier
+                # ordering (what decide_tier compares) stays visible
+                "model_est_load_cost": float(f"{est_load[tier]:.3g}"),
             }
         )
         print(json.dumps(rows[-1]))
 
-    # cost-model check: the model's bandwidth ordering vs measured ordering
-    model_rank = sorted(TIERS, key=lambda t: -TIERS[t][1])
+    # cost-model check: estimated_load_time's per-tier predictions (the
+    # method decide_tier acts on) vs measured ordering — a regression in
+    # the size_gb/bandwidth division would reorder or zero these
+    model_rank = sorted(TIERS, key=lambda t: est_load[t])
     meas_rank = sorted(TIERS, key=lambda t: min(fetch[t]))
     mem, dsk = min(fetch["memory"]), min(fetch["disk"])
     summary = {

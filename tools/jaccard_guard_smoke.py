@@ -72,7 +72,14 @@ def measure(spark, sf_dir: str) -> dict:
     confirmed = agree.filter(F.col("n_sig_match") >= MINHASH_MIN_AGREEMENT)
     n_conf, post = traffic(confirmed)
     # the guarded pipeline end-to-end (agreement join + exact jaccard of
-    # survivors), forced through a real action
+    # survivors), forced through a real action. Unpersist FIRST: the
+    # registry query builds a structurally identical signature plan, and
+    # Spark's plan-cache matching would silently serve it from the smoke's
+    # live persisted blocks, excluding the dominant shingle/signature
+    # build from the "end-to-end" wall time.
+    agree.unpersist(blocking=True)
+    combined.unpersist(blocking=True)
+    spark.catalog.clearCache()
     from proactive_map_reduce_spark.queries import REGISTRY
 
     t1 = time.time()
@@ -80,8 +87,6 @@ def measure(spark, sf_dir: str) -> dict:
         "overwrite"
     ).save()
     wall_confirmed = time.time() - t1
-    agree.unpersist()
-    combined.unpersist()
     return {
         "candidates": n_cand,
         "confirmed": n_conf,
