@@ -173,6 +173,94 @@ def minhash_signatures(
 LSH_MAX_BUCKET = 256  # representatives per bucket; >K members star-link to rep
 
 
+def band_rows(
+    sig_df: DataFrame, n_hashes: int = 16, bands: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band_id, band_hash) — one row per doc per LSH band.
+
+    band_hash = h(mh_a || '|' || mh_b || ...) over the band's signature
+    components; a narrow projection + posexplode, no shuffle. Shared by
+    the self-join pair path (``lsh_candidate_pairs``) and the asymmetric
+    new-batch-vs-catalog path (``incremental_lsh_matches``)."""
+    rows_per_band = n_hashes // bands
+    band_exprs = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        band_exprs.append(
+            portable_hash64(reduce(lambda x, y: F.concat(x, F.lit("|"), y), cols))
+        )
+    return sig_df.select(
+        F.col(id_col), F.posexplode(F.array(*band_exprs)).alias("band_id", "band_hash")
+    )
+
+
+def incremental_lsh_matches(
+    new_sigs: DataFrame,
+    catalog_sigs: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    min_agreement: int = 8,
+    max_bucket: int = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING signature catalog:
+    (new_id, dup_of, n_matches) for every new doc with a confirmed match.
+
+    The incremental-ingestion pattern: at 100 TB you never re-minhash the
+    accumulated corpus per arriving batch — the catalog side is a stored
+    signature table (16 ints + precomputable bands per doc, no text), and
+    each batch costs |batch| signature builds plus an equi-join probing
+    the catalog's band index. This is an ASYMMETRIC band join (new ⋈
+    catalog), not the corpus self-join of ``lsh_candidate_pairs``: the
+    candidate volume is driven by the batch, not the corpus².
+
+    Candidates are confirmed by signature agreement (n_sig_match ≥
+    min_agreement ⇒ estimated Jaccard ≥ min_agreement/n_hashes) — 16
+    ints per side, no shingle-set traffic at all on this path.
+
+    Mega-bucket guard: a boilerplate band bucket on the catalog side is
+    capped at its ``max_bucket`` smallest ids (same deterministic rank
+    rule as ``lsh_candidate_pairs``, mirrored by the oracle), so one hot
+    bucket contributes O(|batch_in_bucket| · K) candidates instead of
+    O(|batch| · |catalog_bucket|). ``n_matches`` counts confirmed
+    catalog docs among those representatives.
+    """
+    nb = band_rows(new_sigs, n_hashes, bands, id_col).select(
+        F.col(id_col).alias("new_id"), "band_id", "band_hash"
+    )
+    cb = band_rows(catalog_sigs, n_hashes, bands, id_col)
+    w = Window.partitionBy("band_id", "band_hash").orderBy(id_col)
+    cbr = (
+        cb.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= max_bucket)
+        .select(F.col(id_col).alias("cat_id"), "band_id", "band_hash")
+    )
+    cand = nb.join(cbr, ["band_id", "band_hash"]).select("new_id", "cat_id").distinct()
+    a = new_sigs.select(
+        F.col(id_col).alias("new_id"),
+        *[F.col(f"mh_{j}").alias(f"mh_{j}_a") for j in range(n_hashes)],
+    )
+    b = catalog_sigs.select(
+        F.col(id_col).alias("cat_id"),
+        *[F.col(f"mh_{j}").alias(f"mh_{j}_b") for j in range(n_hashes)],
+    )
+    agree = None
+    for j in range(n_hashes):
+        t = (F.col(f"mh_{j}_a") == F.col(f"mh_{j}_b")).cast("int")
+        agree = t if agree is None else agree + t
+    return (
+        cand.join(a, "new_id")
+        .join(b, "cat_id")
+        .withColumn("n_sig_match", agree)
+        .filter(F.col("n_sig_match") >= min_agreement)
+        .groupBy("new_id")
+        .agg(
+            F.min("cat_id").alias("dup_of"),
+            F.count("*").alias("n_matches"),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     n_hashes: int = 16,
@@ -206,16 +294,7 @@ def lsh_candidate_pairs(
     Only pairwise Jaccard scores for non-representative × non-representative
     pairs are skipped, which is the intended cap.
     """
-    rows_per_band = n_hashes // bands
-    band_exprs = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
-        band_exprs.append(
-            portable_hash64(reduce(lambda x, y: F.concat(x, F.lit("|"), y), cols))
-        )
-    banded = sig_df.select(
-        F.col(id_col), F.posexplode(F.array(*band_exprs)).alias("band_id", "band_hash")
-    )
+    banded = band_rows(sig_df, n_hashes, bands, id_col)
     # ONE ordered window pass, three expressions over the same exchange +
     # sort (docs are unique per bucket, so id order is total and
     # deterministic): row_number ranks members; first() with the default

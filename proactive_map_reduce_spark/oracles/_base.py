@@ -172,15 +172,22 @@ _SIG = (
 )
 
 
-_BANDED = "banded AS (" + "\nUNION ALL\n".join(
-    "SELECT doc_id, {b} AS band_id, {h} AS band_hash FROM sig".format(
-        b=b,
-        h=_h(
-            " || '|' || ".join(f"CAST(mh_{b * 4 + r} AS VARCHAR)" for r in range(4))
-        ),
+def _band_union(src: str) -> str:
+    """The banding SELECT body (one UNION ALL branch per band) over any
+    signature relation — callers wrap it in their own CTE name."""
+    return "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band_id, {h} AS band_hash FROM {src}".format(
+            b=b,
+            src=src,
+            h=_h(
+                " || '|' || ".join(f"CAST(mh_{b * 4 + r} AS VARCHAR)" for r in range(4))
+            ),
+        )
+        for b in range(4)
     )
-    for b in range(4)
-) + ")"
+
+
+_BANDED = "banded AS (" + _band_union("sig") + ")"
 
 
 # Mirrors lsh_candidate_pairs' mega-bucket cap: full i<j expansion only

@@ -5,6 +5,7 @@ from ._base import (  # noqa: F401
     ORACLES,
     _AGREE_TERMS,
     _BANDED,
+    _band_union,
     _BEST_ANS,
     _BLEU_LOGSUM,
     _BLEU_PIV,
@@ -76,6 +77,48 @@ FROM conf c
 LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
 JOIN sizes sa ON sa.doc_id = c.doc_a
 JOIN sizes sb ON sb.doc_id = c.doc_b
+"""
+
+
+# Incremental ingestion dedup — mirrors queries.q_dedup_incremental /
+# dedup.incremental_lsh_matches: batch bands probe the catalog's band
+# index (catalog buckets capped at the LSH_MAX_BUCKET smallest ids, the
+# same rank rule as _CAND), candidates confirmed by signature agreement.
+from ..operators.dedup import LSH_MAX_BUCKET as _K  # noqa: E402
+from ..queries._base import MINHASH_MIN_AGREEMENT as _MIN_AGREE  # noqa: E402
+
+ORACLES["q_dedup_incremental"] = f"""
+WITH {_SHINGLES}, {_HS}, {_SIG},
+newsig AS (SELECT * FROM sig WHERE doc_id % 5 = 0),
+catsig AS (SELECT * FROM sig WHERE doc_id % 5 <> 0),
+nb AS ({_band_union('newsig')}),
+cb AS ({_band_union('catsig')}),
+cbr AS (
+  SELECT doc_id, band_id, band_hash,
+         row_number() OVER (PARTITION BY band_id, band_hash ORDER BY doc_id) AS rk
+  FROM cb
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS cat_id
+  FROM nb n JOIN cbr c ON n.band_id = c.band_id AND n.band_hash = c.band_hash
+  WHERE c.rk <= {_K}
+),
+agree AS (
+  SELECT c.new_id, c.cat_id, ({_AGREE_TERMS}) AS n_sig_match
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.new_id
+  JOIN sig sb ON sb.doc_id = c.cat_id
+),
+conf AS (
+  SELECT new_id, min(cat_id) AS dup_of, CAST(count(*) AS BIGINT) AS n_matches
+  FROM agree WHERE n_sig_match >= {_MIN_AGREE} GROUP BY new_id
+)
+SELECT d.doc_id,
+       CASE WHEN c.new_id IS NULL THEN 0 ELSE 1 END AS is_dup,
+       c.dup_of,
+       coalesce(c.n_matches, 0) AS n_matches
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+LEFT JOIN conf c ON c.new_id = d.doc_id
 """
 
 

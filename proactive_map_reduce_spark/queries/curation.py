@@ -80,6 +80,42 @@ def q_dedup_minhash_confirmed(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental ingestion dedup: a NEW batch (doc_id % 5 == 0, ~20%)
+    deduped against the EXISTING corpus without re-pairing the corpus.
+
+    The 100 TB ingestion pattern: the catalog side is a stored signature
+    table (here derived from the same fixture, split by the batch gate —
+    ONE signature pass, persisted, then filtered both ways; in production
+    the catalog arrives precomputed and only the batch is minhashed).
+    Candidates come from an asymmetric band equi-join (batch bands probe
+    the catalog's band index, catalog buckets capped at K smallest ids),
+    confirmed by 16-int signature agreement — no shingle-set traffic.
+    Output: every new doc with is_dup, its earliest confirmed catalog
+    match, and the confirmed-match count."""
+    sigs = dedup_ops.minhash_signatures(
+        dedup_ops.shingle_rows(_words(spark, sf_dir)), MINHASH_N
+    ).persist()
+    is_new = F.col("doc_id") % 5 == 0
+    matches = dedup_ops.incremental_lsh_matches(
+        sigs.filter(is_new),
+        sigs.filter(~is_new),
+        MINHASH_N,
+        MINHASH_BANDS,
+        min_agreement=MINHASH_MIN_AGREEMENT,
+    )
+    new_docs = _docs(spark, sf_dir).filter(is_new).select("doc_id")
+    return (
+        new_docs.join(matches, new_docs.doc_id == matches.new_id, "left")
+        .select(
+            "doc_id",
+            F.when(F.col("new_id").isNull(), 0).otherwise(1).alias("is_dup"),
+            "dup_of",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+        )
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard near-dup within (lang, length-bucket) blocks."""
     d = _docs(spark, sf_dir)

@@ -177,3 +177,43 @@ def test_signature_agreement_counts_and_guard(spark):
     assert got == {(0, 1): 16, (0, 2): 8, (0, 3): 0}
     kept = dedup.signature_agreement(pairs, sig).filter("n_sig_match >= 8")
     assert {(r["doc_a"], r["doc_b"]) for r in kept.collect()} == {(0, 1), (0, 2)}
+
+
+def _sig_df(spark, rows):
+    """(doc_id, 16-tuple signature) rows → a signature DataFrame."""
+    schema = "doc_id long, " + ", ".join(f"mh_{j} long" for j in range(16))
+    return spark.createDataFrame(
+        [(i, *sig) for i, sig in rows], schema
+    )
+
+
+def test_incremental_lsh_matches_semantics(spark):
+    """New-batch-vs-catalog dedup: full agreement matches, sub-threshold
+    band collisions are rejected, new-new pairs are never counted."""
+    A = tuple(range(16))
+    B = tuple(range(100, 116))
+    # shares band 0 (components 0-3) with A but nothing else: candidate
+    # via the band join, then rejected at 4/16 agreement
+    half = tuple(list(A[:4]) + list(range(200, 212)))
+    C = tuple(range(300, 316))
+    catalog = _sig_df(spark, [(1, A), (2, A), (3, B)])
+    new = _sig_df(spark, [(10, A), (11, C), (12, half), (13, A)])
+    out = {
+        r["new_id"]: (r["dup_of"], r["n_matches"])
+        for r in dedup.incremental_lsh_matches(new, catalog).collect()
+    }
+    # 10 and 13 both match catalog docs 1 and 2 — NOT each other (the
+    # asymmetric join never pairs two new docs)
+    assert out == {10: (1, 2), 13: (1, 2)}
+
+
+def test_incremental_lsh_catalog_bucket_cap(spark):
+    """A boilerplate catalog bucket is capped at its max_bucket smallest
+    ids: matches count only the representatives, deterministically."""
+    A = tuple(range(16))
+    catalog = _sig_df(spark, [(i, A) for i in range(1, 11)])
+    new = _sig_df(spark, [(100, A)])
+    out = dedup.incremental_lsh_matches(new, catalog, max_bucket=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["new_id"], r["dup_of"], r["n_matches"]) == (100, 1, 3)

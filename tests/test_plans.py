@@ -184,3 +184,14 @@ def test_cache_query_second_access_reads_cached_lineage(spark):
     for r in rows.values():
         assert (r["n_miss"], r["n_hit"]) == (1, 1)
     assert {r["tier"] for r in rows.values()} >= {"memory"}
+
+
+def test_incremental_dedup_is_equi_join_no_python(spark):
+    """The batch-vs-catalog candidate stage must be a hash equi-join on
+    (band_id, band_hash) — never a nested-loop/cartesian pairing — with
+    zero Python eval nodes anywhere in the plan."""
+    df = Q.REGISTRY["q_dedup_incremental"](spark, SF0001)
+    plan = audit.simple_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert audit.python_eval_nodes(df) == 0
