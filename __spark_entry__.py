@@ -33,12 +33,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # staleness queue until a CORRECTNESS_r*.json from that round (or later)
 # has them green, then fall back to normal staleness ordering.
 _REWRITTEN = {
-    "q_dedup_minhash_pairs": 4,   # LSH mega-bucket cap
+    "q_dedup_minhash_pairs": 4,   # LSH mega-bucket cap + doc_a<doc_b contract
     "q_dedup_clusters": 4,        # consumes the capped pair set
     "q_curation_pipeline": 4,     # embeds the capped minhash stage
     "q_corpus_mix": 4,            # oracle moved to TRY_CAST
-    "q_sketch_stats": 4,          # r3 two-level KMV rewrite, last green r2
+    "q_sketch_stats": 4,          # two-level KMV + ceil quantile bin bound
     "q_similarity_topk": 4,       # r3/r4 parameterized-literal + codegen work
+    "q_stream_window_late": 4,    # sentinel filtered by event_type (tz-safe)
+    "q_first_line_answer": 4,     # leading-\n strip matches oracle ltrim
+    "q_decode_detok": 4,          # shares the first-line extraction path
 }
 
 

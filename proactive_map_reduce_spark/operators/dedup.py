@@ -236,22 +236,12 @@ def incremental_lsh_matches(
         .select(F.col(id_col).alias("cat_id"), "band_id", "band_hash")
     )
     cand = nb.join(cbr, ["band_id", "band_hash"]).select("new_id", "cat_id").distinct()
-    a = new_sigs.select(
-        F.col(id_col).alias("new_id"),
-        *[F.col(f"mh_{j}").alias(f"mh_{j}_a") for j in range(n_hashes)],
-    )
-    b = catalog_sigs.select(
-        F.col(id_col).alias("cat_id"),
-        *[F.col(f"mh_{j}").alias(f"mh_{j}_b") for j in range(n_hashes)],
-    )
-    agree = None
-    for j in range(n_hashes):
-        t = (F.col(f"mh_{j}_a") == F.col(f"mh_{j}_b")).cast("int")
-        agree = t if agree is None else agree + t
+    a = _aliased_sigs(new_sigs, "new_id", "_a", n_hashes, id_col)
+    b = _aliased_sigs(catalog_sigs, "cat_id", "_b", n_hashes, id_col)
     return (
         cand.join(a, "new_id")
         .join(b, "cat_id")
-        .withColumn("n_sig_match", agree)
+        .withColumn("n_sig_match", _agreement_expr(n_hashes))
         .filter(F.col("n_sig_match") >= min_agreement)
         .groupBy("new_id")
         .agg(
@@ -340,6 +330,29 @@ def lsh_candidate_pairs(
     )
 
 
+def _agreement_expr(n_hashes: int):
+    """Σ_j [mh_j_a == mh_j_b] — the shared Jaccard-estimate sum over the
+    aliased signature-join columns. ONE definition serves the symmetric
+    pair guard and the incremental batch path, so a change to the
+    estimate (or its oracle-mirroring contract) cannot silently diverge
+    between them."""
+    agree = None
+    for j in range(n_hashes):
+        t = (F.col(f"mh_{j}_a") == F.col(f"mh_{j}_b")).cast("int")
+        agree = t if agree is None else agree + t
+    return agree
+
+
+def _aliased_sigs(
+    sig_df: DataFrame, out_id: str, suffix: str, n_hashes: int, id_col: str
+) -> DataFrame:
+    """Signature columns renamed for one side of an agreement join."""
+    return sig_df.select(
+        F.col(id_col).alias(out_id),
+        *[F.col(f"mh_{j}").alias(f"mh_{j}{suffix}") for j in range(n_hashes)],
+    )
+
+
 def signature_agreement(
     pairs: DataFrame, sig_df: DataFrame, n_hashes: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -356,22 +369,12 @@ def signature_agreement(
     CONFIRMED near-dups, not raw candidates. Deterministic given the
     signatures, so the DuckDB oracle mirrors it exactly.
     """
-    agree = None
-    for j in range(n_hashes):
-        t = (F.col(f"mh_{j}_a") == F.col(f"mh_{j}_b")).cast("int")
-        agree = t if agree is None else agree + t
-    a = sig_df.select(
-        F.col(id_col).alias("doc_a"),
-        *[F.col(f"mh_{j}").alias(f"mh_{j}_a") for j in range(n_hashes)],
-    )
-    b = sig_df.select(
-        F.col(id_col).alias("doc_b"),
-        *[F.col(f"mh_{j}").alias(f"mh_{j}_b") for j in range(n_hashes)],
-    )
+    a = _aliased_sigs(sig_df, "doc_a", "_a", n_hashes, id_col)
+    b = _aliased_sigs(sig_df, "doc_b", "_b", n_hashes, id_col)
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
-        .select("doc_a", "doc_b", agree.alias("n_sig_match"))
+        .select("doc_a", "doc_b", _agreement_expr(n_hashes).alias("n_sig_match"))
     )
 
 
@@ -476,6 +479,20 @@ def connected_components(
             labels = new_labels.drop("_changed")
             if changed == 0:
                 break
+        else:
+            # label propagation still moving after max_iter rounds: the
+            # graph's diameter exceeds the budget and some clusters would
+            # be returned SPLIT (multiple cluster_reps for one true
+            # component) with no other signal — surface it loudly
+            import warnings
+
+            warnings.warn(
+                f"connected_components did not converge in {max_iter} "
+                f"iterations ({changed} labels still changing) — returned "
+                "clusters may be split; raise max_iter",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_rep"))
     finally:
         edges.unpersist()

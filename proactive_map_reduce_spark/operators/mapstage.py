@@ -103,5 +103,12 @@ def llm_map(
 
 def decode_first_line(df: DataFrame, out_col: str = "out_text") -> DataFrame:
     """M2/M3: `lstrip('\\n').split('\\n')[0]` — first-line answer extraction
-    (pipeline_70b_samsum.py:302-303, test_proactive.py:85-87)."""
-    return df.withColumn("answer", F.split(F.ltrim(F.col(out_col)), "\n").getItem(0))
+    (pipeline_70b_samsum.py:302-303, test_proactive.py:85-87).
+
+    Delegates to ``functions.text.first_line``: Spark's ltrim strips only
+    SPACES, so an out_text starting with '\\n' (the reference's decode
+    shape) needs the explicit leading-newline regexp to match the
+    reference's lstrip('\\n') and the DuckDB oracle's ltrim(…, chr(10))."""
+    from ..functions.text import first_line
+
+    return df.withColumn("answer", first_line(F.col(out_col)))

@@ -330,6 +330,11 @@ def ivf_topk(
     stays constant in the iteration count.
     """
     spark = emb.sparkSession
+    # persists are TRAINING-scoped: Lloyd's iterations re-scan base/train
+    # once per round, so caching pays during the loop; both are released
+    # before the lazy result plan is built (persisting the whole corpus
+    # for the caller's one or two assignment scans would be wrong at
+    # scale — the narrow double/fixed-point projection recomputes cheaply).
     base = (
         emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
         .withColumn("xi", _fixed_point(F.col("v")))
@@ -347,6 +352,11 @@ def ivf_topk(
         train = base.filter(gate < int(train_fraction * 2**32)).persist()
     else:
         train = base
+    def _unpersist_training():
+        if train is not base:
+            train.unpersist()
+        base.unpersist()
+
     seeds = (
         train.withColumn("h", F.md5(F.col(id_col).cast("string")))
         .orderBy("h")
@@ -362,6 +372,14 @@ def ivf_topk(
             .orderBy("h")
             .limit(n_clusters)
             .collect()
+        )
+    if not seeds:
+        # empty corpus: a well-formed empty result in the output schema
+        # (brute_force_topk's contract for the analogous degenerate case),
+        # not an IndexError at dim probing
+        _unpersist_training()
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, cos_sim double, rank int"
         )
     cent = [(j, list(r["xi"])) for j, r in enumerate(seeds)]
 
@@ -402,16 +420,22 @@ def ivf_topk(
 
     dim = len(cent[0][1])
     sum_aggs = [F.sum(F.col("xi")[d]).alias(f"s{d}") for d in range(dim)]
-    for _ in range(IVF_ITERS):
-        a = assign(cent, over=train)
-        rows = a.groupBy("cluster").agg(F.count("*").alias("n"), *sum_aggs).collect()
-        cent = [
-            (
-                r["cluster"],
-                [int(math.floor(r[f"s{d}"] / r["n"] + 0.5)) for d in range(dim)],
-            )
-            for r in rows
-        ]
+    try:
+        for _ in range(IVF_ITERS):
+            a = assign(cent, over=train)
+            rows = a.groupBy("cluster").agg(F.count("*").alias("n"), *sum_aggs).collect()
+            cent = [
+                (
+                    r["cluster"],
+                    [int(math.floor(r[f"s{d}"] / r["n"] + 0.5)) for d in range(dim)],
+                )
+                for r in rows
+            ]
+    finally:
+        # model state is final — release the training caches before the
+        # result plan is built (prevents per-call storage growth across a
+        # session; the plan below recomputes the narrow projection)
+        _unpersist_training()
 
     cdf = spark.createDataFrame(cent, "cluster int, ci array<bigint>")
     assigned = assign(cent).withColumn("nv", unrolled_norm("v", dim))

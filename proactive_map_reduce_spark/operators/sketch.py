@@ -112,9 +112,12 @@ def histogram_quantiles(
     )
 
     def bin_lo(b):
+        # smallest value v with floor((v-lo)·bins/W) == b is lo+CEIL(b·W/bins):
+        # floor() here could return a value whose own bin is b-1 (e.g. W=10,
+        # bins=4, b=1 → floor gives 2, but bin(2)=0 while bin 1 starts at 3)
         return (
             F.col("lo")
-            + F.floor(F.col(b) * (F.col("hi") - F.col("lo") + 1) / bins)
+            + F.ceil(F.col(b) * (F.col("hi") - F.col("lo") + 1) / bins)
         ).cast("bigint")
 
     return quart.select(

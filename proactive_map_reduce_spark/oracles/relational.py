@@ -148,9 +148,9 @@ quart AS (
   FROM cum GROUP BY lang, lo, hi
 )
 SELECT k.lang, k.approx_distinct_words,
-       CAST(q.lo + floor((q.b25 * (q.hi - q.lo + 1)) / 64) AS BIGINT) AS p25,
-       CAST(q.lo + floor((q.b50 * (q.hi - q.lo + 1)) / 64) AS BIGINT) AS p50,
-       CAST(q.lo + floor((q.b75 * (q.hi - q.lo + 1)) / 64) AS BIGINT) AS p75
+       CAST(q.lo + ceil((q.b25 * (q.hi - q.lo + 1)) / 64) AS BIGINT) AS p25,
+       CAST(q.lo + ceil((q.b50 * (q.hi - q.lo + 1)) / 64) AS BIGINT) AS p50,
+       CAST(q.lo + ceil((q.b75 * (q.hi - q.lo + 1)) / 64) AS BIGINT) AS p75
 FROM kmv k JOIN quart q USING (lang)
 """
 

@@ -26,10 +26,30 @@ def simple_plan(df: DataFrame) -> str:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the physical plan (AQE pre-execution
-    view). Broadcast exchanges are excluded — they're the cheap kind."""
+    """Number of hash/range shuffle exchanges — the data-volume shuffles
+    that dominate at 100 TB. Broadcast exchanges are excluded (cheap),
+    and so are the OTHER two shuffle kinds, which have their own counter
+    (``exchange_counts``) and their own pinned budgets:
+    SinglePartition (post-aggregation tiny-data funnels, e.g. a global
+    top-k limit) and RoundRobinPartitioning (``ensure_parallelism``'s
+    conditional local-fixture repartition, absent at production split
+    counts — blending it in here would mis-describe the 100 TB plan)."""
     plan = simple_plan(df)
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", plan))
+    return len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning)", plan))
+
+
+def exchange_counts(df: DataFrame) -> dict[str, int]:
+    """Every shuffle-exchange kind in the static plan, separately:
+    {'hash': hash/range, 'single': SinglePartition, 'roundrobin':
+    RoundRobinPartitioning}. A refactor that sneaks in a global funnel
+    or a stray repartition() regresses a class-specific pinned budget
+    even when the hash/range count is unchanged."""
+    plan = simple_plan(df)
+    return {
+        "hash": len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning)", plan)),
+        "single": len(re.findall(r"\bExchange SinglePartition", plan)),
+        "roundrobin": len(re.findall(r"\bExchange RoundRobinPartitioning", plan)),
+    }
 
 
 def has_broadcast_join(df: DataFrame) -> bool:

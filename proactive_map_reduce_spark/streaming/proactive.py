@@ -404,7 +404,6 @@ def windowed_counts_with_watermark(
     root = write_event_files(events_df, n_buckets=n_buckets)
     hi = events_df.select(F.max("ts").alias("hi")).collect()[0]["hi"]
     sentinel_ts = hi + pd.Timedelta(hours=10)
-    sentinel_bucket = int(sentinel_ts.timestamp() // 3600)
     spark.createDataFrame(
         [(-1, -1, "__sentinel__", sentinel_ts, 0.0)], EVENT_SCHEMA
     ).coalesce(1).write.mode("append").parquet(root)
@@ -431,8 +430,13 @@ def windowed_counts_with_watermark(
         .parquet(root)
     )
     try:
+        # The sentinel aggregates into its own (window, '__sentinel__')
+        # row, so filtering on event_type removes exactly it — immune to
+        # the driver-local-vs-session timezone skew a recomputed epoch
+        # bucket would carry on non-UTC hosts (createDataFrame interprets
+        # naive timestamps in local time; pd.Timestamp.timestamp() in UTC).
         return _run_to_memory(stream, transform).filter(
-            F.col("hour_bucket") != sentinel_bucket
+            F.col("event_type") != "__sentinel__"
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -7,10 +7,23 @@ Python appears only at the declared UDF seams.
 
 from __future__ import annotations
 
+import pytest
+
 import proactive_map_reduce_spark.queries as Q
 from proactive_map_reduce_spark.plans import audit
 from proactive_map_reduce_spark.plans.cache import CacheManager, cache_key
 from tests.conftest import SF0001
+
+
+@pytest.fixture(autouse=True)
+def _cold_plans(spark):
+    # plan pins describe the COLD plan: registry queries that persist()
+    # shared intermediates (the dedup family) would otherwise rewrite
+    # matching subtrees in LATER tests' plans to InMemoryTableScan and
+    # shift exchange counts with test order (same guard as
+    # test_shuffle_budget)
+    spark.catalog.clearCache()
+    yield
 
 
 def test_pricing_summary_pushdown_and_pruning(spark):

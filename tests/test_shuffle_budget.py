@@ -51,6 +51,12 @@ BUDGETS = {
     # pays two narrow 16-int joins so the shingle-set join only sees
     # confirmed near-dups
     "q_dedup_minhash_confirmed": 7,
+    # batch-vs-catalog ingestion dedup: ONE signature pipeline (shared
+    # by both sides of the batch gate), band window for the catalog cap,
+    # candidate band join + the two signature-agreement joins, the
+    # per-new-doc rollup, and the final left join — measured 8 at pin
+    # time, all keyed on uniform hash/id columns
+    "q_dedup_incremental": 8,
     "q_dedup_minhash_pairs": 5,
     "q_dedup_ngram_jaccard": 2,
     "q_doc_fingerprint": 0,
@@ -161,6 +167,40 @@ BUDGETS = {
 }
 
 
+# The OTHER two shuffle kinds, pinned per class (0 where unlisted):
+# SinglePartition funnels are post-aggregation tiny-data sorts/limits
+# (a global top-k over an already-reduced relation) — fine at scale but
+# a NEW one in a query that had none is exactly a hidden global funnel.
+SINGLE_PARTITION = {
+    "q_bm25_search": 1,       # global top-10 over per-doc scores
+    "q_hybrid_search": 1,     # global top-5 of the fused score
+    "q_promo_revenue": 1,     # single-row scalar aggregate
+    "q_tfidf_top_terms": 1,   # global top-terms limit
+    "q_unigram_lm_score": 1,  # corpus-total scalar aggregate
+}
+
+# RoundRobinPartitioning = ensure_parallelism's conditional repartition
+# (single-split local fixtures only; a no-op at production split counts).
+# Pinned so a STRAY repartition() in a refactor — the same node kind —
+# still fails loudly in the query where it appears.
+ROUNDROBIN = {
+    "q_best_of_answers": 1, "q_bleu": 1, "q_corpus_stats": 1,
+    "q_curation_pipeline": 3, "q_decode_detok": 2, "q_decontaminate": 2,
+    "q_dedup_incremental": 4, "q_dedup_minhash_confirmed": 5,
+    "q_dedup_minhash_pairs": 3, "q_dedup_ngram_jaccard": 2,
+    "q_first_line_answer": 1, "q_flagship": 1, "q_flatten_nested_times": 1,
+    "q_incremental_concat": 1, "q_kv_concat": 1, "q_llm_map": 1,
+    "q_mean_over_files": 1, "q_metrics_avg": 1, "q_middle_drop_truncate": 2,
+    "q_minhash_signatures": 1, "q_partition_equal": 1,
+    "q_positional_shift": 1, "q_prefix_scan_inputs": 1,
+    "q_prompt_assemble": 1, "q_qa_pipeline": 3, "q_rechunk_fixed": 1,
+    "q_rouge": 1, "q_simhash": 1, "q_sketch_stats": 1,
+    "q_speedup_model": 1, "q_split_ratio_schedule": 1,
+    "q_token_counter_overlap": 2, "q_tokenize": 1, "q_union_outputs": 1,
+    "q_vocab_oov": 2, "q_word_split": 1,
+}
+
+
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_shuffle_budget(spark, name):
     # budgets pin the COLD plan: persisted intermediates left by earlier
@@ -168,8 +208,16 @@ def test_shuffle_budget(spark, name):
     # and shift the exchange count nondeterministically
     spark.catalog.clearCache()
     df = REGISTRY[name](spark, SF0001)
-    got = audit.count_exchanges(df)
-    assert got <= BUDGETS[name], (
-        f"{name}: {got} exchanges > budget {BUDGETS[name]} — "
-        "a shuffle crept into the plan"
+    got = audit.exchange_counts(df)
+    assert got["hash"] <= BUDGETS[name], (
+        f"{name}: {got['hash']} hash/range exchanges > budget "
+        f"{BUDGETS[name]} — a shuffle crept into the plan"
+    )
+    assert got["single"] <= SINGLE_PARTITION.get(name, 0), (
+        f"{name}: {got['single']} SinglePartition exchanges > pinned "
+        f"{SINGLE_PARTITION.get(name, 0)} — a global funnel crept in"
+    )
+    assert got["roundrobin"] <= ROUNDROBIN.get(name, 0), (
+        f"{name}: {got['roundrobin']} RoundRobin exchanges > pinned "
+        f"{ROUNDROBIN.get(name, 0)} — a stray repartition() crept in"
     )

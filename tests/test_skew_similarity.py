@@ -200,3 +200,19 @@ def test_histogram_quantiles_operator(spark):
     assert abs(out["p25"] - 250) <= binw
     assert abs(out["p50"] - 500) <= binw
     assert abs(out["p75"] - 750) <= binw
+
+
+def test_topk_empty_corpus_returns_typed_empty(spark):
+    """Both top-k paths must return a well-formed empty result (not crash)
+    on an empty or fully-filtered embedding input."""
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    bf = sim.brute_force_topk(empty, n_queries=4, k=3, dim=4)
+    assert bf.count() == 0
+    assert [f.name for f in bf.schema.fields] == [
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    ]
+    ivf = sim.ivf_topk(empty, n_queries=4, k=3)
+    assert ivf.count() == 0
+    assert [f.name for f in ivf.schema.fields] == [
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    ]

@@ -113,3 +113,20 @@ def test_pii_redact_leaves_no_pii(spark):
             assert r["n_phones"] == 2
         elif r["doc_id"] % 4 == 2:
             assert r["n_ips"] == 1
+
+
+def test_decode_first_line_strips_leading_newlines(spark):
+    """The operator must mirror the reference's lstrip('\n') — Spark's
+    ltrim strips only spaces, so an out_text starting with '\n' (the
+    reference decode shape) previously yielded '' instead of the answer."""
+    from proactive_map_reduce_spark.operators import mapstage
+
+    df = spark.createDataFrame(
+        [(1, "\n\nAnswer: 42\nsecond"), (2, "plain\nrest"), (3, "  spaced\nx")],
+        "doc_id long, out_text string",
+    )
+    got = {
+        r["doc_id"]: r["answer"]
+        for r in mapstage.decode_first_line(df).collect()
+    }
+    assert got == {1: "Answer: 42", 2: "plain", 3: "  spaced"}
