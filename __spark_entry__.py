@@ -42,6 +42,8 @@ _REWRITTEN = {
     "q_stream_window_late": 4,    # sentinel filtered by event_type (tz-safe)
     "q_first_line_answer": 4,     # leading-\n strip matches oracle ltrim
     "q_decode_detok": 4,          # shares the first-line extraction path
+    "q_bleu": 4,                  # empty-token drop + zero-token-pred rows
+    "q_rouge": 4,                 # same token convention in LCS + lens
 }
 
 

@@ -28,12 +28,17 @@ def main() -> int:
     args = ap.parse_args()
 
     import proactive_map_reduce_spark.queries as Q
+    # rebind on queries.curation — the module whose globals
+    # q_curation_pipeline actually reads. Setting the attribute on the
+    # queries PACKAGE only shadows the star-imported copy there and
+    # silently leaves the pipeline on its defaults.
+    import proactive_map_reduce_spark.queries.curation as QC
     from proactive_map_reduce_spark.session import get_spark
 
     if args.min_quality is not None:
-        Q.CURATION_QUALITY_MIN = args.min_quality
+        QC.CURATION_QUALITY_MIN = args.min_quality
     if args.jaccard is not None:
-        Q.CURATION_JACCARD_MIN = args.jaccard
+        QC.CURATION_JACCARD_MIN = args.jaccard
 
     spark = get_spark("run-curation")
     spark.sparkContext.setLogLevel("ERROR")
@@ -46,8 +51,10 @@ def main() -> int:
 
     agg = packed.agg(
         F.count("*").alias("n_packs"),
-        F.sum("n_docs").alias("n_docs"),
-        F.sum("n_tokens").alias("n_tokens"),
+        # coalesce: a gate strict enough to drop every doc yields an
+        # empty manifest, whose sums are null — report zeros, not a crash
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
     ).collect()[0]
     print(
         {

@@ -58,12 +58,22 @@ def _ngrams(tokens: list[str], n: int) -> Counter:
     return Counter(tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1))
 
 
+def _tokens(s: str) -> list[str]:
+    """The engine-wide token convention: split on single spaces, drop
+    empty tokens. Equals str.split() on space-separated text (every
+    fixture and the reference's pre-tokenized corpora) while matching
+    bleu_table/_ngram_counts' F.split + w != '' filter EXACTLY on runs
+    of spaces — so the pure-Python mirrors and the relational forms are
+    pinned equal on all inputs, not just single-spaced ones."""
+    return [t for t in s.split(" ") if t] if s else []
+
+
 def bleu_score(pred: str, gold: str, max_order: int = 4) -> float:
     """Smoothed sentence BLEU over whitespace tokens (reference:
     nltk sentence_bleu + chencherry method7, test_proactive.py:374-376).
     Here: add-1 smoothing on orders with zero matches (method-1 style),
     deterministic and dependency-free."""
-    p_toks, g_toks = pred.split() if pred else [], gold.split() if gold else []
+    p_toks, g_toks = _tokens(pred), _tokens(gold)
     if not p_toks or not g_toks:
         return 0.0
     # cap order at candidate length so short identical texts score 1.0
@@ -99,7 +109,7 @@ def _lcs_len(a: list[str], b: list[str]) -> int:
 
 def rouge_l(pred: str, gold: str) -> float:
     """ROUGE-L f-measure over whitespace tokens (pipeline_70b_samsum.py:77-81)."""
-    p, g = pred.split() if pred else [], gold.split() if gold else []
+    p, g = _tokens(pred), _tokens(gold)
     if not p or not g:
         return 0.0
     lcs = _lcs_len(p, g)
@@ -123,7 +133,9 @@ def _ngram_counts(df: DataFrame, text_col: str, max_n: int = 4) -> DataFrame:
     exchange on doc_id serves the window and the count aggregation)."""
     toks = df.select(
         "doc_id", F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w")
-    )
+    ).filter(F.col("w") != "")  # drop empty tokens (runs of spaces / empty
+    # text) BEFORE the lead window, so n-grams span the surviving tokens —
+    # the same list str.split() produces (see _tokens)
     win = Window.partitionBy("doc_id").orderBy("pos")
     leads = toks.select(
         "doc_id",
@@ -192,9 +204,32 @@ def bleu_table(
         ]
     )
     lens = gold_df.select(
-        "doc_id", F.size(F.split(F.col(gold_col), " ")).cast("bigint").alias("len_g")
+        "doc_id",
+        F.size(F.filter(F.split(F.col(gold_col), " "), lambda x: x != ""))
+        .cast("bigint")
+        .alias("len_g"),
     )
-    staged = piv.join(lens, "doc_id").withColumn("len_p", F.col("t1"))
+    # left-join from the GOLD doc list: a pred with zero tokens produces
+    # no gram rows at all, and must still appear in the output (bleu 0.0,
+    # the mirror bleu_score's answer) rather than vanish. The gold side
+    # is the cheap base — a table scan — whereas basing on pred_df would
+    # re-derive the whole upstream pred pipeline (the model stage) a
+    # second time in the static plan. Output contract: one row per gold
+    # doc; preds without a gold doc are dropped (inner semantics, as
+    # before).
+    staged = (
+        lens.join(piv, "doc_id", "left")
+        .select(
+            "doc_id",
+            "len_g",
+            *[
+                F.coalesce(F.col(f"{src}{n}"), F.lit(0)).cast("bigint").alias(f"{src}{n}")
+                for n in range(1, max_n + 1)
+                for src in ("m", "t")
+            ],
+        )
+        .withColumn("len_p", F.col("t1"))
+    )
     max_order = F.least(F.lit(max_n), F.col("len_p"))
 
     def log_prec(n: int) -> Column:
@@ -215,7 +250,14 @@ def bleu_table(
         "len_p",
         "len_g",
         *[F.col(f"{src}{n}") for n in range(1, max_n + 1) for src in ("m", "t")],
-        F.round(bp * F.exp(log_sum / max_order), 6).alias("bleu"),
+        F.round(
+            # empty pred or gold scores 0.0 (bleu_score's guard) — also
+            # keeps the bp/log divisions off the len_p = 0 path
+            F.when(
+                (F.col("len_p") == 0) | (F.col("len_g") == 0), F.lit(0.0)
+            ).otherwise(bp * F.exp(log_sum / max_order)),
+            6,
+        ).alias("bleu"),
     )
 
 
@@ -232,8 +274,5 @@ def lcs_udf(pred: pd.Series, gold: pd.Series) -> pd.Series:
     ROUGE query hash-checks (the oracle computes the same integer via a
     recursive-CTE row DP)."""
     return pd.Series(
-        [
-            _lcs_len((p or "").split(" "), (g or "").split(" "))
-            for p, g in zip(pred, gold)
-        ]
+        [_lcs_len(_tokens(p or ""), _tokens(g or "")) for p, g in zip(pred, gold)]
     )

@@ -484,8 +484,8 @@ fin AS (
   SELECT doc_id, string_agg(out_text, ' ' ORDER BY chunk_id) AS final_text
   FROM mapped GROUP BY doc_id
 ),
-ptoks AS (SELECT doc_id, string_split(final_text, ' ') AS toks FROM fin),
-gtoks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ptoks AS (SELECT doc_id, list_filter(string_split(final_text, ' '), x -> x <> '') AS toks FROM fin),
+gtoks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
 png AS (
   SELECT doc_id, r.n, array_to_string(toks[s.i:s.i + r.n - 1], ' ') AS g
   FROM ptoks, range(1, 5) r(n),
@@ -510,16 +510,26 @@ piv AS (
   FROM per_n GROUP BY doc_id
 ),
 lens AS (
-  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len_g
+  SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS len_g
   FROM documents
+),
+staged AS (
+  -- left join from the GOLD doc list (a zero-token pred has no gram
+  -- rows but must still score 0.0) — mirrors bleu_table's one-row-per-
+  -- gold-doc contract
+  SELECT l.doc_id,
+         {", ".join(f"CAST(coalesce({src}{n}, 0) AS BIGINT) AS {src}{n}" for n in range(1, 5) for src in ("m", "t"))},
+         l.len_g
+  FROM lens l LEFT JOIN piv ON piv.doc_id = l.doc_id
 )
-SELECT piv.doc_id, t1 AS len_p, len_g,
+SELECT doc_id, t1 AS len_p, len_g,
        m1, t1, m2, t2, m3, t3, m4, t4,
        round(
-         (CASE WHEN t1 > len_g THEN 1.0
-               ELSE exp(1.0 - len_g / CAST(t1 AS DOUBLE)) END)
-         * exp(({_BLEU_LOGSUM}) / least(4, t1)), 6) AS bleu
-FROM piv JOIN lens USING (doc_id)
+         CASE WHEN t1 = 0 OR len_g = 0 THEN 0.0
+              ELSE (CASE WHEN t1 > len_g THEN 1.0
+                         ELSE exp(1.0 - len_g / CAST(t1 AS DOUBLE)) END)
+                   * exp(({_BLEU_LOGSUM}) / least(4, t1)) END, 6) AS bleu
+FROM staged
 """
 
 
@@ -533,8 +543,8 @@ fin AS (
   SELECT doc_id, string_agg(out_text, ' ' ORDER BY chunk_id) AS final_text
   FROM mapped GROUP BY doc_id
 ),
-ptoks AS (SELECT doc_id, string_split(final_text, ' ') AS toks FROM fin),
-gtoks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ptoks AS (SELECT doc_id, list_filter(string_split(final_text, ' '), x -> x <> '') AS toks FROM fin),
+gtoks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
 pw AS (SELECT doc_id, s.i AS i, toks[s.i] AS a
        FROM ptoks, UNNEST(generate_series(1, len(toks))) s(i)),
 gw AS (SELECT doc_id, s.j AS j, toks[s.j] AS b

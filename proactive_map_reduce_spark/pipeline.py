@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.scoring import bleu_udf, set_f1
-from .functions.text import normalize_text
+from .functions.text import exact_match, normalize_text
 from .operators import chunking, mapstage
 from .operators import reduce as red
 
@@ -66,9 +66,7 @@ class ProactivePipeline:
             "doc_id",
             "n_chunks",
             set_f1(p, g).alias("f1"),
-            (normalize_text(F.col("final_text")) == normalize_text(F.col("gt_text")))
-            .cast("int")
-            .alias("exact_match"),
+            exact_match(F.col("final_text"), F.col("gt_text")).alias("exact_match"),
             bleu_udf(F.col("final_text"), F.col("gt_text")).alias("bleu"),
         )
 

@@ -522,8 +522,15 @@ def q_rouge(spark, sf_dir):
     staged = joined.select(
         "doc_id",
         lcs_udf(F.col("final_text"), F.col("text")).alias("lcs"),
-        F.size(F.split("final_text", " ")).cast("bigint").alias("len_p"),
-        F.size(F.split("text", " ")).cast("bigint").alias("len_g"),
+        # non-empty token counts, matching lcs_udf's _tokens convention
+        # (an empty text has ZERO tokens, so empty-vs-empty scores 0.0
+        # like functions.scoring.rouge_l, not a degenerate 1.0)
+        F.size(F.filter(F.split("final_text", " "), lambda x: x != ""))
+        .cast("bigint")
+        .alias("len_p"),
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("bigint")
+        .alias("len_g"),
     )
     prec = F.col("lcs") / F.col("len_p").cast("double")
     rec = F.col("lcs") / F.col("len_g").cast("double")

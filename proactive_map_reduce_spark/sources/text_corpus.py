@@ -49,6 +49,10 @@ def write_text_corpus(df: DataFrame, root: str, text_col: str = "text") -> str:
     """
     os.makedirs(root, exist_ok=True)
     for row in df.select("doc_id", text_col).collect():
-        with open(os.path.join(root, f"{row['doc_id']}.txt"), "w") as fp:
+        # utf-8 explicitly: spark.read.text always decodes UTF-8, so the
+        # round-trip must not depend on the host locale
+        with open(
+            os.path.join(root, f"{row['doc_id']}.txt"), "w", encoding="utf-8"
+        ) as fp:
             fp.write(row[text_col])
     return root

@@ -110,3 +110,48 @@ def test_bleu_table_matches_python_reference(spark):
         assert abs(row["bleu"] - want) < 2e-6, (did, row["bleu"], want)
         assert row["len_p"] == len(preds[did].split(" "))
         assert row["m1"] <= row["t1"]
+
+
+def test_bleu_rouge_convention_on_irregular_whitespace_and_empty(spark):
+    """Mirror == relational form on the inputs where they previously
+    diverged: runs of spaces (empty tokens) and fully-empty texts.
+    Convention: split on single spaces, drop empty tokens; empty pred or
+    gold scores 0.0 (never a degenerate 1.0), and a zero-token pred still
+    appears in the table output."""
+    from proactive_map_reduce_spark.functions.scoring import (
+        bleu_score,
+        bleu_table,
+        lcs_udf,
+        rouge_l,
+    )
+
+    rows = [
+        (0, "a  b", "a b"),      # double space: '' token must be dropped
+        (1, "a b", "a  b"),      # gold side too
+        (2, "", "a b"),          # empty pred: bleu/rouge 0, row present
+        (3, "", ""),             # empty vs empty: 0.0, NOT 1.0
+        (4, "a b c", "a b c"),   # identical sanity
+    ]
+    pred = spark.createDataFrame(
+        [(i, p) for i, p, _ in rows], "doc_id long, final_text string"
+    )
+    gold = spark.createDataFrame(
+        [(i, g) for i, _, g in rows], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bleu_table(pred, gold).collect()}
+    assert set(out) == {i for i, _, _ in rows}  # empty preds not dropped
+    for i, p, g in rows:
+        want = round(bleu_score(p, g), 6)
+        assert abs(out[i]["bleu"] - want) < 2e-6, (i, out[i]["bleu"], want)
+    assert out[0]["bleu"] == 1.0 and out[1]["bleu"] == 1.0
+    assert out[2]["bleu"] == 0.0 and out[3]["bleu"] == 0.0
+
+    lcs = {
+        r["doc_id"]: r["lcs"]
+        for r in pred.join(gold, "doc_id")
+        .select("doc_id", lcs_udf("final_text", "text").alias("lcs"))
+        .collect()
+    }
+    assert lcs == {0: 2, 1: 2, 2: 0, 3: 0, 4: 3}
+    assert rouge_l("", "") == 0.0
+    assert rouge_l("a  b", "a b") == 1.0

@@ -64,14 +64,16 @@ def main() -> int:
         ).collect()
         return time.time() - t0
 
-    # recompute baseline: no persist anywhere
-    recompute = [consume(intermediate()) for _ in range(2)]  # warm codegen
+    # cold-codegen warmup — deliberately DISCARDED, never part of the
+    # measured recompute baseline below
+    for _ in range(2):
+        consume(intermediate())
 
     mgr = CacheManager()
     key_of = {t: cache_key("bench_tiers", t) for t in TIERS}
     fetch: dict[str, list[float]] = {t: [] for t in TIERS}
     est_load: dict[str, float] = {}
-    recompute = []
+    recompute: list[float] = []
     for rep in range(reps):
         for tier in TIERS:
             df = intermediate()

@@ -43,6 +43,54 @@ def main() -> int:
 
     print("baseline :", means(base_path))
     print("proactive:", means(pro_path))
+
+    def speedup_model(path: str):
+        """The §3.3 overlap model (compute_scores.py:62-85), computed when
+        the file carries per-chunk timing fields (the reference's result
+        shape: doc_id, chunk_id, ingest, prefill, decode): baseline e2e =
+        Σingest + Σprefill + Σdecode; proactive e2e = ingest_0 +
+        Σ_j max(ingest_{j+1}, prefill_j + decode_j)."""
+        from pyspark.sql import Window
+
+        df = spark.read.json(path)
+        needed = {"doc_id", "chunk_id", "ingest", "prefill", "decode"}
+        if not needed.issubset(set(df.columns)):
+            return None
+        w = Window.partitionBy("doc_id").orderBy("chunk_id")
+        t = df.withColumn(
+            "ingest_next", F.coalesce(F.lead("ingest").over(w), F.lit(0.0))
+        )
+        row = (
+            t.groupBy("doc_id")
+            .agg(
+                (
+                    F.min(F.when(F.col("chunk_id") == 0, F.col("ingest")))
+                    + F.sum(
+                        F.greatest(
+                            F.col("ingest_next"), F.col("prefill") + F.col("decode")
+                        )
+                    )
+                ).alias("pro"),
+                (F.sum("ingest") + F.sum("prefill") + F.sum("decode")).alias("base"),
+            )
+            .agg(F.sum("base").alias("base"), F.sum("pro").alias("pro"))
+            .collect()[0]
+        )
+        return {
+            "e2e_baseline": round(row["base"], 3),
+            "e2e_proactive": round(row["pro"], 3),
+            "speedup": round(row["base"] / row["pro"], 3) if row["pro"] else None,
+        }
+
+    model = speedup_model(pro_path)
+    if model is not None:
+        print("overlap speedup model:", model)
+    else:
+        print(
+            "overlap speedup model: skipped — needs per-chunk timing "
+            "columns (doc_id, chunk_id, ingest, prefill, decode); "
+            "score-only results carry none"
+        )
     spark.stop()
     return 0
 

@@ -18,11 +18,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 from bench import HEADLINE  # single source of truth for the headline set
-
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
+from proactive_map_reduce_spark.sources.tables import TABLES  # ditto for views
 
 
 def main() -> None:
