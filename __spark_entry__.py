@@ -42,8 +42,22 @@ _REWRITTEN = {
     "q_stream_window_late": 4,    # sentinel filtered by event_type (tz-safe)
     "q_first_line_answer": 4,     # leading-\n strip matches oracle ltrim
     "q_decode_detok": 4,          # shares the first-line extraction path
-    "q_bleu": 4,                  # empty-token drop + zero-token-pred rows
+    "q_bleu": 4,                  # empty-token drop + one-row-per-gold-doc
     "q_rouge": 4,                 # same token convention in LCS + lens
+    # reference-parity pass: normalized-answer tokenization for the
+    # F1/accuracy family, int() top-k with tail-excluded rank pool
+    "q_flagship": 4,
+    "q_set_f1": 4,
+    "q_subset_accuracy": 4,
+    "q_best_of_answers": 4,
+    "q_token_counter_overlap": 4,
+    "q_metrics_avg": 4,
+    "q_union_outputs": 4,
+    "q_mean_over_files": 4,
+    "q_topk_importance": 4,
+    # oracle determinism fixes (session cumsum order, asof tie-break)
+    "q_session_window": 4,
+    "q_asof_join": 4,
 }
 
 

@@ -32,23 +32,35 @@ from pyspark.sql import types as T
 
 
 def set_f1(pred_words: Column, gold_words: Column) -> Column:
-    """A6: F1 over distinct word sets. 0 when either side is empty."""
+    """A6: F1 over distinct word sets, with the reference's no-answer
+    rule (test_proactive.py:115-117): if EITHER side has zero tokens,
+    F1 is 1 when they agree (both empty) and 0 otherwise."""
     p = F.array_distinct(pred_words)
     g = F.array_distinct(gold_words)
     inter = F.size(F.array_intersect(p, g)).cast("double")
     prec = inter / F.size(p)
     rec = inter / F.size(g)
+    both_empty = ((F.size(p) == 0) & (F.size(g) == 0)).cast("double")
     return F.round(
-        F.when((F.size(p) == 0) | (F.size(g) == 0) | (inter == 0), F.lit(0.0)).otherwise(
-            2 * prec * rec / (prec + rec)
-        ),
+        F.when((F.size(p) == 0) | (F.size(g) == 0), both_empty)
+        .when(inter == 0, F.lit(0.0))
+        .otherwise(2 * prec * rec / (prec + rec)),
         6,
     )
 
 
 def subset_accuracy(pred_words: Column, gold_words: Column) -> Column:
-    """A7: 1 iff gold word set ⊆ pred word set."""
-    return (F.size(F.array_except(F.array_distinct(gold_words), F.array_distinct(pred_words))) == 0).cast("int")
+    """A7: 1 iff gold word set ⊆ pred word set, with the reference's
+    no-answer rule (test_proactive.py:135-137): an empty side scores 1
+    only when BOTH are empty (plain ⊆ would grant an empty gold a free
+    1 against any pred)."""
+    p = F.array_distinct(pred_words)
+    g = F.array_distinct(gold_words)
+    both_empty = ((F.size(p) == 0) & (F.size(g) == 0)).cast("int")
+    return (
+        F.when((F.size(p) == 0) | (F.size(g) == 0), both_empty)
+        .otherwise((F.size(F.array_except(g, p)) == 0).cast("int"))
+    )
 
 
 # --- pandas UDFs (rows-checked; property-tested in tests/) ------------------

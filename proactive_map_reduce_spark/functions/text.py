@@ -22,10 +22,17 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Kept deliberately simple/portable: strip everything except lowercase
-# alphanumerics and spaces (the fixture corpus is ASCII word salad).
-_PUNCT_PATTERN = "[^a-z0-9 ]"
+# alphanumerics and whitespace (the reference's normalize_answer removes
+# only punctuation; deleting \n/\t here would MERGE adjacent words —
+# 'foo\nbar' must normalize to 'foo bar', not 'foobar'). Whitespace is an
+# explicit char class, not \s: Java's \s includes \x0B while RE2's
+# (DuckDB's) does not, so \s in a deletion/collapse pattern silently
+# diverges across engines on vertical tabs. Non-ASCII letters are still
+# dropped — a documented simplification (the fixture corpus is ASCII).
+_WS_CHARS = " \t\n\r\f"
+_PUNCT_PATTERN = f"[^a-z0-9{_WS_CHARS}]"
 _ARTICLE_PATTERN = r"\b(a|an|the)\b"
-_WS_PATTERN = r"\s+"
+_WS_PATTERN = f"[{_WS_CHARS}]+"
 
 
 def normalize_text(col: Column | str) -> Column:
@@ -42,6 +49,20 @@ def normalize_question(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     c = F.when(c.endswith("?"), c).otherwise(F.concat(c, F.lit("?")))
     return F.concat(F.lower(c.substr(F.lit(1), F.lit(1))), c.substr(F.lit(2), F.length(c) - 1))
+
+
+def norm_tokens(col: Column | str) -> Column:
+    """``normalize_answer(x).split()`` as a column (test_proactive.py:
+    111-112 — the reference tokenizes the NORMALIZED answer for every
+    F1/accuracy computation). normalize_text trims and collapses
+    whitespace, so splitting on single spaces yields clean tokens; an
+    empty normalization yields ZERO tokens (the reference's no-answer),
+    not ['']. Non-HOF: a when() on the normalized length, codegen-safe."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = normalize_text(c)
+    return F.when(F.length(n) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(n, " ")
+    )
 
 
 def exact_match(pred: Column, gold: Column) -> Column:

@@ -41,7 +41,7 @@ _SENT_MARK = ""
 
 def split_sentences(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """P1: one row per sentence with its 0-based position (terminators kept)."""
-    marked = F.regexp_replace(F.col(text_col), r"([.!?])\s+", "$1" + _SENT_MARK)
+    marked = F.regexp_replace(F.col(text_col), "([.!?])[ \t\n\r\f]+", "$1" + _SENT_MARK)
     return df.select(
         id_col, F.posexplode(F.split(marked, _SENT_MARK)).alias("sent_pos", "sentence")
     ).filter(F.length("sentence") > 0)

@@ -431,7 +431,7 @@ def jaccard_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 20
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 50
 ) -> DataFrame:
     """Cluster near-dup pairs into components: (doc_id, cluster_rep).
 

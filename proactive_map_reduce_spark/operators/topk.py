@@ -28,21 +28,29 @@ def topk_importance(
 ) -> DataFrame:
     """Select top-k scored positions per group plus the `last_len` tail.
 
-    k = clamp(round(ratio * n) - 1, 0, n - last_len) per group, mirroring
-    modeling_llama.py:860-861. Output adds `selected` ∈ {'topk','tail'}.
+    k = clamp(int(ratio * n) - 1, 0, n - last_len) per group — int() is
+    TRUNCATION (modeling_llama.py:860 `max(int(q_len*top_k_ratio)-1, 0)`,
+    861 `min(q_len-last_len, k)`), not round(). The rank pool EXCLUDES
+    the tail (modeling_llama.py:863 scores `diff[:-last_len]`): tail rows
+    sort after every candidate, so a high-scoring tail position can never
+    displace a non-tail candidate from the k slots. Output adds
+    `selected` ∈ {'topk','tail'}.
     """
     g = Window.partitionBy(group_col)
-    rank_w = Window.partitionBy(group_col).orderBy(
-        F.col(score_col).desc(), F.col(pos_col).asc()
-    )
     n = F.count("*").over(g)
-    k = F.greatest(
-        F.lit(0), F.least(F.round(F.lit(ratio) * n).cast("long") - 1, n - F.lit(last_len))
-    )
-    scored = df.withColumn("_n", n).withColumn("_k", k).withColumn(
-        "_rn", F.row_number().over(rank_w)
-    )
+    scored = df.withColumn("_n", n)
     tail = F.col(pos_col) >= (F.col("_n") - F.lit(last_len))
+    rank_w = Window.partitionBy(group_col).orderBy(
+        tail.cast("int").asc(), F.col(score_col).desc(), F.col(pos_col).asc()
+    )
+    k = F.greatest(
+        F.lit(0),
+        F.least(
+            F.floor(F.lit(ratio) * F.col("_n")).cast("long") - 1,
+            F.col("_n") - F.lit(last_len),
+        ),
+    )
+    scored = scored.withColumn("_k", k).withColumn("_rn", F.row_number().over(rank_w))
     topk = (F.col("_rn") <= F.col("_k")) & ~tail
     return (
         scored.filter(tail | topk)

@@ -80,26 +80,54 @@ mapped AS (
 """
 
 
-# normalize_text (functions/text.py) in DuckDB form
+# normalize_text (functions/text.py) in DuckDB form. Whitespace is the
+# same explicit char class as the Spark side (never \s — Java's \s
+# includes \x0B, RE2's does not), so 'foo\nbar' normalizes to 'foo bar'
+# identically on both engines and newlines never merge adjacent words.
+_WS_CHARS = " \t\n\r\f"
+
+
 def _norm(expr: str) -> str:
     return (
         "trim(regexp_replace(regexp_replace(regexp_replace(lower("
         + expr
-        + "), '[^a-z0-9 ]', '', 'g'), '\\b(a|an|the)\\b', ' ', 'g'), '\\s+', ' ', 'g'))"
+        + f"), '[^a-z0-9{_WS_CHARS}]', '', 'g'), "
+        + f"'\\b(a|an|the)\\b', ' ', 'g'), '[{_WS_CHARS}]+', ' ', 'g'))"
     )
 
 
 ORACLES: dict[str, str] = {}
 
 
+def _norm_toks(x: str) -> str:
+    """normalize_answer(x).split() as DuckDB SQL — mirror of
+    functions.text.norm_tokens (an empty normalization yields zero
+    tokens, the reference's no-answer)."""
+    return f"list_filter(string_split({_norm(x)}, ' '), t -> t <> '')"
+
+
 def _set_f1_sql(p: str, g: str) -> str:
-    """DuckDB mirror of functions.scoring.set_f1 (inputs: distinct lists)."""
+    """DuckDB mirror of functions.scoring.set_f1 (inputs: distinct
+    lists), including the reference no-answer rule: an empty side scores
+    1 only when both are empty (test_proactive.py:115-117)."""
     inter = f"len(list_intersect({p}, {g}))"
     prec = f"({inter} / CAST(len({p}) AS DOUBLE))"
     rec = f"({inter} / CAST(len({g}) AS DOUBLE))"
     return (
-        f"CASE WHEN len({p}) = 0 OR len({g}) = 0 OR {inter} = 0 THEN 0.0 "
+        f"CASE WHEN len({p}) = 0 OR len({g}) = 0 "
+        f"THEN CAST(len({p}) = 0 AND len({g}) = 0 AS DOUBLE) "
+        f"WHEN {inter} = 0 THEN 0.0 "
         f"ELSE round(2.0 * {prec} * {rec} / ({prec} + {rec}), 6) END"
+    )
+
+
+def _subset_sql(p: str, g: str) -> str:
+    """DuckDB mirror of functions.scoring.subset_accuracy with the same
+    no-answer rule (test_proactive.py:135-137)."""
+    return (
+        f"CASE WHEN len({p}) = 0 OR len({g}) = 0 "
+        f"THEN CAST(len({p}) = 0 AND len({g}) = 0 AS INT) "
+        f"ELSE CAST(len(list_filter({g}, x -> NOT list_contains({p}, x))) = 0 AS INT) END"
     )
 
 
@@ -117,9 +145,10 @@ gt AS (
   FROM documents
 ),
 scored AS (
+  -- normalized tokens (the reference scores normalize_answer(x).split())
   SELECT f.doc_id, g.lang, f.n_chunks,
-         list_distinct(string_split(f.final_text, ' ')) AS p,
-         list_distinct(string_split(g.gt_text, ' ')) AS g_set,
+         list_distinct({_norm_toks('f.final_text')}) AS p,
+         list_distinct({_norm_toks('g.gt_text')}) AS g_set,
          f.final_text, g.gt_text
   FROM fin f JOIN gt g USING (doc_id)
 ),
@@ -127,18 +156,18 @@ flagship AS (
   SELECT doc_id, lang, n_chunks,
          {_set_f1_sql('p', 'g_set')} AS set_f1,
          CAST({_norm('final_text')} = {_norm('gt_text')} AS INT) AS em,
-         CAST(len(list_filter(g_set, x -> NOT list_contains(p, x))) = 0 AS INT) AS subset_acc
+         {_subset_sql('p', 'g_set')} AS subset_acc
   FROM scored
 )
 """
 
 
-_BEST_ANS = """
+_BEST_ANS = f"""
 ans AS (
   SELECT doc_id,
-         list_distinct(string_split(text, ' ')) AS a_same,
-         list_distinct(list_reverse(string_split(text, ' '))) AS a_rev,
-         list_distinct(string_split(text, ' ')[1:10]) AS a_head
+         list_distinct({_norm_toks('text')}) AS a_same,
+         list_distinct({_norm_toks("array_to_string(list_reverse(string_split(text, ' ')), ' ')")}) AS a_rev,
+         list_distinct({_norm_toks("array_to_string(string_split(text, ' ')[1:10], ' ')")}) AS a_head
   FROM documents
 )
 """
@@ -285,9 +314,14 @@ def _ivf_sql(n_queries=8, k=5, n_clusters=8, nprobe=3, iters=5, scale=1_000_000,
         gate_cte, train_src = "", "xint"
     else:
         th = int(train_fraction * 2**32)
+        # mirror the Spark operator's degenerate-sample fallback
+        # (similarity.py ivf_topk): when the hash gate selects ZERO
+        # vectors, train on the full input rather than emit nothing
         gate_cte = (
-            ",\nxtrain AS (SELECT * FROM xint WHERE "
-            f"CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) < {th})"
+            ",\nxgated AS (SELECT * FROM xint WHERE "
+            f"CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) < {th}),"
+            "\nxtrain AS (SELECT * FROM xgated UNION ALL "
+            "SELECT * FROM xint WHERE NOT EXISTS (SELECT 1 FROM xgated))"
         )
         train_src = "xtrain"
     parts = [

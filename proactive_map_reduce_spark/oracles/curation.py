@@ -30,7 +30,9 @@ from ._base import (  # noqa: F401
     _ivf_sql,
     _jaccard_select,
     _norm,
+    _norm_toks,
     _set_f1_sql,
+    _subset_sql,
     _shingles_from,
 )
 
@@ -377,14 +379,17 @@ ORACLES["q_sentence_dedup"] = """
 WITH s AS (
   SELECT doc_id, t.i - 1 AS sent_pos, d.ss[t.i] AS sentence
   FROM (SELECT doc_id,
-               string_split(regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'),
+               string_split(regexp_replace(text, '([.!?])[ 	
+]+', '\\1' || chr(1), 'g'),
                             chr(1)) AS ss
         FROM documents) d,
        UNNEST(generate_series(1, len(d.ss))) AS t(i)
   WHERE length(d.ss[t.i]) > 0
 ),
 k AS (
-  SELECT doc_id, sent_pos, md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(sentence), '[^a-z0-9 ]', '', 'g'), '\\b(a|an|the)\\b', ' ', 'g'), '\\s+', ' ', 'g'))) AS sent_key FROM s
+  SELECT doc_id, sent_pos, md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(sentence), '[^a-z0-9 	
+]', '', 'g'), '\\b(a|an|the)\\b', ' ', 'g'), '[ 	
+]+', ' ', 'g'))) AS sent_key FROM s
 ),
 f AS (
   SELECT doc_id,
@@ -525,7 +530,8 @@ surv AS (
 s AS (
   SELECT doc_id, lang, t.i - 1 AS sent_pos, d.ss[t.i] AS sentence
   FROM (SELECT doc_id, lang,
-               string_split(regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'),
+               string_split(regexp_replace(text, '([.!?])[ 	
+]+', '\\1' || chr(1), 'g'),
                             chr(1)) AS ss
         FROM surv) d,
        UNNEST(generate_series(1, len(d.ss))) AS t(i)
@@ -535,8 +541,10 @@ k AS (
   SELECT doc_id, lang, sent_pos,
          len(string_split(sentence, ' ')) AS sent_tok,
          md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(sentence),
-             '[^a-z0-9 ]', '', 'g'), '\\b(a|an|the)\\b', ' ', 'g'),
-             '\\s+', ' ', 'g'))) AS sent_key
+             '[^a-z0-9 	
+]', '', 'g'), '\\b(a|an|the)\\b', ' ', 'g'),
+             '[ 	
+]+', ' ', 'g'))) AS sent_key
   FROM s
 ),
 f AS (
@@ -672,7 +680,8 @@ s AS (
   SELECT doc_id, text, html,
          trim(regexp_replace(
            replace(regexp_replace(html, '<[^>]+>', ' ', 'g'), '&nbsp;', ' '),
-           '\\s+', ' ', 'g')) AS clean
+           '[ 	
+]+', ' ', 'g')) AS clean
   FROM h
 )
 SELECT doc_id, CAST(length(html) AS BIGINT) AS html_len,

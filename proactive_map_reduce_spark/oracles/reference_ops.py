@@ -30,7 +30,9 @@ from ._base import (  # noqa: F401
     _ivf_sql,
     _jaccard_select,
     _norm,
+    _norm_toks,
     _set_f1_sql,
+    _subset_sql,
     _shingles_from,
 )
 
@@ -66,7 +68,8 @@ ORACLES["q_sentence_split"] = """
 SELECT doc_id, CAST(t.i - 1 AS INT) AS sent_pos,
        CAST(length(d.ss[t.i]) AS BIGINT) AS sent_len
 FROM (SELECT doc_id,
-             string_split(regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)) AS ss
+             string_split(regexp_replace(text, '([.!?])[ 	
+]+', '\\1' || chr(1), 'g'), chr(1)) AS ss
       FROM documents) d,
      UNNEST(generate_series(1, len(d.ss))) AS t(i)
 WHERE length(d.ss[t.i]) > 0
@@ -210,16 +213,17 @@ gt AS (
   FROM documents
 ),
 scored AS (
+  -- normalized tokens (the reference scores normalize_answer(x).split())
   SELECT f.doc_id, g.lang, f.n_chunks,
-         list_distinct(string_split(f.final_text, ' ')) AS p,
-         list_distinct(string_split(g.gt_text, ' ')) AS g_set,
+         list_distinct({_norm_toks('f.final_text')}) AS p,
+         list_distinct({_norm_toks('g.gt_text')}) AS g_set,
          f.final_text, g.gt_text
   FROM fin f JOIN gt g USING (doc_id)
 )
 SELECT doc_id, lang, n_chunks,
        {_set_f1_sql('p', 'g_set')} AS set_f1,
        CAST({_norm('final_text')} = {_norm('gt_text')} AS INT) AS em,
-       CAST(len(list_filter(g_set, x -> NOT list_contains(p, x))) = 0 AS INT) AS subset_acc
+       {_subset_sql('p', 'g_set')} AS subset_acc
 FROM scored
 """
 
@@ -300,7 +304,7 @@ fin AS (
 ),
 {_BEST_ANS},
 j AS (
-  SELECT f.doc_id, list_distinct(string_split(f.final_text, ' ')) AS p,
+  SELECT f.doc_id, list_distinct({_norm_toks('f.final_text')}) AS p,
          a.a_same, a.a_rev, a.a_head
   FROM fin f JOIN ans a USING (doc_id)
 )
@@ -342,7 +346,14 @@ GROUP BY d.lang
 
 
 ORACLES["q_token_counter_overlap"] = f"""
-WITH {_WORDS},
+WITH nt AS (
+  SELECT doc_id, {_norm_toks('text')} AS toks FROM documents
+),
+w AS (
+  -- normalized tokens (pipeline_70b_samsum.py:84-85 counts
+  -- normalize_answer(text) tokens, not raw words)
+  SELECT doc_id, u.w AS word FROM nt, UNNEST(nt.toks) AS u(w)
+),
 pred AS (SELECT doc_id, word, count(*) AS c_pred FROM w GROUP BY doc_id, word),
 gold AS (SELECT doc_id - 1 AS doc_id, word, count(*) AS c_gold FROM w GROUP BY doc_id - 1, word),
 tp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pred FROM w GROUP BY doc_id),
@@ -369,23 +380,22 @@ FROM j
 ORACLES["q_set_f1"] = f"""
 WITH pr AS (
   SELECT a.doc_id,
-         list_distinct(string_split(a.text, ' ')) AS p,
-         list_distinct(string_split(b.text, ' ')) AS g_set
+         list_distinct({_norm_toks('a.text')}) AS p,
+         list_distinct({_norm_toks('b.text')}) AS g_set
   FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
 )
 SELECT doc_id, {_set_f1_sql('p', 'g_set')} AS set_f1 FROM pr
 """
 
 
-ORACLES["q_subset_accuracy"] = """
+ORACLES["q_subset_accuracy"] = f"""
 WITH s AS (
   SELECT doc_id,
-         list_distinct(string_split(text, ' ')) AS p,
-         list_distinct(string_split(text, ' ')[1:10]) AS g_set
+         list_distinct({_norm_toks('text')}) AS p,
+         list_distinct({_norm_toks("array_to_string(string_split(text, ' ')[1:10], ' ')")}) AS g_set
   FROM documents
 )
-SELECT doc_id,
-       CAST(len(list_filter(g_set, x -> NOT list_contains(p, x))) = 0 AS INT) AS subset_acc
+SELECT doc_id, {_subset_sql('p', 'g_set')} AS subset_acc
 FROM s
 """
 
@@ -413,9 +423,13 @@ WITH e AS (
   FROM events
 ),
 r AS (
+  -- rank pool excludes the tail (tail rows sort last), and k truncates
+  -- like the reference's int() — mirrors operators/topk.py exactly
   SELECT *,
-         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, pos ASC) AS rn,
-         greatest(0, least(CAST(round(CAST(0.3 AS DOUBLE) * n) AS BIGINT) - 1, n - 2)) AS k
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY CASE WHEN pos >= n - 2 THEN 1 ELSE 0 END ASC,
+                    value DESC, pos ASC) AS rn,
+         greatest(0, least(CAST(floor(CAST(0.3 AS DOUBLE) * n) AS BIGINT) - 1, n - 2)) AS k
   FROM e
 )
 SELECT user_id, pos, event_id,

@@ -192,12 +192,24 @@ WHERE l.l_shipdate >= DATE '1998-01-01' AND l.l_shipdate < DATE '1998-03-01'
 """
 
 
+# Explicit window form rather than DuckDB's native ASOF JOIN: ASOF has
+# NO defined tie-break among right rows sharing the max matching ts,
+# while the Spark operator deterministically takes the largest
+# (ts, view_id) — rank the candidates the same way so duplicate
+# (user_id, ts) view rows cannot produce engine-dependent view_ids.
 ORACLES["q_asof_join"] = """
-SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
-       CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS age_us
-FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
-ASOF LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
-  ON c.user_id = v.user_id AND v.ts <= c.ts
+WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+m AS (
+  SELECT c.user_id, c.event_id AS click_id, c.ts AS cts,
+         v.event_id AS view_id, v.ts AS vts,
+         row_number() OVER (PARTITION BY c.user_id, c.event_id
+                            ORDER BY v.ts DESC, v.event_id DESC) AS rn
+  FROM c JOIN v ON v.user_id = c.user_id AND v.ts <= c.ts
+)
+SELECT c.user_id, c.event_id AS click_id, m.view_id,
+       CAST(epoch_us(c.ts) - epoch_us(m.vts) AS BIGINT) AS age_us
+FROM c LEFT JOIN m ON m.user_id = c.user_id AND m.click_id = c.event_id AND m.rn = 1
 """
 
 
@@ -205,7 +217,7 @@ ASOF LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'vie
 # any event >30 min after its predecessor; session key = min ts in group.
 ORACLES["q_session_window"] = """
 WITH g AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, event_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS new_sess
@@ -213,8 +225,11 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (
+  -- cumsum must visit rows in the SAME (ts, event_id) order that
+  -- assigned the new_sess flags: ordering by value here could put two
+  -- same-timestamp events on opposite sides of a session boundary
   SELECT user_id, ts, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, value
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS sess_id
   FROM g
 )

@@ -9,6 +9,7 @@ from ..functions.text import (
     any_answer_contained,
     exact_match,
     first_line,
+    norm_tokens,
     normalize_question,
     normalize_text,
     substring_match,

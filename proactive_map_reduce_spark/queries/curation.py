@@ -422,7 +422,7 @@ def q_curation_pipeline(spark, sf_dir):
 
     # sentence split inline (split_sentences shape + lang carried through
     # the explode, so the post-rollup pack needs no lang restore-join)
-    marked = F.regexp_replace(F.col("text"), r"([.!?])\s+", "$1" + chunking._SENT_MARK)
+    marked = F.regexp_replace(F.col("text"), "([.!?])[ \t\n\r\f]+", "$1" + chunking._SENT_MARK)
     sents = surv.select(
         "doc_id", "lang",
         F.posexplode(F.split(marked, chunking._SENT_MARK)).alias("sent_pos", "sentence"),
@@ -471,7 +471,7 @@ def q_html_strip(spark, sf_dir):
     )
     stripped = F.regexp_replace(html, "<[^>]+>", " ")
     unescaped = F.regexp_replace(stripped, "&nbsp;", " ")
-    clean = F.trim(F.regexp_replace(unescaped, "\\s+", " "))
+    clean = F.trim(F.regexp_replace(unescaped, "[ \t\n\r\f]+", " "))
     return d.select(
         "doc_id",
         F.length(html).cast("bigint").alias("html_len"),

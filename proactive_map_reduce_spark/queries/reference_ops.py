@@ -200,9 +200,12 @@ def q_flagship(spark, sf_dir):
         "doc_id",
         "lang",
         "n_chunks",
-        set_f1(F.split("final_text", " "), F.split("gt_text", " ")).alias("set_f1"),
+        # the reference tokenizes NORMALIZED answers for every F1/accuracy
+        # (test_proactive.py:111-112) — raw splits deviated on case/
+        # punctuation/articles, identically on both engines
+        set_f1(norm_tokens("final_text"), norm_tokens("gt_text")).alias("set_f1"),
         exact_match(F.col("final_text"), F.col("gt_text")).alias("em"),
-        subset_accuracy(F.split("final_text", " "), F.split("gt_text", " ")).alias("subset_acc"),
+        subset_accuracy(norm_tokens("final_text"), norm_tokens("gt_text")).alias("subset_acc"),
     )
 
 
@@ -293,13 +296,13 @@ def q_best_of_answers(spark, sf_dir):
         F.array_join(F.slice(F.split("text", " "), 1, 10), " ").alias("ans_head"),
     )
     j = pred.join(gt, "doc_id")
-    p = F.split("pred", " ")
+    p = norm_tokens("pred")
     return j.select(
         "doc_id",
         F.greatest(
-            set_f1(p, F.split("ans_same", " ")),
-            set_f1(p, F.split("ans_rev", " ")),
-            set_f1(p, F.split("ans_head", " ")),
+            set_f1(p, norm_tokens("ans_same")),
+            set_f1(p, norm_tokens("ans_rev")),
+            set_f1(p, norm_tokens("ans_head")),
         ).alias("best_f1"),
     )
 
@@ -351,8 +354,14 @@ def q_token_counter_overlap(spark, sf_dir):
     the naive form re-exploded the corpus four times (pred/gold counts
     plus both totals). The duplicated tc subtree shares one identical
     exchange, which AQE reuses at runtime."""
+    from ..sources.tables import ensure_parallelism
+
     d = _docs(spark, sf_dir)
-    words = chunking.split_words(d)
+    # the reference tokenizes normalize_answer(text)
+    # (pipeline_70b_samsum.py:84-85) — count normalized tokens
+    words = ensure_parallelism(d).select(
+        "doc_id", F.explode(norm_tokens("text")).alias("word")
+    )
     tc = words.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
     pred = tc.select("doc_id", "word", F.col("c").alias("c_pred"))
     gold = tc.select(
@@ -392,16 +401,19 @@ def q_set_f1(spark, sf_dir):
     a = d.select("doc_id", F.col("text").alias("pred"))
     b = d.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("gold"))
     return a.join(b, "doc_id").select(
-        "doc_id", set_f1(F.split("pred", " "), F.split("gold", " ")).alias("set_f1")
+        "doc_id", set_f1(norm_tokens("pred"), norm_tokens("gold")).alias("set_f1")
     )
 
 
 def q_subset_accuracy(spark, sf_dir):
     """A7: 1 iff gold token set ⊆ pred token set (test_proactive.py:130-139)."""
     d = _docs(spark, sf_dir)
-    gold = F.slice(F.split("text", " "), 1, 10)
+    # gold = first 10 RAW words re-joined, then both sides normalized —
+    # the reference normalizes at scoring time, not at answer-construction
+    gold = F.array_join(F.slice(F.split("text", " "), 1, 10), " ")
     return d.select(
-        "doc_id", subset_accuracy(F.split("text", " "), gold).alias("subset_acc")
+        "doc_id",
+        subset_accuracy(norm_tokens("text"), norm_tokens(gold)).alias("subset_acc"),
     )
 
 

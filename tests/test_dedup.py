@@ -217,3 +217,43 @@ def test_incremental_lsh_catalog_bucket_cap(spark):
     assert len(out) == 1
     r = out[0]
     assert (r["new_id"], r["dup_of"], r["n_matches"]) == (100, 1, 3)
+
+
+def test_topk_importance_matches_reference_selection(spark):
+    """Pin the reference's exact selection (modeling_llama.py:860-866):
+    k = max(int(n*ratio)-1, 0) TRUNCATED then clamped to n-last_len, and
+    the top-k pool scores only diff[:-last_len] — a high-scoring tail
+    position never displaces a non-tail candidate."""
+    from proactive_map_reduce_spark.operators import topk as topk_ops
+
+    def reference_select(scores, ratio, last_len):
+        n = len(scores)
+        k = max(int(n * ratio) - 1, 0)
+        k = min(n - last_len, k)
+        pool = scores[:-last_len]
+        order = sorted(range(len(pool)), key=lambda i: (-pool[i], i))[:k]
+        return {("topk", i) for i in order} | {
+            ("tail", i) for i in range(n - last_len, n)
+        }
+
+    cases = [
+        # n=5, ratio=0.3: int(1.5)-1 = 0 -> NO topk rows (round() gave 1)
+        ([9.0, 1.0, 8.0, 2.0, 3.0], 0.3, 2),
+        # high-scoring tail: pos 8,9 hold the max scores; reference still
+        # picks the best NON-tail positions
+        ([1, 2, 3, 4, 5, 6, 7, 8, 99, 98], 0.3, 2),
+        ([5.0, 5.0, 5.0, 1.0], 0.5, 1),   # score ties -> index tiebreak
+        ([1.0, 2.0], 0.9, 2),             # all-tail group
+    ]
+    for scores, ratio, last_len in cases:
+        df = spark.createDataFrame(
+            [(1, i, float(s)) for i, s in enumerate(scores)],
+            "g int, pos int, score double",
+        )
+        got = {
+            (r["selected"], r["pos"])
+            for r in topk_ops.topk_importance(
+                df, "g", "pos", "score", ratio, last_len
+            ).collect()
+        }
+        assert got == reference_select(scores, ratio, last_len), (scores, got)

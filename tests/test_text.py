@@ -130,3 +130,43 @@ def test_decode_first_line_strips_leading_newlines(spark):
         for r in mapstage.decode_first_line(df).collect()
     }
     assert got == {1: "Answer: 42", 2: "plain", 3: "  spaced"}
+
+
+def test_normalize_preserves_whitespace_word_boundaries(spark):
+    """The reference's normalize_answer removes only punctuation —
+    newline/tab-separated words must stay separate ('foo\nbar' ->
+    'foo bar', never 'foobar'), and the whitespace class is explicit
+    (never \\s: Java's includes \\x0b, RE2's does not)."""
+    rows = [
+        (0, "foo\nbar"),
+        (1, "foo\tbar"),
+        (2, "The  Cat! sat."),
+        (3, "end. \x0bnext"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", tx.normalize_text("t").alias("n")).collect()
+    }
+    assert got[0] == "foo bar"
+    assert got[1] == "foo bar"
+    assert got[2] == "cat sat"
+    # \x0b is outside the keep-class -> deleted (identically in DuckDB's
+    # RE2 mirror, where \s would NOT have matched it)
+    assert got[3] == "end next"
+
+
+def test_norm_tokens_reference_tokenization(spark):
+    from proactive_map_reduce_spark.functions.text import norm_tokens
+
+    df = spark.createDataFrame(
+        [(0, "The quick  Fox!"), (1, ""), (2, "a an the")],
+        "doc_id long, t string",
+    )
+    got = {
+        r["doc_id"]: r["w"]
+        for r in df.select("doc_id", norm_tokens("t").alias("w")).collect()
+    }
+    assert got[0] == ["quick", "fox"]
+    assert got[1] == []        # empty -> zero tokens (no-answer), not ['']
+    assert got[2] == []        # articles-only normalizes to empty
