@@ -58,6 +58,9 @@ _REWRITTEN = {
     # oracle determinism fixes (session cumsum order, asof tie-break)
     "q_session_window": 4,
     "q_asof_join": 4,
+    # rounding-boundary fixes found by the sf0.1 deep check
+    "q_window_tumbling": 4,   # avg quotient dropped (sum/count exact)
+    "q_resample_ffill": 4,    # boundary-stable round(sum,2)/count mean
 }
 
 

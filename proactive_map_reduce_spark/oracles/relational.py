@@ -76,7 +76,6 @@ GROUP BY r.r_name
 ORACLES["q_window_tumbling"] = """
 SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS hour_bucket,
        event_type,
-       round(avg(value), 6) AS avg_value,
        round(sum(value), 2) AS sum_value,
        CAST(count(*) AS BIGINT) AS n_events
 FROM events
@@ -383,7 +382,8 @@ grid AS (
   FROM b
 ),
 hourly AS (
-  SELECT user_id, date_trunc('hour', ts) AS hour, round(avg(value), 6) AS v
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         round(round(sum(value), 2) / count(*), 6) AS v
   FROM events GROUP BY 1, 2
 ),
 j AS (

@@ -90,14 +90,18 @@ def q_window_tumbling(spark, sf_dir):
     return (
         ev.groupBy(win.alias("w"), "event_type")
         .agg(
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # the mean's exact numerator/denominator, not the quotient:
+            # round(avg, 6) of 2-decimal values lands on exact x.5
+            # boundaries (e.g. 1391.13/32 = 43.4728125) where Spark's and
+            # DuckDB's last-ulp summation/rounding legitimately disagree
+            # — first observed at sf0.1, the same boundary class
+            # q_running_metric documents. sum/count are boundary-free.
             F.round(F.sum("value"), 2).alias("sum_value"),
             F.count("*").cast("bigint").alias("n_events"),
         )
         .select(
             (F.unix_timestamp(F.col("w.start")) / 3600).cast("bigint").alias("hour_bucket"),
             "event_type",
-            "avg_value",
             "sum_value",
             "n_events",
         )
@@ -557,7 +561,15 @@ def q_resample_ffill(spark, sf_dir):
     )
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    ).agg(
+        # boundary-stable mean: round(sum, 2) recovers the EXACT 2-decimal
+        # total (accumulation-order ulps are far smaller than 0.005), so
+        # both engines divide identical doubles and round identical
+        # doubles — round(avg(...)) instead can land on opposite sides of
+        # a 5e-7 boundary per engine (the q_window_tumbling sf0.1 class;
+        # small per-user-hour denominators make halves likely here)
+        F.round(F.round(F.sum("value"), 2) / F.count("*"), 6).alias("v")
+    )
     joined = grid.join(hourly, ["user_id", "hour"], "left")
     w = (
         Window.partitionBy("user_id")
