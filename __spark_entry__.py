@@ -61,6 +61,24 @@ _REWRITTEN = {
     # rounding-boundary fixes found by the sf0.1 deep check
     "q_window_tumbling": 4,   # avg quotient dropped (sum/count exact)
     "q_resample_ffill": 4,    # boundary-stable round(sum,2)/count mean
+    # deterministic-display pass (second sf0.1 deep-gate find): exact
+    # int64 half-up rounding / exact fixed-point accumulation replaces
+    # engine-divergent float round() and order-dependent float sums
+    # (functions/numeric.py). r1-green members of the same pass
+    # (pricing/top/region revenue, ngram jaccard, grid sweep, timing
+    # arith, flatten times) already sort first by staleness.
+    "q_quality_score": 4,
+    "q_quality_topn_per_lang": 4,
+    "q_event_interarrival": 4,
+    "q_sentence_dedup": 4,
+    "q_repetition_signals": 4,
+    "q_vocab_oov": 4,
+    "q_salted_join": 4,
+    "q_promo_revenue": 4,
+    "q_ship_priority": 4,
+    "q_local_supplier_volume": 4,
+    "q_top_revenue": 4,  # r1-green but changed — must precede unchanged r1 rows
+    "q_timing_arith": 4,  # same
 }
 
 

@@ -27,6 +27,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .numeric import round6_ratio
+
 
 # --- built-in array algebra (SQL-checkable) ---------------------------------
 
@@ -37,15 +39,15 @@ def set_f1(pred_words: Column, gold_words: Column) -> Column:
     F1 is 1 when they agree (both empty) and 0 otherwise."""
     p = F.array_distinct(pred_words)
     g = F.array_distinct(gold_words)
-    inter = F.size(F.array_intersect(p, g)).cast("double")
-    prec = inter / F.size(p)
-    rec = inter / F.size(g)
+    inter = F.size(F.array_intersect(p, g))
     both_empty = ((F.size(p) == 0) & (F.size(g) == 0)).cast("double")
-    return F.round(
+    # F1 = 2pr/(p+r) = 2·|∩|/(|p|+|g|): the exact integer ratio, rounded
+    # half-up in exact int64 (functions/numeric.py) — float round(x, 6)
+    # splits across engines on 7-decimal-exact quotients like 2i/128.
+    return (
         F.when((F.size(p) == 0) | (F.size(g) == 0), both_empty)
         .when(inter == 0, F.lit(0.0))
-        .otherwise(2 * prec * rec / (prec + rec)),
-        6,
+        .otherwise(round6_ratio(2 * inter, F.size(p) + F.size(g)))
     )
 
 

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64
+from ..functions.numeric import round6_ratio
 from ..functions.text import normalize_text
 
 # Universal-hash family for MinHash: h_j(x) = (a_j·x + b_j) mod p over the
@@ -399,8 +400,11 @@ def jaccard_pairs(
             .select(
                 "doc_a",
                 "doc_b",
-                F.round(
-                    inter / (F.size("sh_a") + F.size("sh_b") - inter), 6
+                # exact-int half-up round: union size can reduce to a
+                # 2^7·5^t denominator where float round(x, 6) splits
+                # engines (functions/numeric.py)
+                round6_ratio(
+                    inter, F.size("sh_a") + F.size("sh_b") - inter
                 ).alias("jaccard"),
             )
         )
@@ -423,8 +427,8 @@ def jaccard_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
+            round6_ratio(
+                F.col("n_inter"), F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
             ).alias("jaccard"),
         )
     )
@@ -571,5 +575,6 @@ def sentence_dedup(
     return flagged.groupBy(id_col).agg(
         F.count("*").cast("bigint").alias("n_sents"),
         F.sum("is_first").cast("bigint").alias("n_kept"),
-        F.round(F.sum("is_first") / F.count("*"), 6).alias("keep_frac"),
+        # exact-int half-up round (functions/numeric.py)
+        round6_ratio(F.sum("is_first"), F.count("*")).alias("keep_frac"),
     )

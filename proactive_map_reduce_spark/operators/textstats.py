@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64
+from ..functions.numeric import round6_ratio
 from ..functions.text import normalize_text
 
 # marker stopwords per language (deterministic heuristic, not a model)
@@ -65,20 +66,27 @@ def quality_features(
     """
     ws = F.split(F.col(text_col), " ")
     n_words = F.size(ws)
-    avg_word_len = (F.length(F.col(text_col)) - (n_words - 1)) / n_words
-    stop_ratio = _count_in(ws, STOPWORDS) / n_words
-    distinct_ratio = F.size(F.array_distinct(ws)) / n_words
-    length_score = F.least(n_words / F.lit(100.0), F.lit(1.0))
-    score = (
-        F.lit(0.4) * length_score + F.lit(0.3) * stop_ratio + F.lit(0.3) * distinct_ratio
+    n_chars = F.length(F.col(text_col)) - (n_words - 1)
+    n_stop = _count_in(ws, STOPWORDS)
+    n_distinct = F.size(F.array_distinct(ws))
+    # composite = 0.4·min(n,100)/100 + 0.3·stop/n + 0.3·distinct/n, as the
+    # exact integer ratio (4·min(n,100)·n + 300·stop + 300·distinct)/1000n.
+    # All four display columns round via exact int64 half-up
+    # (functions/numeric.py) — float round(x, 6) is engine-divergent on
+    # 7-decimal-exact quotients like 27484/64000 (sf0.1 deep-gate find).
+    nw = n_words.cast("bigint")  # bigint arithmetic: no int32 overflow on long docs
+    score_num = (
+        4 * F.least(nw, F.lit(100)) * nw
+        + 300 * n_stop.cast("bigint")
+        + 300 * n_distinct.cast("bigint")
     )
     return df.select(
         *keep_cols,
-        n_words.cast("bigint").alias("n_words"),
-        F.round(avg_word_len, 6).alias("avg_word_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(distinct_ratio, 6).alias("distinct_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        nw.alias("n_words"),
+        round6_ratio(n_chars, n_words).alias("avg_word_len"),
+        round6_ratio(n_stop, n_words).alias("stopword_ratio"),
+        round6_ratio(n_distinct, n_words).alias("distinct_ratio"),
+        round6_ratio(score_num, 1000 * nw).alias("quality_score"),
     )
 
 
@@ -164,18 +172,17 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         "n_bigrams",
         "n_trigrams",
-        F.round(
-            F.when(
-                F.col("n_bigrams") > 0, F.col("top2") / F.col("n_bigrams")
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("top_bigram_frac"),
-        F.round(
-            F.when(
-                F.col("n_trigrams") > 0, F.col("dup3") / F.col("n_trigrams")
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("dup_trigram_frac"),
+        # exact-int half-up rounds (functions/numeric.py)
+        F.when(
+            F.col("n_bigrams") > 0, round6_ratio(F.col("top2"), F.col("n_bigrams"))
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+        F.when(
+            F.col("n_trigrams") > 0, round6_ratio(F.col("dup3"), F.col("n_trigrams"))
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
     )
 
 

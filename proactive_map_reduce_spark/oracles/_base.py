@@ -9,6 +9,11 @@ from ..queries import (
     RATIO_INC,
     RATIO_LOW,
 )
+from ..functions.numeric import (  # noqa: E402
+    fixed_units_sql,
+    round_ratio_sql,
+    round6_ratio_sql,
+)
 from ..operators.dedup import MINHASH_A, MINHASH_B, MINHASH_PRIME  # noqa: E402
 from ..operators.dedup import LSH_MAX_BUCKET  # noqa: E402
 
@@ -111,13 +116,13 @@ def _set_f1_sql(p: str, g: str) -> str:
     lists), including the reference no-answer rule: an empty side scores
     1 only when both are empty (test_proactive.py:115-117)."""
     inter = f"len(list_intersect({p}, {g}))"
-    prec = f"({inter} / CAST(len({p}) AS DOUBLE))"
-    rec = f"({inter} / CAST(len({g}) AS DOUBLE))"
+    # 2pr/(p+r) = 2·|∩|/(|p|+|g|): exact-int half-up round, mirroring
+    # functions.scoring.set_f1 (float round(x, 6) is engine-divergent)
     return (
         f"CASE WHEN len({p}) = 0 OR len({g}) = 0 "
         f"THEN CAST(len({p}) = 0 AND len({g}) = 0 AS DOUBLE) "
         f"WHEN {inter} = 0 THEN 0.0 "
-        f"ELSE round(2.0 * {prec} * {rec} / ({prec} + {rec}), 6) END"
+        f"ELSE {round6_ratio_sql(f'2 * {inter}', f'len({p}) + len({g})')} END"
     )
 
 
@@ -253,8 +258,8 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT c.doc_a, c.doc_b,
-       round(coalesce(i.n_inter, 0)
-             / CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0) AS DOUBLE), 6) AS jaccard
+       {round6_ratio_sql('coalesce(i.n_inter, 0)', 'sa.sz + sb.sz - coalesce(i.n_inter, 0)')}
+         AS jaccard
 FROM {pairs} c
 LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
 JOIN sizes sa ON sa.doc_id = c.doc_a

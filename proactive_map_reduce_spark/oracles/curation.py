@@ -1,5 +1,6 @@
 """Corpus-curation oracles (dedup, text analysis, curation pipeline)."""
 
+from ..functions.numeric import round6_ratio_sql as _r6
 from ._base import *  # noqa: F401,F403
 from ._base import (  # noqa: F401
     ORACLES,
@@ -73,8 +74,8 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT c.doc_a, c.doc_b, c.n_sig_match,
-       round(coalesce(i.n_inter, 0)
-             / CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0) AS DOUBLE), 6) AS jaccard
+       {_r6('coalesce(i.n_inter, 0)', 'sa.sz + sb.sz - coalesce(i.n_inter, 0)')}
+         AS jaccard
 FROM conf c
 LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
 JOIN sizes sa ON sa.doc_id = c.doc_a
@@ -175,28 +176,29 @@ FROM c
 """
 
 
-ORACLES["q_quality_score"] = """
+# Integer numerators; the 6-dp display round happens in exact int64
+# (functions/numeric.py round6_ratio_sql) — float round(x, 6) splits
+# across engines on 7-decimal-exact quotients.
+ORACLES["q_quality_score"] = f"""
 WITH f AS (
   SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
 ),
 r AS (
   SELECT doc_id,
     len(ws) AS n,
-    (length(text) - (len(ws) - 1)) / CAST(len(ws) AS DOUBLE) AS awl,
+    length(text) - (len(ws) - 1) AS n_chars,
     len(list_filter(ws, x -> list_contains(
-      ['the','a','an','of','to','and','in','is','it','for'], x)))
-      / CAST(len(ws) AS DOUBLE) AS sr,
-    len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE) AS dr,
-    least(len(ws) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) AS ls
+      ['the','a','an','of','to','and','in','is','it','for'], x))) AS n_stop,
+    len(list_distinct(ws)) AS n_distinct
   FROM f
 )
 SELECT doc_id,
   CAST(n AS BIGINT) AS n_words,
-  round(awl, 6) AS avg_word_len,
-  round(sr, 6) AS stopword_ratio,
-  round(dr, 6) AS distinct_ratio,
-  round(CAST(0.4 AS DOUBLE) * ls + CAST(0.3 AS DOUBLE) * sr
-        + CAST(0.3 AS DOUBLE) * dr, 6) AS quality_score
+  {_r6('n_chars', 'n')} AS avg_word_len,
+  {_r6('n_stop', 'n')} AS stopword_ratio,
+  {_r6('n_distinct', 'n')} AS distinct_ratio,
+  {_r6('4 * least(n, 100) * n + 300 * n_stop + 300 * n_distinct', '1000 * n')}
+    AS quality_score
 FROM r
 """
 
@@ -274,7 +276,7 @@ FROM reach GROUP BY src
 # Gopher-style repetition signals: k-gram lists built with 1-based
 # inclusive slices (ws[i+1 : i+k] = k words), mirroring Spark's
 # slice(ws, i+1, k).
-ORACLES["q_repetition_signals"] = """
+ORACLES["q_repetition_signals"] = f"""
 WITH g AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ),
@@ -293,15 +295,12 @@ r AS (
 SELECT doc_id,
   CAST(len(g2) AS BIGINT) AS n_bigrams,
   CAST(len(g3) AS BIGINT) AS n_trigrams,
-  round(CASE WHEN len(g2) > 0 THEN
-    list_max(list_transform(list_distinct(g2),
-                            d -> len(list_filter(g2, x -> x = d))))
-      / CAST(len(g2) AS DOUBLE)
-    ELSE 0.0 END, 6) AS top_bigram_frac,
-  round(CASE WHEN len(g3) > 0 THEN
-    len(list_filter(g3, y -> len(list_filter(g3, x -> x = y)) > 1))
-      / CAST(len(g3) AS DOUBLE)
-    ELSE 0.0 END, 6) AS dup_trigram_frac
+  CASE WHEN len(g2) > 0 THEN
+    {_r6('list_max(list_transform(list_distinct(g2), d -> len(list_filter(g2, x -> x = d))))', 'len(g2)')}
+    ELSE 0.0 END AS top_bigram_frac,
+  CASE WHEN len(g3) > 0 THEN
+    {_r6('len(list_filter(g3, y -> len(list_filter(g3, x -> x = y)) > 1))', 'len(g3)')}
+    ELSE 0.0 END AS dup_trigram_frac
 FROM r
 """
 
@@ -375,7 +374,7 @@ FROM d WHERE NOT (list_contains(ws, 'error') OR list_contains(ws, 'slow'))
 """
 
 
-ORACLES["q_sentence_dedup"] = """
+ORACLES["q_sentence_dedup"] = f"""
 WITH s AS (
   SELECT doc_id, t.i - 1 AS sent_pos, d.ss[t.i] AS sentence
   FROM (SELECT doc_id,
@@ -400,7 +399,7 @@ f AS (
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents,
        CAST(sum(is_first) AS BIGINT) AS n_kept,
-       round(sum(is_first) / CAST(count(*) AS DOUBLE), 6) AS keep_frac
+       {_r6('sum(is_first)', 'count(*)')} AS keep_frac
 FROM f GROUP BY doc_id
 """
 
@@ -494,13 +493,12 @@ ORACLES["q_curation_pipeline"] = f"""
 WITH gated AS (
   SELECT doc_id, lang, text FROM (
     SELECT doc_id, lang, text,
-      round(CAST(0.4 AS DOUBLE) * least(len(string_split(text, ' '))
-                / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
-          + CAST(0.3 AS DOUBLE) * (len(list_filter(string_split(text, ' '),
-                x -> list_contains(['the','a','an','of','to','and','in','is','it','for'], x)))
-                / CAST(len(string_split(text, ' ')) AS DOUBLE))
-          + CAST(0.3 AS DOUBLE) * (len(list_distinct(string_split(text, ' ')))
-                / CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS q
+      {_r6('4 * least(len(string_split(text, chr(32))), 100)'
+           '  * len(string_split(text, chr(32)))'
+           '+ 300 * len(list_filter(string_split(text, chr(32)),'
+           "      x -> list_contains(['the','a','an','of','to','and','in','is','it','for'], x)))"
+           '+ 300 * len(list_distinct(string_split(text, chr(32))))',
+           '1000 * len(string_split(text, chr(32)))')} AS q
     FROM documents)
   WHERE q >= 0.40
 ),
@@ -515,8 +513,8 @@ inter AS (
 ),
 jacc AS (
   SELECT c.doc_a, c.doc_b,
-         round(coalesce(i.n_inter, 0)
-               / CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0) AS DOUBLE), 6) AS jaccard
+         {_r6('coalesce(i.n_inter, 0)', 'sa.sz + sb.sz - coalesce(i.n_inter, 0)')}
+           AS jaccard
   FROM cand c
   LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
   JOIN sizes sa ON sa.doc_id = c.doc_a
@@ -646,12 +644,12 @@ WITH k AS (
 SELECT source, target_pct,
        CAST(count(*) AS BIGINT) AS n_total,
        CAST(sum(keep) AS BIGINT) AS n_kept,
-       round(sum(keep) / CAST(count(*) AS DOUBLE), 6) AS realized_frac
+       {_r6('sum(keep)', 'count(*)')} AS realized_frac
 FROM k GROUP BY source, target_pct
 """
 
 
-ORACLES["q_vocab_oov"] = """
+ORACLES["q_vocab_oov"] = f"""
 WITH w AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
 ),
@@ -664,7 +662,7 @@ j AS (
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_words,
        CAST(sum(oov) AS BIGINT) AS n_oov,
-       round(sum(oov) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+       {_r6('sum(oov)', 'count(*)')} AS oov_rate
 FROM j GROUP BY doc_id
 """
 
@@ -691,23 +689,22 @@ FROM s
 """
 
 
-ORACLES["q_quality_topn_per_lang"] = """
+ORACLES["q_quality_topn_per_lang"] = f"""
 WITH f AS (
   SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents
 ),
 r AS (
   SELECT doc_id, lang,
+    len(ws) AS n,
     len(list_filter(ws, x -> list_contains(
-      ['the','a','an','of','to','and','in','is','it','for'], x)))
-      / CAST(len(ws) AS DOUBLE) AS sr,
-    len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE) AS dr,
-    least(len(ws) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) AS ls
+      ['the','a','an','of','to','and','in','is','it','for'], x))) AS n_stop,
+    len(list_distinct(ws)) AS n_distinct
   FROM f
 ),
 scored AS (
   SELECT doc_id, lang,
-         round(CAST(0.4 AS DOUBLE) * ls + CAST(0.3 AS DOUBLE) * sr
-               + CAST(0.3 AS DOUBLE) * dr, 6) AS quality_score
+    {_r6('4 * least(n, 100) * n + 300 * n_stop + 300 * n_distinct', '1000 * n')}
+      AS quality_score
   FROM r
 ),
 ranked AS (

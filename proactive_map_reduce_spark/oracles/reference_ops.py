@@ -1,6 +1,8 @@
 """Reference-parity oracles (scans, chunking, map/reduce, aggregations,
 scalar functions, BLEU/ROUGE, flagship)."""
 
+from ..functions.numeric import fixed_units_sql as _fu
+from ..functions.numeric import round6_ratio_sql as _r6
 from ._base import *  # noqa: F401,F403
 from ._base import (  # noqa: F401
     ORACLES,
@@ -273,10 +275,10 @@ FROM a
 """
 
 
-ORACLES["q_timing_arith"] = """
+ORACLES["q_timing_arith"] = f"""
 SELECT doc_id,
        round(n_chars / CAST(100.0 AS DOUBLE), 6) AS decode_time,
-       round(len(string_split(text, ' ')) / (n_chars / CAST(100.0 AS DOUBLE)), 6) AS decoding_speed
+       {_r6("100 * len(string_split(text, ' '))", 'n_chars')} AS decoding_speed
 FROM documents
 """
 
@@ -290,7 +292,9 @@ FROM documents, UNNEST(generate_series(0, 3)) AS t(layer)
 
 ORACLES["q_metrics_avg"] = f"""
 WITH {_FLAGSHIP_CTES}
-SELECT lang, round(avg(set_f1), 6) AS avg_f1, round(avg(em), 6) AS em_rate,
+SELECT lang,
+       sum({_fu('set_f1', 6)}) / CAST(count(set_f1) AS DOUBLE) / 1e6 AS avg_f1,
+       {_r6('sum(em)', 'count(em)')} AS em_rate,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM flagship GROUP BY lang
 """
@@ -330,7 +334,9 @@ u AS (
   UNION ALL
   SELECT 'baseline' AS run, doc_id, CAST(1.0 AS DOUBLE) AS f1 FROM documents
 )
-SELECT run, round(avg(f1), 6) AS avg_f1, CAST(count(*) AS BIGINT) AS n_rows
+SELECT run,
+       sum({_fu('f1', 6)}) / CAST(count(f1) AS DOUBLE) / 1e6 AS avg_f1,
+       CAST(count(*) AS BIGINT) AS n_rows
 FROM u GROUP BY run
 """
 
@@ -338,7 +344,8 @@ FROM u GROUP BY run
 ORACLES["q_flatten_nested_times"] = f"""
 WITH {_WORDS}, {_CHUNKS}
 SELECT d.lang,
-       round(avg(round(c.n_words / CAST(4.1 AS DOUBLE), 6)), 6) AS avg_prefill,
+       sum({_fu('round(c.n_words / CAST(4.1 AS DOUBLE), 6)', 6)})
+         / CAST(count(*) AS DOUBLE) / 1e6 AS avg_prefill,
        CAST(count(*) AS BIGINT) AS n_times
 FROM chunks c JOIN documents d USING (doc_id)
 GROUP BY d.lang
@@ -367,12 +374,10 @@ j AS (
   FROM tp JOIN tg USING (doc_id) LEFT JOIN ov USING (doc_id)
 )
 SELECT doc_id,
-       round(n_same / CAST(n_pred AS DOUBLE), 6) AS precision,
-       round(n_same / CAST(n_gold AS DOUBLE), 6) AS recall,
-       round(CASE WHEN n_same = 0 THEN CAST(0.0 AS DOUBLE)
-                  ELSE 2.0 * (n_same / CAST(n_pred AS DOUBLE)) * (n_same / CAST(n_gold AS DOUBLE))
-                       / ((n_same / CAST(n_pred AS DOUBLE)) + (n_same / CAST(n_gold AS DOUBLE)))
-             END, 6) AS f1
+       {_r6('n_same', 'n_pred')} AS precision,
+       {_r6('n_same', 'n_gold')} AS recall,
+       CASE WHEN n_same = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE {_r6('2 * n_same', 'n_pred + n_gold')} END AS f1
 FROM j
 """
 
@@ -400,7 +405,7 @@ FROM s
 """
 
 
-ORACLES["q_grid_sweep"] = """
+ORACLES["q_grid_sweep"] = f"""
 WITH params AS (
   SELECT CAST(r.ratio AS DOUBLE) AS ratio, CAST(l.check_layer AS INT) AS check_layer
   FROM (VALUES (0.2), (0.5), (0.8)) r(ratio)
@@ -408,7 +413,8 @@ WITH params AS (
 ),
 d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents)
 SELECT p.ratio, p.check_layer,
-       round(avg(round(p.ratio * d.n_words)), 6) AS avg_selected,
+       {_r6('sum(CAST(round(p.ratio * d.n_words) AS BIGINT))', 'count(*)')}
+         AS avg_selected,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM params p CROSS JOIN d
 GROUP BY p.ratio, p.check_layer
@@ -590,10 +596,8 @@ lcs AS (
   GROUP BY l.doc_id, l.lp, l.lg
 )
 SELECT doc_id, lcs, len_p, len_g,
-       round(CASE WHEN lcs = 0 THEN 0.0
-                  ELSE 2.0 * (lcs / CAST(len_p AS DOUBLE)) * (lcs / CAST(len_g AS DOUBLE))
-                       / ((lcs / CAST(len_p AS DOUBLE)) + (lcs / CAST(len_g AS DOUBLE))) END,
-             6) AS rouge_l
+       CASE WHEN lcs = 0 THEN 0.0
+            ELSE {_r6('2 * lcs', 'len_p + len_g')} END AS rouge_l
 FROM lcs
 """
 

@@ -1,5 +1,8 @@
 """Relational-substrate oracles (TPC-H-style and event windowing)."""
 
+from ..functions.numeric import fixed_units_sql as _fu
+from ..functions.numeric import rescale_units_sql as _ru
+from ..functions.numeric import round_ratio_sql as _rr
 from ._base import *  # noqa: F401,F403
 from ._base import (  # noqa: F401
     ORACLES,
@@ -33,14 +36,16 @@ from ._base import (  # noqa: F401
     _shingles_from,
 )
 
-ORACLES["q_pricing_summary"] = """
+# Exact-decimal accumulation, mirroring the engine (functions/numeric.py):
+# money sums as integer cents / 1e-4 rev-units, quantities as exact ints.
+ORACLES["q_pricing_summary"] = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       sum(CAST(l_quantity AS BIGINT)) / 1.0 AS sum_qty,
+       sum({_fu('l_extendedprice', 2)}) / 100.0 AS sum_base_price,
+       {_ru("sum(" + _fu('l_extendedprice * (1 - l_discount)', 4) + ")", 4, 2)} AS sum_disc_price,
+       {_rr('sum(CAST(l_quantity AS BIGINT))', 'count(*)', 6)} AS avg_qty,
+       sum({_fu('l_extendedprice', 2)}) / CAST(count(*) AS DOUBLE) / 100.0 AS avg_price,
+       {_rr(f"sum({_fu('l_discount', 2)})", '100 * count(*)', 6)} AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-06-30'
@@ -48,9 +53,9 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-ORACLES["q_top_revenue"] = """
+ORACLES["q_top_revenue"] = f"""
 SELECT o.o_orderkey, o.o_orderpriority,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       {_ru("sum(" + _fu('l.l_extendedprice * (1 - l.l_discount)', 4) + ")", 4, 2)} AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -61,9 +66,9 @@ LIMIT 10
 """
 
 
-ORACLES["q_region_revenue"] = """
+ORACLES["q_region_revenue"] = f"""
 SELECT r.r_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       {_ru("sum(" + _fu('l.l_extendedprice * (1 - l.l_discount)', 4) + ")", 4, 2)} AS revenue,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -161,9 +166,9 @@ FROM events GROUP BY event_type
 """
 
 
-ORACLES["q_salted_join"] = """
+ORACLES["q_salted_join"] = f"""
 SELECT s.s_nationkey,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       {_ru("sum(" + _fu('l.l_extendedprice * (1 - l.l_discount)', 4) + ")", 4, 2)} AS revenue,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
 GROUP BY s.s_nationkey
@@ -180,11 +185,11 @@ GROUP BY ROLLUP (event_type, date_trunc('day', ts))
 """
 
 
-ORACLES["q_promo_revenue"] = """
-SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
-                              THEN l.l_extendedprice * (1 - l.l_discount)
-                              ELSE 0.0 END)
-             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_share,
+ORACLES["q_promo_revenue"] = f"""
+SELECT (CAST(100.0 AS DOUBLE) * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                   THEN {_fu('l.l_extendedprice * (1 - l.l_discount)', 4)}
+                   ELSE CAST(0 AS BIGINT) END))
+         / sum({_fu('l.l_extendedprice * (1 - l.l_discount)', 4)}) AS promo_share,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= DATE '1998-01-01' AND l.l_shipdate < DATE '1998-03-01'
@@ -292,9 +297,9 @@ GROUP BY user_id
 """
 
 
-ORACLES["q_ship_priority"] = """
+ORACLES["q_ship_priority"] = f"""
 SELECT o.o_orderkey, o.o_orderpriority,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       {_ru("sum(" + _fu('l.l_extendedprice * (1 - l.l_discount)', 4) + ")", 4, 2)} AS revenue
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -325,9 +330,9 @@ FROM ranked WHERE rank <= 3
 """
 
 
-ORACLES["q_local_supplier_volume"] = """
+ORACLES["q_local_supplier_volume"] = f"""
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {_ru("sum(" + _fu('l_extendedprice * (1 - l_discount)', 4) + ")", 4, 2)} AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -355,7 +360,10 @@ WITH g AS (
   FROM events
 )
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
-       round(sum(gap_us) / CAST(count(*) AS DOUBLE) / 1e6, 6) AS mean_gap_s,
+       -- unrounded on purpose: identical exact-int operands through the
+       -- same IEEE divisions are bit-identical cross-engine; round() is
+       -- not (see functions/numeric.py)
+       sum(gap_us) / CAST(count(*) AS DOUBLE) / 1e6 AS mean_gap_s,
        CAST(max(gap_us) AS BIGINT) AS max_gap_us,
        CAST(sum(CASE WHEN gap_us < 60000000 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_bursts

@@ -4,6 +4,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from ..functions.hashing import portable_hash64, token_id
+from ..functions.numeric import (
+    fixed_units,
+    rescale_units,
+    round_ratio,
+    round6_ratio,
+)
 from ..functions.scoring import bleu_udf, rouge_l_udf, set_f1, subset_accuracy
 from ..functions.text import (
     any_answer_contained,

@@ -73,7 +73,8 @@ def q_dedup_minhash_confirmed(spark, sf_dir):
             "doc_a",
             "doc_b",
             "n_sig_match",
-            F.round(inter / (F.size("sh_a") + F.size("sh_b") - inter), 6).alias(
+            # exact-int half-up round — see operators/dedup.jaccard_pairs
+            round6_ratio(inter, F.size("sh_a") + F.size("sh_b") - inter).alias(
                 "jaccard"
             ),
         )
@@ -574,7 +575,8 @@ def q_corpus_mix(spark, sf_dir):
     return kept.groupBy("source", "target_pct").agg(
         F.count("*").cast("bigint").alias("n_total"),
         F.sum("keep").cast("bigint").alias("n_kept"),
-        F.round(F.sum("keep") / F.count("*"), 6).alias("realized_frac"),
+        # exact-int half-up round (functions/numeric.py)
+        round6_ratio(F.sum("keep"), F.count("*")).alias("realized_frac"),
     )
 
 
@@ -606,8 +608,9 @@ def q_vocab_oov(spark, sf_dir):
         F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("n_oov"),
-        F.round(
-            F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0)) / F.count("*"), 6
+        # exact-int half-up round (functions/numeric.py)
+        round6_ratio(
+            F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0)), F.count("*")
         ).alias("oov_rate"),
     )
 

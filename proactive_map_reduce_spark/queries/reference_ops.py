@@ -256,8 +256,12 @@ def q_timing_arith(spark, sf_dir):
     decode_time = F.col("n_chars") / 100.0
     return d.select(
         "doc_id",
+        # n_chars/100 is an exact 2-dp value — round(x, 6) is a no-op on
+        # its shortest repr, safe in both engines
         F.round(decode_time, 6).alias("decode_time"),
-        F.round(n_words / decode_time, 6).alias("decoding_speed"),
+        # w/(c/100) = 100w/c: exact int ratio (c can reduce to a 2^7·5^t
+        # denominator → live round() boundary; functions/numeric.py)
+        round6_ratio(100 * n_words, F.col("n_chars")).alias("decoding_speed"),
     )
 
 
@@ -276,9 +280,17 @@ def q_hash_key(spark, sf_dir):
 def q_metrics_avg(spark, sf_dir):
     """A1: aggregate means of the flagship per-doc metrics, by language."""
     scored = q_flagship(spark, sf_dir)
+    # Exact accumulation: f1 values are 6-dp multiples, so sum their
+    # micro-units as int64 (associative → engine- AND partitioning-
+    # deterministic, unlike a float sum) and emit the unrounded quotient
+    # of identical exact operands; em is 0/1 so the rate is an exact int
+    # ratio (float round(avg) splits engines on boundary quotients like
+    # odd/2e6 — functions/numeric.py).
     return scored.groupBy("lang").agg(
-        F.round(F.avg("set_f1"), 6).alias("avg_f1"),
-        F.round(F.avg("em"), 6).alias("em_rate"),
+        (F.sum(fixed_units(F.col("set_f1"), 6)) / F.count("set_f1") / F.lit(1e6)).alias(
+            "avg_f1"
+        ),
+        round6_ratio(F.sum("em"), F.count("em")).alias("em_rate"),
         F.count("*").cast("bigint").alias("n_docs"),
     )
 
@@ -320,8 +332,11 @@ def q_union_outputs(spark, sf_dir):
 
 def q_mean_over_files(spark, sf_dir):
     """A3: np.mean over each result file (compute_scores.py:56-59)."""
+    # micro-unit int sum of the 6-dp f1 values — see q_metrics_avg
     return q_union_outputs(spark, sf_dir).groupBy("run").agg(
-        F.round(F.avg("f1"), 6).alias("avg_f1"),
+        (F.sum(fixed_units(F.col("f1"), 6)) / F.count("f1") / F.lit(1e6)).alias(
+            "avg_f1"
+        ),
         F.count("*").cast("bigint").alias("n_rows"),
     )
 
@@ -340,7 +355,13 @@ def q_flatten_nested_times(spark, sf_dir):
         nested.join(docs, "doc_id")
         .select("lang", F.explode("prefill_times").alias("t"))
         .groupBy("lang")
-        .agg(F.round(F.avg("t"), 6).alias("avg_prefill"), F.count("*").cast("bigint").alias("n_times"))
+        # micro-unit int sum of the 6-dp prefill times — see q_metrics_avg
+        .agg(
+            (F.sum(fixed_units(F.col("t"), 6)) / F.count("t") / F.lit(1e6)).alias(
+                "avg_prefill"
+            ),
+            F.count("*").cast("bigint").alias("n_times"),
+        )
     )
 
 
@@ -383,15 +404,16 @@ def q_token_counter_overlap(spark, sf_dir):
         .filter((F.col("n_pred") > 0) & (F.col("n_gold") > 0))
     )
     j = per_doc
-    prec = F.col("n_same") / F.col("n_pred")
-    rec = F.col("n_same") / F.col("n_gold")
+    # exact int ratios (2pr/(p+r) = 2s/(np+ng)) with int64 half-up
+    # rounding — float round(x, 6) is engine-divergent on boundary
+    # quotients (functions/numeric.py)
     return j.select(
         "doc_id",
-        F.round(prec, 6).alias("precision"),
-        F.round(rec, 6).alias("recall"),
-        F.round(
-            F.when(F.col("n_same") == 0, F.lit(0.0)).otherwise(2 * prec * rec / (prec + rec)), 6
-        ).alias("f1"),
+        round6_ratio(F.col("n_same"), F.col("n_pred")).alias("precision"),
+        round6_ratio(F.col("n_same"), F.col("n_gold")).alias("recall"),
+        F.when(F.col("n_same") == 0, F.lit(0.0))
+        .otherwise(round6_ratio(2 * F.col("n_same"), F.col("n_pred") + F.col("n_gold")))
+        .alias("f1"),
     )
 
 
@@ -431,8 +453,14 @@ def q_grid_sweep(spark, sf_dir):
     )
     grid = ratios.crossJoin(layers)
     cells = grid.crossJoin(docs)
+    # inner round() lands mid-integer only at exact halves where both
+    # engines agree (half-up == half-away for positives); the MEAN is an
+    # exact int ratio → int64 half-up (functions/numeric.py)
     return cells.groupBy("ratio", "check_layer").agg(
-        F.round(F.avg(F.round(F.col("ratio") * F.col("n_words"))), 6).alias("avg_selected"),
+        round6_ratio(
+            F.sum(F.round(F.col("ratio") * F.col("n_words")).cast("bigint")),
+            F.count("*"),
+        ).alias("avg_selected"),
         F.count("*").cast("bigint").alias("n_docs"),
     )
 
@@ -544,19 +572,16 @@ def q_rouge(spark, sf_dir):
         .cast("bigint")
         .alias("len_g"),
     )
-    prec = F.col("lcs") / F.col("len_p").cast("double")
-    rec = F.col("lcs") / F.col("len_g").cast("double")
     return staged.select(
         "doc_id",
         "lcs",
         "len_p",
         "len_g",
-        F.round(
-            F.when(F.col("lcs") == 0, F.lit(0.0)).otherwise(
-                2.0 * prec * rec / (prec + rec)
-            ),
-            6,
-        ).alias("rouge_l"),
+        # 2pr/(p+r) = 2·lcs/(len_p+len_g): exact int ratio, int64
+        # half-up round (functions/numeric.py)
+        F.when(F.col("lcs") == 0, F.lit(0.0))
+        .otherwise(round6_ratio(2 * F.col("lcs"), F.col("len_p") + F.col("len_g")))
+        .alias("rouge_l"),
     )
 
 

@@ -20,17 +20,31 @@ def q_pricing_summary(spark, sf_dir):
     Scale: single scan + partial-agg shuffle on a low-cardinality key;
     filter pushed to parquet; no joins."""
     li = load_table(spark, sf_dir, "lineitem")
+    # Exact-decimal accumulation (functions/numeric.py): money and
+    # discount columns sum as integer cents / 1e-4 rev-units (bigint,
+    # associative → engine- and partitioning-deterministic); a float sum
+    # is order-dependent, and round() of the engines' ulp-apart sums
+    # splits when the true sum lands on a boundary (a 4-decimal revenue
+    # group sum IS exactly x.xx50 ~1% of the time). Quantities are
+    # integers, so their sum is already exact.
+    rev_u = F.sum(fixed_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+    price_c = F.sum(fixed_units(F.col("l_extendedprice"), 2))
+    disc_c = F.sum(fixed_units(F.col("l_discount"), 2))
+    qty = F.sum(F.col("l_quantity").cast("bigint"))
+    n = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= "2001-06-30")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count("*").cast("bigint").alias("count_order"),
+            (qty / F.lit(1.0)).alias("sum_qty"),
+            (price_c / F.lit(100.0)).alias("sum_base_price"),
+            rescale_units(rev_u, 4, 2).alias("sum_disc_price"),
+            round_ratio(qty, n, 6).alias("avg_qty"),
+            # cents sum too large for the exact round trick at scale —
+            # unrounded quotient of identical exact operands instead
+            (price_c / n / F.lit(100.0)).alias("avg_price"),
+            round_ratio(disc_c, 100 * n, 6).alias("avg_disc"),
+            n.cast("bigint").alias("count_order"),
         )
     )
 
@@ -54,7 +68,18 @@ def q_top_revenue(spark, sf_dir):
     )
     return (
         j.groupBy("o_orderkey", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        # exact 1e-4-unit int sum, half-up to cents (functions/numeric.py)
+        .agg(
+            rescale_units(
+                F.sum(
+                    fixed_units(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                    )
+                ),
+                4,
+                2,
+            ).alias("revenue")
+        )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
@@ -75,8 +100,17 @@ def q_region_revenue(spark, sf_dir):
     return (
         li.join(dims, li.l_suppkey == dims.s_suppkey)
         .groupBy("r_name")
+        # exact 1e-4-unit int sum, half-up to cents (functions/numeric.py)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            rescale_units(
+                F.sum(
+                    fixed_units(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                    )
+                ),
+                4,
+                2,
+            ).alias("revenue"),
             F.count("*").cast("bigint").alias("n_items"),
         )
     )
@@ -147,7 +181,14 @@ def q_salted_join(spark, sf_dir):
         li, sup, "l_suppkey", "s_suppkey", salt_source="l_orderkey", n_salts=N_SALTS
     )
     return j.groupBy("s_nationkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        # exact 1e-4-unit int sum, half-up to cents (functions/numeric.py)
+        rescale_units(
+            F.sum(
+                fixed_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            ),
+            4,
+            2,
+        ).alias("revenue"),
         F.count("*").cast("bigint").alias("n_items"),
     )
 
@@ -183,14 +224,20 @@ def q_promo_revenue(spark, sf_dir):
         (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-03-01")
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_u = fixed_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # exact 1e-4-unit int sums in both numerator and denominator; the
+    # share is an unrounded quotient of identical exact operands (the
+    # 100·sum too large for the exact round-6 trick; functions/numeric.py)
     return j.agg(
-        F.round(
-            100.0
-            * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
-            / F.sum(rev),
-            6,
+        (
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type").startswith("PROMO"), rev_u).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            )
+            / F.sum(rev_u)
         ).alias("promo_share"),
         F.count("*").cast("bigint").alias("n_items"),
     )
@@ -383,9 +430,14 @@ def q_ship_priority(spark, sf_dir):
         li, orders.o_orderkey == li.l_orderkey
     )
     grouped = j.groupBy("o_orderkey", "o_orderpriority").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        # exact 1e-4-unit int sum, half-up to cents (functions/numeric.py)
+        rescale_units(
+            F.sum(
+                fixed_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            ),
+            4,
+            2,
+        ).alias("revenue")
     )
     return grouped.orderBy(F.col("revenue").desc(), "o_orderkey").limit(10)
 
@@ -433,7 +485,9 @@ def q_local_supplier_volume(spark, sf_dir):
     return spark.sql(
         """
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               -- exact 1e-4-unit int sum, half-up to cents (the SQL-text
+               -- form of functions/numeric.py rescale_units)
+               (CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) + 50) DIV 100 / CAST(100.0 AS DOUBLE) AS revenue
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -470,10 +524,14 @@ def q_event_interarrival(spark, sf_dir):
     gaps = ev.withColumn("gap_us", gap).filter(F.col("gap_us").isNotNull())
     return gaps.groupBy("user_id").agg(
         F.count("*").cast("bigint").alias("n_gaps"),
-        # sum/count of exact int64, reported in seconds: at the µs
-        # magnitude (~1e10) a 6-decimal round exceeds double precision
-        # and engine round() implementations disagree at the last ulp
-        F.round(F.sum("gap_us") / F.count("*") / 1e6, 6).alias("mean_gap_s"),
+        # UNROUNDED quotient: sum/count/1e6 over exact int64 operands is
+        # the same IEEE op sequence in both engines → bit-identical
+        # doubles. round(x, 6) on those identical doubles is NOT portable
+        # (Spark rounds the shortest decimal repr, DuckDB the binary
+        # value — they split on half-boundary quotients; sf0.1 deep-gate
+        # find), and the µs-sum magnitude overflows the exact-int64
+        # rounding trick (functions/numeric.py), so no rounding at all.
+        (F.sum("gap_us") / F.count("*") / F.lit(1e6)).alias("mean_gap_s"),
         F.max("gap_us").cast("bigint").alias("max_gap_us"),
         F.sum(F.when(F.col("gap_us") < 60_000_000, 1).otherwise(0))
         .cast("bigint")
