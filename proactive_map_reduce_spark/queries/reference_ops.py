@@ -774,10 +774,12 @@ def q_sink_partitioned(spark, sf_dir):
     pruning lever). Values must round-trip exactly."""
     d = _docs(spark, sf_dir)
     path = _tempfile.mkdtemp(prefix="pmr_part_") + "/docs"
-    d.select("doc_id", "n_chars", "lang").write.partitionBy("lang").mode(
-        "overwrite"
-    ).parquet(path)
-    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    out = d.select("doc_id", "n_chars", "lang")
+    out.write.partitionBy("lang").mode("overwrite").parquet(path)
+    # explicit schema on read-back: schema-on-read is the production
+    # pattern anyway, and inference has nothing to look at when the
+    # written table is empty (zero data files)
+    back = spark.read.schema(out.schema).parquet(path).filter(F.col("lang") == "en")
     return back.select("doc_id", "n_chars")
 
 
@@ -856,6 +858,13 @@ def q_cache_fetch_or_compute(spark, sf_dir):
                 rec["tier"] = tier
             else:
                 rec["hit"] += 1
+
+    if not sizes:  # empty corpus: no stages were cached — empty result
+        return spark.createDataFrame(
+            [],
+            "chunk_id int, stage_tokens bigint, key8 string, tier string, "
+            "n_miss bigint, n_hit bigint",
+        )
 
     # data plane: aggregate THROUGH the cached lineages
     cached = [mgr.fetch(_hashlib_sha256(f"stage:{cid}")) for cid in sorted(sizes)]

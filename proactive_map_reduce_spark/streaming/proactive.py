@@ -53,6 +53,18 @@ CHUNK_SCHEMA = T.StructType(
 )
 
 
+def _sentinel_ts(hi):
+    """Far-future flush-sentinel timestamp: 10h past the stream's max
+    event time. An EMPTY stream has no max (None) — any fixed timestamp
+    works then, since the sentinel only exists to advance the watermark
+    past data that isn't there; it is filtered from every result."""
+    base = hi if hi is not None else pd.Timestamp("2000-01-01")
+    # plain datetime: createDataFrame's TimestampType verifier rejects a
+    # pandas Timestamp object (non-empty inputs dodge this because
+    # datetime + Timedelta stays datetime)
+    return (pd.Timestamp(base) + pd.Timedelta(hours=10)).to_pydatetime()
+
+
 def _write_ordered(df: DataFrame, order_col: str, root: str) -> str:
     """Write `df` under `root` as flat parquet files whose modification
     times strictly increase in `order_col` — the arrival order the file
@@ -374,6 +386,15 @@ def write_event_files(events_df: DataFrame, n_buckets: int = 4) -> str:
         F.min("ts").alias("lo"), F.max("ts").alias("hi")
     ).collect()[0]
     lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:  # empty input: one empty arrival dir, zero batches
+        _write_ordered(
+            events_df.withColumn("bucket", F.lit(0)).select(
+                "event_id", "user_id", "event_type", "ts", "value", "bucket"
+            ),
+            "bucket",
+            root,
+        )
+        return root
     span = max((hi - lo).total_seconds(), 1.0)
     bucketed = events_df.withColumn(
         "bucket",
@@ -403,7 +424,7 @@ def windowed_counts_with_watermark(
     """
     root = write_event_files(events_df, n_buckets=n_buckets)
     hi = events_df.select(F.max("ts").alias("hi")).collect()[0]["hi"]
-    sentinel_ts = hi + pd.Timedelta(hours=10)
+    sentinel_ts = _sentinel_ts(hi)
     spark.createDataFrame(
         [(-1, -1, "__sentinel__", sentinel_ts, 0.0)], EVENT_SCHEMA
     ).coalesce(1).write.mode("append").parquet(root)
@@ -472,7 +493,7 @@ def stream_dedup(
     dups.select("event_id", "user_id", "event_type", "ts", "value").coalesce(
         1
     ).write.mode("append").parquet(root)
-    sentinel_ts = hi + pd.Timedelta(hours=10)
+    sentinel_ts = _sentinel_ts(hi)
     spark.createDataFrame(
         [(-1, -1, "__sentinel__", sentinel_ts, 0.0)], EVENT_SCHEMA
     ).coalesce(1).write.mode("append").parquet(root)
@@ -525,7 +546,7 @@ def stream_stream_join(
     """
     root = write_event_files(events_df, n_buckets=n_buckets)
     hi = events_df.select(F.max("ts").alias("hi")).collect()[0]["hi"]
-    sentinel_ts = hi + pd.Timedelta(hours=10)
+    sentinel_ts = _sentinel_ts(hi)
     # sentinels must carry the REAL side types (they advance each side's
     # watermark downstream of the type filter); event_id=-1 marks them
     # for removal from the result.
