@@ -83,22 +83,39 @@ def extract_features(
 ) -> DataFrame:
     """mapInPandas feature extraction over (doc_id, payload, media_type)."""
 
+    _missing = {"width": None, "height": None, "n_frames": None}
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
+            # a NULL payload is a missing/corrupt asset: keep the row
+            # (joins don't silently lose the doc) with null metadata —
+            # the quarantine pattern; callers filter on payload_md5
             metas = [
-                codec(bytes(p), m) for p, m in zip(batch["payload"], batch["media_type"])
+                codec(bytes(p), m) if p is not None else _missing
+                for p, m in zip(batch["payload"], batch["media_type"])
             ]
+            # nullable Int64 keeps None as null through Arrow (a plain
+            # list would coerce to float NaN, which LongType rejects)
             yield pd.DataFrame(
                 {
                     "doc_id": batch["doc_id"],
                     "media_type": batch["media_type"],
-                    "payload_len": [len(bytes(p)) for p in batch["payload"]],
+                    "payload_len": pd.array(
+                        [
+                            len(bytes(p)) if p is not None else None
+                            for p in batch["payload"]
+                        ],
+                        dtype="Int64",
+                    ),
                     "payload_md5": [
-                        hashlib.md5(bytes(p)).hexdigest() for p in batch["payload"]
+                        hashlib.md5(bytes(p)).hexdigest() if p is not None else None
+                        for p in batch["payload"]
                     ],
-                    "width": [m["width"] for m in metas],
-                    "height": [m["height"] for m in metas],
-                    "n_frames": [m["n_frames"] for m in metas],
+                    "width": pd.array([m["width"] for m in metas], dtype="Int64"),
+                    "height": pd.array([m["height"] for m in metas], dtype="Int64"),
+                    "n_frames": pd.array(
+                        [m["n_frames"] for m in metas], dtype="Int64"
+                    ),
                 }
             )
 
@@ -143,8 +160,14 @@ def resize_media(
         for batch in batches:
             rows = {k: [] for k in RESIZE_SCHEMA.fieldNames()}
             for doc_id, p, m in zip(batch["doc_id"], batch["payload"], batch["media_type"]):
-                meta = codec(bytes(p), m)
-                ow, oh, op = fake_resize(bytes(p), meta["width"], meta["height"], target_w)
+                if p is None:  # missing asset → null row (see extract_features)
+                    meta = {"width": None, "height": None}
+                    ow = oh = op = None
+                else:
+                    meta = codec(bytes(p), m)
+                    ow, oh, op = fake_resize(
+                        bytes(p), meta["width"], meta["height"], target_w
+                    )
                 rows["doc_id"].append(doc_id)
                 rows["media_type"].append(m)
                 rows["width"].append(meta["width"])
@@ -152,6 +175,8 @@ def resize_media(
                 rows["out_width"].append(ow)
                 rows["out_height"].append(oh)
                 rows["out_payload"].append(op)
+            for c in ("width", "height", "out_width", "out_height"):
+                rows[c] = pd.array(rows[c], dtype="Int64")  # None-safe ints
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=RESIZE_SCHEMA)

@@ -54,5 +54,8 @@ def write_text_corpus(df: DataFrame, root: str, text_col: str = "text") -> str:
         with open(
             os.path.join(root, f"{row['doc_id']}.txt"), "w", encoding="utf-8"
         ) as fp:
-            fp.write(row[text_col])
+            # a file has no null: a missing text writes an empty file,
+            # mirroring how the reference's per-index layout would store
+            # an empty document
+            fp.write(row[text_col] if row[text_col] is not None else "")
     return root

@@ -53,3 +53,49 @@ def test_query_runs_on_empty_tables(spark, empty_sf, name):
     out = REGISTRY[name](spark, empty_sf)
     assert out.count() == 0
     assert len(out.schema.fields) > 0
+
+
+# --- nulled content columns (dirty data) -----------------------------------
+
+# first --nulls sweep failures: null payload through the mapInPandas
+# codec seam, null text through the per-file corpus writer
+NULL_QUERIES = [
+    "q_multimodal_features",
+    "q_multimodal_resize",
+    "q_multimodal_frames",
+    "q_scan_text_corpus",
+]
+
+
+@pytest.fixture(scope="module")
+def nulls_sf(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    root = tmp_path_factory.mktemp("nulls_sf")
+    for t in TABLES:
+        df = spark.read.parquet(f"{SF_SCHEMA_SRC}/{t}.parquet")
+        if t == "documents":
+            gate = F.col("doc_id") % 5 == 0
+            for c in ("text", "lang", "source"):
+                df = df.withColumn(c, F.when(gate, F.lit(None)).otherwise(F.col(c)))
+        df.coalesce(1).write.mode("overwrite").parquet(str(root / f"{t}.parquet"))
+    return str(root)
+
+
+@pytest.mark.parametrize("name", NULL_QUERIES)
+def test_query_runs_on_nulled_content(spark, nulls_sf, name):
+    from proactive_map_reduce_spark.queries import REGISTRY
+
+    out = REGISTRY[name](spark, nulls_sf)
+    assert out.count() > 0  # survivors still flow; null rows quarantined
+
+
+def test_null_payload_quarantined_not_dropped(spark, nulls_sf):
+    """A missing payload keeps its row with null metadata (joins must not
+    silently lose the document)."""
+    from proactive_map_reduce_spark.queries import REGISTRY
+
+    rows = REGISTRY["q_multimodal_features"](spark, nulls_sf).collect()
+    nulled = [r for r in rows if r["payload_md5"] is None]
+    assert len(nulled) == 100  # doc_id % 5 == 0 of 500
+    assert all(r["width"] is None and r["n_frames"] is None for r in nulled)

@@ -1,13 +1,21 @@
-"""Zero-row robustness sweep: every registered query on EMPTY tables.
+"""Degenerate-input robustness sweep: every registered query on EMPTY
+tables (default) or on tables with NULLed-out content columns (--nulls).
 
-Builds a fixture dir whose ten tables carry the exact sf0.001 schemas but
-zero rows, then runs the full REGISTRY against it. A 100 TB pipeline hits
-empty inputs constantly (a partition-pruned day with no data, a filter
-that eliminates a source, a new tenant) — every query must compile,
-execute and return its schema on empty input rather than crash in plan
-build, model-state collection or UDF paths.
+Empty mode: a fixture dir whose ten tables carry the exact sf0.001
+schemas but zero rows — a 100 TB pipeline hits empty inputs constantly
+(a partition-pruned day with no data, a filter that eliminates a
+source, a new tenant).
 
-Usage: python tools/empty_sweep.py [query ...]
+Nulls mode: the sf0.001 rows with every CONTENT column (text, lang,
+source, event_type, value, names/types/segments…) nulled on a
+deterministic 20% of rows (id % 5 == 0) — dirty-data tolerance. Keys
+and timestamps stay non-null (null keys/event-times are a different
+contract: dropped/invalid rows, not degraded content).
+
+Every query must compile, execute and return its schema rather than
+crash in plan build, model-state collection or UDF paths.
+
+Usage: python tools/empty_sweep.py [--nulls] [query ...]
 Prints one line per query; exits non-zero on any failure.
 """
 
@@ -20,19 +28,47 @@ sys.path.insert(0, "/root/repo")
 
 SF_SCHEMA_SRC = "/root/testdata/sf0.001"
 
+# content columns nulled in --nulls mode, per table (keys/ts stay)
+NULLABLE_CONTENT = {
+    "documents": ["text", "lang", "source"],
+    "events": ["event_type", "value"],
+    "customer": ["c_mktsegment", "c_name"],
+    "orders": ["o_orderpriority"],
+    "part": ["p_type", "p_name"],
+    "supplier": ["s_name"],
+    "nation": [],
+    "region": [],
+    "lineitem": [],  # measures feed exact-unit sums; null measures are
+    # a data-contract violation there, not degraded content
+    "embeddings": [],
+}
+
 
 def main() -> int:
-    only = {n for arg in sys.argv[1:] for n in arg.split(",") if n}
+    args = [a for a in sys.argv[1:] if a != "--nulls"]
+    nulls_mode = "--nulls" in sys.argv[1:]
+    only = {n for arg in args for n in arg.split(",") if n}
 
     import __spark_entry__ as entry
+    from pyspark.sql import functions as F
     from proactive_map_reduce_spark.session import get_spark
     from proactive_map_reduce_spark.sources.tables import TABLES
 
     spark = get_spark("empty-sweep")
-    tmp = tempfile.mkdtemp(prefix="empty_sf_")
+    tmp = tempfile.mkdtemp(prefix=("nulls_sf_" if nulls_mode else "empty_sf_"))
     for t in TABLES:
         df = spark.read.parquet(f"{SF_SCHEMA_SRC}/{t}.parquet")
-        df.limit(0).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/{t}.parquet")
+        if nulls_mode:
+            key = df.columns[0]  # first column is the table's id/key
+            gate = F.col(key).cast("bigint") % 5 == 0
+            for c in NULLABLE_CONTENT.get(t, []):
+                if c in df.columns:
+                    df = df.withColumn(
+                        c, F.when(gate, F.lit(None)).otherwise(F.col(c))
+                    )
+        else:
+            df = df.limit(0)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/{t}.parquet")
 
     qs = entry.queries()
     failures = []
