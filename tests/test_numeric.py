@@ -1,0 +1,132 @@
+"""Cross-engine contract of functions/numeric.py.
+
+Each helper has a Spark Column form and a DuckDB SQL mirror; the whole
+deterministic-display design rests on the two producing BIT-IDENTICAL
+doubles. These tests pin that three ways:
+
+1. Spark result == DuckDB result on the same integers (the actual
+   cross-engine contract), over random AND adversarial boundary inputs
+   (denominators 2^7·5^t whose quotients terminate at exactly 7
+   decimals — the values float round() gets wrong).
+2. Spark result == exact-Decimal half-up rounding (the semantic truth).
+3. fixed_units recovers exact integer units from fixed-point doubles
+   across the representable range.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from proactive_map_reduce_spark.functions.numeric import (
+    fixed_units,
+    fixed_units_sql,
+    rescale_units,
+    rescale_units_sql,
+    round_ratio,
+    round_ratio_sql,
+)
+
+# the denominators where float round(x, 6) splits engines: quotients
+# terminate at exactly 7 decimals
+BOUNDARY_DENS = [128, 640, 3200, 16000, 80000]
+
+
+def _spark_eval(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def _duck_eval(sql_expr):
+    return duckdb.sql(f"SELECT {sql_expr} AS v").fetchone()[0]
+
+
+def _exact_round(num: int, den: int, scale: int) -> float:
+    q = (Decimal(num) / Decimal(den)).quantize(
+        Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
+    )
+    return float(q)
+
+
+@settings(max_examples=60, deadline=None)
+@given(num=st.integers(0, 4_000_000_000), den=st.integers(1, 2_000_000))
+def test_round_ratio_matches_duck_and_decimal_random(spark, num, den):
+    from pyspark.sql import functions as F
+
+    got_spark = _spark_eval(spark, round_ratio(F.lit(num), F.lit(den), 6))
+    got_duck = _duck_eval(round_ratio_sql(str(num), str(den), 6))
+    assert got_spark == got_duck  # bit-identical cross-engine
+    assert got_spark == pytest.approx(_exact_round(num, den, 6), abs=0)
+
+
+@pytest.mark.parametrize("den", BOUNDARY_DENS)
+def test_round_ratio_on_exact_half_boundaries(spark, den):
+    """Quotients landing exactly on m.5e-7 — the class where the engines'
+    float round() split (e.g. 27484/64000) — must round HALF_UP in both
+    engines identically."""
+    from pyspark.sql import functions as F
+
+    for k in (1, 3, den // 2 * 10 + 5):  # odd numerators → exact halves
+        num = k  # k/den terminates at 7 decimals for odd k
+        got_spark = _spark_eval(spark, round_ratio(F.lit(num), F.lit(den), 6))
+        got_duck = _duck_eval(round_ratio_sql(str(num), str(den), 6))
+        exact = _exact_round(num, den, 6)
+        assert got_spark == got_duck == exact
+
+
+def test_round_ratio_known_regression(spark):
+    """The live sf0.1 find: 27484/64000 = 0.4294375 → 0.429438 (half-up),
+    where Spark's float round said .429438 and DuckDB's said .429437."""
+    from pyspark.sql import functions as F
+
+    got = _spark_eval(spark, round_ratio(F.lit(27484), F.lit(64000), 6))
+    assert got == 0.429438
+    assert _duck_eval(round_ratio_sql("27484", "64000", 6)) == 0.429438
+
+
+@settings(max_examples=40, deadline=None)
+@given(units=st.integers(0, 4 * 10**15))
+def test_rescale_units_matches_duck_and_decimal(spark, units):
+    """1e-4 rev-units → cents, half-up — incl. sums far beyond the
+    round_ratio domain (the reason rescale divides down)."""
+    from pyspark.sql import functions as F
+
+    got_spark = _spark_eval(spark, rescale_units(F.lit(units), 4, 2))
+    got_duck = _duck_eval(rescale_units_sql(str(units), 4, 2))
+    exact = float(
+        (Decimal(units) / Decimal(10_000)).quantize(
+            Decimal("0.01"), rounding=ROUND_HALF_UP
+        )
+    )
+    assert got_spark == got_duck == exact
+
+
+@settings(max_examples=40, deadline=None)
+@given(cents=st.integers(0, 10**13), scale=st.sampled_from([2, 4, 6]))
+def test_fixed_units_roundtrip(spark, cents, scale):
+    """A fixed-point double (exact k·10^-s value as stored by parquet)
+    converts back to exactly k units in both engines."""
+    from pyspark.sql import functions as F
+
+    value = cents / float(10**scale)
+    got_spark = _spark_eval(spark, fixed_units(F.lit(value), scale))
+    # CAST: a bare decimal literal parses as DECIMAL in DuckDB; the
+    # production operands are parquet DOUBLE columns
+    got_duck = _duck_eval(fixed_units_sql(f"CAST({value!r} AS DOUBLE)", scale))
+    # float conversion of cents/10^s then back: identical in both
+    # engines; equals cents whenever value·10^s rounds to cents (always,
+    # for doubles within half a unit of the true fixed-point value)
+    assert got_spark == got_duck
+    assert abs(got_spark - cents) <= 1  # ulp-adjacent only at extreme magnitude
+
+
+def test_fixed_units_exact_at_money_magnitudes(spark):
+    """At realistic money magnitudes (≤ 1e9 dollars) recovery is exact."""
+    from pyspark.sql import functions as F
+
+    for cents in (1, 50, 99, 101, 123456789, 10**11):
+        value = cents / 100.0
+        assert _spark_eval(spark, fixed_units(F.lit(value), 2)) == cents
