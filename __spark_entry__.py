@@ -64,9 +64,9 @@ _REWRITTEN = {
     # deterministic-display pass (second sf0.1 deep-gate find): exact
     # int64 half-up rounding / exact fixed-point accumulation replaces
     # engine-divergent float round() and order-dependent float sums
-    # (functions/numeric.py). r1-green members of the same pass
-    # (pricing/top/region revenue, ngram jaccard, grid sweep, timing
-    # arith, flatten times) already sort first by staleness.
+    # (functions/numeric.py). ALL rewritten r1-green members are listed —
+    # within the green==1 cohort ties break alphabetically, so omitting
+    # one gives it no precedence over unchanged r1 rows.
     "q_quality_score": 4,
     "q_quality_topn_per_lang": 4,
     "q_event_interarrival": 4,
@@ -79,6 +79,14 @@ _REWRITTEN = {
     "q_local_supplier_volume": 4,
     "q_top_revenue": 4,  # r1-green but changed — must precede unchanged r1 rows
     "q_timing_arith": 4,  # same
+    "q_pricing_summary": 4,
+    "q_region_revenue": 4,
+    "q_grid_sweep": 4,
+    "q_flatten_nested_times": 4,
+    # round-4 review pass: integral-div rewrite of round_ratio /
+    # rescale_units (all consumers above re-queue via their own entries)
+    # and the exact-cents resample mean
+    "q_dedup_ngram_jaccard": 4,
 }
 
 

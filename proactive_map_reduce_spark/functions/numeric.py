@@ -11,19 +11,25 @@ instances (q_quality_score, q_event_interarrival).
 ``round6_ratio`` sidesteps float round() entirely for non-negative
 integer ratios: the half-up 6-decimal rounding is done in exact int64
 arithmetic — ``floor((2·num·10⁶ + den) / (2·den)) / 10⁶`` — where the
-floor division is computed as ``(a - pmod(a, b)) / b`` so every
-intermediate is an exact integer (no float floor on an inexact
-quotient). Both engines then perform ONE identical IEEE division by 10⁶
-on identical integers, yielding bit-identical doubles with no rounding
-function in the path.
+floor division runs as Spark's integral ``div`` (bigint in, bigint
+out; DuckDB mirror ``//``), so every intermediate stays an exact
+int64. Both engines then convert the SAME integer to double
+(round-to-nearest in both) and perform ONE identical IEEE division by
+10⁶, yielding bit-identical doubles with no rounding function and no
+double-precision integer arithmetic anywhere in the path.
 
-Domain: num ≥ 0, den > 0, and 2·num·10⁶ + den must stay below 2^53
-(num ≲ 4.5e9) — Spark's ``/`` converts bigint operands to double, so
-every integer flowing into it must be double-exact. For larger
-numerators (e.g. microsecond sums), skip
-rounding altogether and emit the raw quotient: identical exact-integer
-operands through the same IEEE op sequence are already bit-identical
-across engines — it is only round() that diverges.
+Domain: num ≥ 0, den > 0, and 2·num·10⁶ + den must stay below 2^63
+(num ≲ 4.6e12) — the int64 overflow bound of the scaled numerator;
+DuckDB raises on bigint overflow rather than wrapping, so breaching it
+is loud, not silently wrong. Within that domain the cross-engine
+bit-identity is unconditional; the value additionally equals the exact
+half-up decimal whenever the scaled quotient is double-exact
+(num/den ≲ 9e9 — true for every live ratio site, which are all means,
+rates, or scores), and is a ulp off but still engine-identical beyond. For numerators beyond that (e.g.
+microsecond sums at extreme scale), skip rounding altogether and emit
+the raw quotient: identical exact-integer operands through the same
+IEEE op sequence are already bit-identical across engines — it is only
+round() that diverges.
 """
 
 from __future__ import annotations
@@ -37,11 +43,11 @@ _SCALE = 1_000_000  # 6 decimal places
 def round_ratio(num: Column, den: Column, scale: int = 6) -> Column:
     """Half-up ``round(num/den, scale)`` for non-negative integer
     columns, computed exactly (see module docstring). Returns double;
-    nulls propagate. Domain: 2·num·10^scale + den < 2^53."""
+    nulls propagate. Domain: 2·num·10^scale + den < 2^63."""
     s = 10 ** scale
     a = num.cast("bigint") * (2 * s) + den.cast("bigint")
     b = den.cast("bigint") * 2
-    q = (a - F.pmod(a, b)) / b  # exact: integer-valued double < 2^53
+    q = F.call_function("div", a, b)  # integral divide: exact int64
     return q / F.lit(float(s))
 
 
@@ -89,12 +95,14 @@ def fixed_units_sql(value: str, scale: int) -> str:
 def rescale_units(units: Column, from_scale: int, to_scale: int) -> Column:
     """Half-up round of an exact integer units count (10^-from_scale
     units, e.g. a revenue sum in 1e-4 units) DOWN to to_scale decimals,
-    as a double. Dividing down instead of multiplying up keeps every
-    intermediate below 2^53 even for large money sums where
-    :func:`round_ratio`'s 2·num·10^s would overflow double-exactness."""
+    as a double. Dividing down instead of multiplying up means the only
+    headroom needed over the units sum itself is +f/2, so the domain is
+    the full int64 range; the integral ``div`` keeps the quotient exact
+    (the earlier ``(a - pmod) / b`` form went through double and drifted
+    off the SQL mirror above ~2^55 units)."""
     f = 10 ** (from_scale - to_scale)
     a = units.cast("bigint") + (f // 2)
-    q = (a - F.pmod(a, F.lit(f))) / F.lit(f)  # exact floor((u + f/2)/f)
+    q = F.call_function("div", a, F.lit(f))  # integral divide: exact int64
     return q / F.lit(float(10 ** to_scale))
 
 
@@ -104,3 +112,19 @@ def rescale_units_sql(units: str, from_scale: int, to_scale: int) -> str:
         f"(((CAST(({units}) AS BIGINT) + {f // 2}) // {f}) "
         f"/ {float(10 ** to_scale)})"
     )
+
+
+def money_sum_2dp(value: Column) -> Column:
+    """Cross-engine-exact ``round(sum(value), 2)`` for a money-like
+    expression that is a product of two 2-decimal factors (extendedprice
+    × (1−discount) — exact at 4 decimals): accumulate exact 1e-4-unit
+    int64s (associative, partitioning-independent), half-up to cents.
+    This is THE revenue display aggregate; use it instead of re-spelling
+    ``rescale_units(F.sum(fixed_units(v, 4)), 4, 2)`` per query."""
+    return rescale_units(F.sum(fixed_units(value, 4)), 4, 2)
+
+
+def money_sum_2dp_sql(value: str) -> str:
+    """DuckDB mirror of :func:`money_sum_2dp` (same operand caveat as
+    :func:`round_ratio_sql`: the SQL string is substituted verbatim)."""
+    return rescale_units_sql(f"sum({fixed_units_sql(value, 4)})", 4, 2)

@@ -9,11 +9,7 @@ from ..queries import (
     RATIO_INC,
     RATIO_LOW,
 )
-from ..functions.numeric import (  # noqa: E402
-    fixed_units_sql,
-    round_ratio_sql,
-    round6_ratio_sql,
-)
+from ..functions.numeric import round6_ratio_sql  # noqa: E402
 from ..operators.dedup import MINHASH_A, MINHASH_B, MINHASH_PRIME  # noqa: E402
 from ..operators.dedup import LSH_MAX_BUCKET  # noqa: E402
 

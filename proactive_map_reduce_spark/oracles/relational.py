@@ -1,7 +1,7 @@
 """Relational-substrate oracles (TPC-H-style and event windowing)."""
 
 from ..functions.numeric import fixed_units_sql as _fu
-from ..functions.numeric import rescale_units_sql as _ru
+from ..functions.numeric import money_sum_2dp_sql as _ms
 from ..functions.numeric import round_ratio_sql as _rr
 from ._base import *  # noqa: F401,F403
 from ._base import (  # noqa: F401
@@ -42,7 +42,7 @@ ORACLES["q_pricing_summary"] = f"""
 SELECT l_returnflag, l_linestatus,
        sum(CAST(l_quantity AS BIGINT)) / 1.0 AS sum_qty,
        sum({_fu('l_extendedprice', 2)}) / 100.0 AS sum_base_price,
-       {_ru("sum(" + _fu('l_extendedprice * (1 - l_discount)', 4) + ")", 4, 2)} AS sum_disc_price,
+       {_ms('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
        {_rr('sum(CAST(l_quantity AS BIGINT))', 'count(*)', 6)} AS avg_qty,
        sum({_fu('l_extendedprice', 2)}) / CAST(count(*) AS DOUBLE) / 100.0 AS avg_price,
        {_rr(f"sum({_fu('l_discount', 2)})", '100 * count(*)', 6)} AS avg_disc,
@@ -55,7 +55,7 @@ GROUP BY l_returnflag, l_linestatus
 
 ORACLES["q_top_revenue"] = f"""
 SELECT o.o_orderkey, o.o_orderpriority,
-       {_ru("sum(" + _fu('l.l_extendedprice * (1 - l.l_discount)', 4) + ")", 4, 2)} AS revenue
+       {_ms('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -68,7 +68,7 @@ LIMIT 10
 
 ORACLES["q_region_revenue"] = f"""
 SELECT r.r_name,
-       {_ru("sum(" + _fu('l.l_extendedprice * (1 - l.l_discount)', 4) + ")", 4, 2)} AS revenue,
+       {_ms('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -168,7 +168,7 @@ FROM events GROUP BY event_type
 
 ORACLES["q_salted_join"] = f"""
 SELECT s.s_nationkey,
-       {_ru("sum(" + _fu('l.l_extendedprice * (1 - l.l_discount)', 4) + ")", 4, 2)} AS revenue,
+       {_ms('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
 GROUP BY s.s_nationkey
@@ -299,7 +299,7 @@ GROUP BY user_id
 
 ORACLES["q_ship_priority"] = f"""
 SELECT o.o_orderkey, o.o_orderpriority,
-       {_ru("sum(" + _fu('l.l_extendedprice * (1 - l.l_discount)', 4) + ")", 4, 2)} AS revenue
+       {_ms('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -332,7 +332,7 @@ FROM ranked WHERE rank <= 3
 
 ORACLES["q_local_supplier_volume"] = f"""
 SELECT n_name,
-       {_ru("sum(" + _fu('l_extendedprice * (1 - l_discount)', 4) + ")", 4, 2)} AS revenue
+       {_ms('l_extendedprice * (1 - l_discount)')} AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -379,7 +379,10 @@ FROM events GROUP BY user_id
 """
 
 
-ORACLES["q_resample_ffill"] = """
+# exact hourly mean: integer-cents ratio rounded half-up in int64
+# (mirrors queries/relational.py q_resample_ffill)
+_v_expr = _rr(f"sum({_fu('value', 2)})", "100 * count(*)", 6)
+ORACLES["q_resample_ffill"] = f"""
 WITH b AS (
   SELECT user_id, date_trunc('hour', min(ts)) AS h0,
          date_trunc('hour', max(ts)) AS h1
@@ -391,7 +394,7 @@ grid AS (
 ),
 hourly AS (
   SELECT user_id, date_trunc('hour', ts) AS hour,
-         round(round(sum(value), 2) / count(*), 6) AS v
+         {_v_expr} AS v
   FROM events GROUP BY 1, 2
 ),
 j AS (
@@ -400,9 +403,9 @@ j AS (
 )
 SELECT user_id,
        CAST(floor(epoch(hour)) AS BIGINT) AS hour_ts,
-       round(last_value(v IGNORE NULLS) OVER (
+       last_value(v IGNORE NULLS) OVER (
          PARTITION BY user_id ORDER BY hour
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_ffill,
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
        CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_gap
 FROM j
 """

@@ -27,7 +27,7 @@ def q_pricing_summary(spark, sf_dir):
     # splits when the true sum lands on a boundary (a 4-decimal revenue
     # group sum IS exactly x.xx50 ~1% of the time). Quantities are
     # integers, so their sum is already exact.
-    rev_u = F.sum(fixed_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+    rev = money_sum_2dp(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     price_c = F.sum(fixed_units(F.col("l_extendedprice"), 2))
     disc_c = F.sum(fixed_units(F.col("l_discount"), 2))
     qty = F.sum(F.col("l_quantity").cast("bigint"))
@@ -38,10 +38,12 @@ def q_pricing_summary(spark, sf_dir):
         .agg(
             (qty / F.lit(1.0)).alias("sum_qty"),
             (price_c / F.lit(100.0)).alias("sum_base_price"),
-            rescale_units(rev_u, 4, 2).alias("sum_disc_price"),
+            rev.alias("sum_disc_price"),
+            # round_ratio's int64 domain is num ≲ 4.6e12: the qty sum
+            # (~25 per row) reaches that only near sf 10⁵, but the CENTS
+            # sum (~3.8e6 per row) hits it around sf 1 — so avg_price is
+            # the unrounded quotient of identical exact operands instead
             round_ratio(qty, n, 6).alias("avg_qty"),
-            # cents sum too large for the exact round trick at scale —
-            # unrounded quotient of identical exact operands instead
             (price_c / n / F.lit(100.0)).alias("avg_price"),
             round_ratio(disc_c, 100 * n, 6).alias("avg_disc"),
             n.cast("bigint").alias("count_order"),
@@ -68,16 +70,9 @@ def q_top_revenue(spark, sf_dir):
     )
     return (
         j.groupBy("o_orderkey", "o_orderpriority")
-        # exact 1e-4-unit int sum, half-up to cents (functions/numeric.py)
         .agg(
-            rescale_units(
-                F.sum(
-                    fixed_units(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
-                    )
-                ),
-                4,
-                2,
+            money_sum_2dp(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
@@ -100,16 +95,9 @@ def q_region_revenue(spark, sf_dir):
     return (
         li.join(dims, li.l_suppkey == dims.s_suppkey)
         .groupBy("r_name")
-        # exact 1e-4-unit int sum, half-up to cents (functions/numeric.py)
         .agg(
-            rescale_units(
-                F.sum(
-                    fixed_units(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
-                    )
-                ),
-                4,
-                2,
+            money_sum_2dp(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue"),
             F.count("*").cast("bigint").alias("n_items"),
         )
@@ -181,13 +169,8 @@ def q_salted_join(spark, sf_dir):
         li, sup, "l_suppkey", "s_suppkey", salt_source="l_orderkey", n_salts=N_SALTS
     )
     return j.groupBy("s_nationkey").agg(
-        # exact 1e-4-unit int sum, half-up to cents (functions/numeric.py)
-        rescale_units(
-            F.sum(
-                fixed_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
-            ),
-            4,
-            2,
+        money_sum_2dp(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
         ).alias("revenue"),
         F.count("*").cast("bigint").alias("n_items"),
     )
@@ -430,13 +413,8 @@ def q_ship_priority(spark, sf_dir):
         li, orders.o_orderkey == li.l_orderkey
     )
     grouped = j.groupBy("o_orderkey", "o_orderpriority").agg(
-        # exact 1e-4-unit int sum, half-up to cents (functions/numeric.py)
-        rescale_units(
-            F.sum(
-                fixed_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
-            ),
-            4,
-            2,
+        money_sum_2dp(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
         ).alias("revenue")
     )
     return grouped.orderBy(F.col("revenue").desc(), "o_orderkey").limit(10)
@@ -620,13 +598,12 @@ def q_resample_ffill(spark, sf_dir):
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(
-        # boundary-stable mean: round(sum, 2) recovers the EXACT 2-decimal
-        # total (accumulation-order ulps are far smaller than 0.005), so
-        # both engines divide identical doubles and round identical
-        # doubles — round(avg(...)) instead can land on opposite sides of
-        # a 5e-7 boundary per engine (the q_window_tumbling sf0.1 class;
-        # small per-user-hour denominators make halves likely here)
-        F.round(F.round(F.sum("value"), 2) / F.count("*"), 6).alias("v")
+        # exact mean (functions/numeric.py): sum integer cents, round the
+        # cents/100n ratio half-up in int64 — round(round(sum,2)/n, 6)
+        # still split the engines when the quotient's shortest repr lands
+        # on a 5e-7 half (e.g. sum 2.01 over 32 events → 0.0628125:
+        # Spark rounds the repr up, DuckDB the binary value down)
+        round_ratio(F.sum(fixed_units(F.col("value"), 2)), 100 * F.count("*"), 6).alias("v")
     )
     joined = grid.join(hourly, ["user_id", "hour"], "left")
     w = (
@@ -637,6 +614,7 @@ def q_resample_ffill(spark, sf_dir):
     return joined.select(
         "user_id",
         F.unix_timestamp("hour").cast("bigint").alias("hour_ts"),
-        F.round(F.last("v", ignorenulls=True).over(w), 6).alias("value_ffill"),
+        # v is already an exact-6dp double; re-rounding adds nothing
+        F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
         F.col("v").isNull().cast("int").alias("was_gap"),
     )

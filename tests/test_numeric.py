@@ -25,11 +25,15 @@ from hypothesis import strategies as st
 from proactive_map_reduce_spark.functions.numeric import (
     fixed_units,
     fixed_units_sql,
+    money_sum_2dp,
+    money_sum_2dp_sql,
     rescale_units,
     rescale_units_sql,
     round_ratio,
     round_ratio_sql,
 )
+
+INT64_MAX = 2**63 - 1
 
 # the denominators where float round(x, 6) splits engines: quotients
 # terminate at exactly 7 decimals
@@ -52,14 +56,18 @@ def _exact_round(num: int, den: int, scale: int) -> float:
 
 
 @settings(max_examples=60, deadline=None)
-@given(num=st.integers(0, 4_000_000_000), den=st.integers(1, 2_000_000))
+@given(num=st.integers(0, 4_600_000_000_000), den=st.integers(1, 2_000_000))
 def test_round_ratio_matches_duck_and_decimal_random(spark, num, den):
     from pyspark.sql import functions as F
 
     got_spark = _spark_eval(spark, round_ratio(F.lit(num), F.lit(den), 6))
     got_duck = _duck_eval(round_ratio_sql(str(num), str(den), 6))
-    assert got_spark == got_duck  # bit-identical cross-engine
-    assert got_spark == pytest.approx(_exact_round(num, den, 6), abs=0)
+    assert got_spark == got_duck  # bit-identical cross-engine, full domain
+    # exact-decimal display additionally needs the scaled quotient to be
+    # double-exact (num/den ≲ 9e9 at scale 6); above that the value is a
+    # ulp off the true decimal but still engine-identical
+    if num // den <= 9_000_000_000:
+        assert got_spark == pytest.approx(_exact_round(num, den, 6), abs=0)
 
 
 @pytest.mark.parametrize("den", BOUNDARY_DENS)
@@ -88,20 +96,38 @@ def test_round_ratio_known_regression(spark):
 
 
 @settings(max_examples=40, deadline=None)
-@given(units=st.integers(0, 4 * 10**15))
+@given(units=st.integers(0, INT64_MAX - 50))
 def test_rescale_units_matches_duck_and_decimal(spark, units):
-    """1e-4 rev-units → cents, half-up — incl. sums far beyond the
-    round_ratio domain (the reason rescale divides down)."""
+    """1e-4 rev-units → cents, half-up — over the FULL int64 domain (the
+    integral-div rewrite's claim; the earlier double-division form
+    drifted off the SQL mirror above ~2^55 units)."""
     from pyspark.sql import functions as F
 
     got_spark = _spark_eval(spark, rescale_units(F.lit(units), 4, 2))
     got_duck = _duck_eval(rescale_units_sql(str(units), 4, 2))
-    exact = float(
-        (Decimal(units) / Decimal(10_000)).quantize(
-            Decimal("0.01"), rounding=ROUND_HALF_UP
+    assert got_spark == got_duck  # bit-identical cross-engine
+    # semantic truth holds wherever cents/100 is still double-exact
+    # enough to compare via Decimal; above 2^53 cents both engines make
+    # the SAME nearest-double conversion, which is the contract
+    if units < 2**53:
+        exact = float(
+            (Decimal(units) / Decimal(10_000)).quantize(
+                Decimal("0.01"), rounding=ROUND_HALF_UP
+            )
         )
-    )
-    assert got_spark == got_duck == exact
+        assert got_spark == exact
+
+
+def test_rescale_units_above_2pow55_regression(spark):
+    """The review find: units=40000000000000123 (~2^55) — the old
+    (a−pmod)/b double path yielded 4000000000000.0093 in Spark while the
+    SQL mirror's integer ``//`` said 4000000000000.01."""
+    from pyspark.sql import functions as F
+
+    units = 40_000_000_000_000_123
+    got_spark = _spark_eval(spark, rescale_units(F.lit(units), 4, 2))
+    got_duck = _duck_eval(rescale_units_sql(str(units), 4, 2))
+    assert got_spark == got_duck == 4000000000000.01
 
 
 @settings(max_examples=40, deadline=None)
@@ -121,6 +147,61 @@ def test_fixed_units_roundtrip(spark, cents, scale):
     # for doubles within half a unit of the true fixed-point value)
     assert got_spark == got_duck
     assert abs(got_spark - cents) <= 1  # ulp-adjacent only at extreme magnitude
+
+
+def test_money_sum_2dp_three_forms_agree(spark):
+    """The revenue display aggregate exists in three spellings — the
+    Column helper, its DuckDB mirror, and the hand-inlined Spark-SQL
+    text inside q_local_supplier_volume — which must stay in lockstep.
+    This pins all three on a fixture with a boundary group sum (cents
+    half at 4 decimals: 0.0050 rev-units → half-up)."""
+    from pyspark.sql import functions as F
+
+    rows = [(1, 4.07, 0.05), (1, 9.99, 0.10), (1, 123456.78, 0.00),
+            (2, 0.01, 0.00), (2, 0.02, 0.25)]
+    df = spark.createDataFrame(rows, "k int, price double, disc double")
+    df.createOrReplaceTempView("_msum_rows")
+    expr = F.col("price") * (1 - F.col("disc"))
+    got_col = {
+        r["k"]: r["v"]
+        for r in df.groupBy("k").agg(money_sum_2dp(expr).alias("v")).collect()
+    }
+    # the SQL-text spelling used by q_local_supplier_volume
+    got_sql_text = {
+        r["k"]: r["v"]
+        for r in spark.sql(
+            "SELECT k, (CAST(sum(CAST(floor(price * (1 - disc) "
+            "* CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) "
+            "AS BIGINT) + 50) DIV 100 / CAST(100.0 AS DOUBLE) AS v "
+            "FROM _msum_rows GROUP BY k"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE _msum_rows(k INT, price DOUBLE, disc DOUBLE)"
+    )
+    con.executemany("INSERT INTO _msum_rows VALUES (?, ?, ?)", rows)
+    got_duck = dict(
+        con.sql(
+            f"SELECT k, {money_sum_2dp_sql('price * (1 - disc)')} AS v "
+            "FROM _msum_rows GROUP BY k"
+        ).fetchall()
+    )
+    assert got_col == got_sql_text == got_duck
+    # semantic check on the exact-4dp group: ties round half-UP
+    exact = {
+        k: float(
+            sum(
+                (Decimal(str(p)) * (1 - Decimal(str(d)))).quantize(
+                    Decimal("0.0001"), rounding=ROUND_HALF_UP
+                )
+                for kk, p, d in rows
+                if kk == k
+            ).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+        )
+        for k in (1, 2)
+    }
+    assert got_col == exact
 
 
 def test_fixed_units_exact_at_money_magnitudes(spark):
