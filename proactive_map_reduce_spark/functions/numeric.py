@@ -25,11 +25,12 @@ is loud, not silently wrong. Within that domain the cross-engine
 bit-identity is unconditional; the value additionally equals the exact
 half-up decimal whenever the scaled quotient is double-exact
 (num/den ≲ 9e9 — true for every live ratio site, which are all means,
-rates, or scores), and is a ulp off but still engine-identical beyond. For numerators beyond that (e.g.
-microsecond sums at extreme scale), skip rounding altogether and emit
-the raw quotient: identical exact-integer operands through the same
-IEEE op sequence are already bit-identical across engines — it is only
-round() that diverges.
+rates, or scores), and is a ulp off but still engine-identical beyond.
+For numerators past even the int64 bound (e.g. microsecond sums at
+extreme scale), skip rounding altogether and emit the raw quotient:
+identical exact-integer operands through the same IEEE op sequence are
+already bit-identical across engines — it is only round() that
+diverges.
 """
 
 from __future__ import annotations
