@@ -53,7 +53,8 @@ def exchange_counts(df: DataFrame) -> dict[str, int]:
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in simple_plan(df) or "BroadcastNestedLoopJoin" in simple_plan(df)
+    plan = simple_plan(df)
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
 def pushed_filters(df: DataFrame) -> list[str]:

@@ -41,8 +41,17 @@ TIERS: dict[str, tuple[StorageLevel, float]] = {
 
 
 def cache_key(text: str, layer: int | str = "") -> str:
-    """K5: sha256 hex of text+layer (kv_loading_interface.py:19-23,128-135)."""
-    return hashlib.sha256((text + str(layer)).encode("utf-8")).hexdigest()
+    """K5: sha256 hex over (text, layer)
+    (kv_loading_interface.py:19-23,128-135).
+
+    Deliberate deviation from the reference's bare ``text + str(layer)``
+    concatenation: that scheme collides distinct pairs — ('chunk1', 2)
+    and ('chunk', 12) both hash 'chunk12' — and a collision here serves
+    the WRONG cached DataFrame silently. A length prefix makes the
+    encoding injective. The reference-parity hash itself stays on the
+    F10 query surface (q_hash_key mirrors the raw concat)."""
+    payload = f"{len(text)}\x1f{text}\x1f{layer}"
+    return hashlib.sha256(payload.encode("utf-8")).hexdigest()
 
 
 def plan_size_bytes(df: DataFrame) -> int:

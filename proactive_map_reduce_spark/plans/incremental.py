@@ -54,12 +54,17 @@ class IncrementalAggregate:
     partials: DataFrame | None = field(default=None, init=False)
 
     def _partial_aggs(self):
+        # Native result types throughout: counts are bigint (and merge by
+        # summing bigints), sum/min/max keep the measure column's own type
+        # — a cast to double here would silently destroy int64 exactness
+        # past 2^53 (exact-unit money sums are bigint by design,
+        # functions/numeric.py) and break the ==-full-recompute contract.
         aggs = []
         for out, (kind, col) in self.measures.items():
             if kind == "count":
-                aggs.append(F.count(col).cast("double").alias(out))
+                aggs.append(F.count(col).alias(out))
             else:
-                aggs.append(_MERGES[kind](F.col(col).cast("double")).alias(out))
+                aggs.append(_MERGES[kind](F.col(col)).alias(out))
         return aggs
 
     def _merge_aggs(self):

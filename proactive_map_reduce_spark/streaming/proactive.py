@@ -83,9 +83,17 @@ def _write_ordered(df: DataFrame, order_col: str, root: str) -> str:
         .write.partitionBy("__arrival__")
         .parquet(tmp)
     )
+
+    def _stage_key(d: str):
+        # NULL order values land in __HIVE_DEFAULT_PARTITION__ (float()
+        # would crash on it): order them deterministically LAST — an
+        # undefined arrival time arrives after every defined one.
+        v = d.split("=", 1)[1]
+        return (1, 0.0) if v == "__HIVE_DEFAULT_PARTITION__" else (0, float(v))
+
     stage_dirs = sorted(
         (d for d in os.listdir(tmp) if d.startswith("__arrival__=")),
-        key=lambda d: float(d.split("=", 1)[1]),
+        key=_stage_key,
     )
     # backdate stages so any file appended later (dup copies, sentinels)
     # is strictly newer than every stage file.
@@ -159,7 +167,16 @@ def _run_to_memory(stream_df: DataFrame, transform, shuffle_partitions: int = 2)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name)
+    # Drain the memory sink into a plain local-relation DataFrame and
+    # DROP the sink view: memory-sink tables live in driver memory for
+    # the life of the session, so leaving one registered per call leaks
+    # monotonically across repeated runs (tests, bench loops). The
+    # collect is not an added cost — the memory sink already holds the
+    # full result on the driver.
+    sink = spark.table(name)
+    rows, schema = sink.collect(), sink.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 def stage_pipeline(spark: SparkSession, chunks_df: DataFrame) -> DataFrame:
@@ -304,6 +321,19 @@ def rate_source_soak(
     )
 
     queries = []
+    labels = ("window", "stateful")
+    # recentProgress is CAPPED (spark.sql.streaming.numRecentProgressUpdates,
+    # default 100 updates): one read at the end silently under-counts any
+    # soak longer than ~100 micro-batches. Poll during the soak and fold
+    # progress events into a per-batchId map instead.
+    seen: dict[tuple[str, int], dict] = {}
+
+    def _drain():
+        for label, q in zip(labels, queries):
+            for p in q.recentProgress:
+                if p is not None:
+                    seen[(label, p["batchId"])] = p
+
     try:
         for df, ckpt in ((win, ckpts[0]), (acc, ckpts[1])):
             queries.append(
@@ -312,10 +342,15 @@ def rate_source_soak(
                 .option("checkpointLocation", ckpt)
                 .start()
             )
-        time.sleep(duration_s)
+        t_end = time.time() + duration_s
+        while time.time() < t_end:
+            time.sleep(min(2.0, max(0.1, t_end - time.time())))
+            _drain()
         out = {}
-        for label, q in zip(("window", "stateful"), queries):
-            progresses = [p for p in q.recentProgress if p is not None]
+        for label in labels:
+            progresses = [
+                seen[k] for k in sorted(seen) if k[0] == label
+            ]
             rows_in = sum(p["numInputRows"] for p in progresses)
             state_rows = [
                 p["stateOperators"][0]["numRowsTotal"]
@@ -333,14 +368,26 @@ def rate_source_soak(
     finally:
         # stopping an unbounded query mid-batch races its in-flight
         # broadcast cleanup — the JVM logs a benign TorrentBroadcast
-        # ERROR; mute below ERROR for just the stop window
+        # ERROR; mute below ERROR for just the stop window, then restore
+        # the caller's prior root level (not a hardcoded one)
+        prev_level = "ERROR"
+        try:
+            prev_level = (
+                spark.sparkContext._jvm.org.apache.logging.log4j.LogManager
+                .getRootLogger().getLevel().toString()
+            )
+        except Exception:
+            pass
         spark.sparkContext.setLogLevel("FATAL")
         for q in queries:
             try:
                 q.stop()
             except Exception:
                 pass
-        spark.sparkContext.setLogLevel("ERROR")
+        try:
+            spark.sparkContext.setLogLevel(prev_level)
+        except Exception:
+            spark.sparkContext.setLogLevel("ERROR")
         spark.conf.set("spark.sql.shuffle.partitions", old)
         for c in ckpts:
             shutil.rmtree(c, ignore_errors=True)
@@ -378,9 +425,15 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
-def write_event_files(events_df: DataFrame, n_buckets: int = 4) -> str:
+def write_event_files(
+    events_df: DataFrame, n_buckets: int = 4, with_hi: bool = False
+):
     """Split events into ts-ordered bucket files (bucket k arrives k-th).
-    One distributed write job via _write_ordered."""
+    One distributed write job via _write_ordered.
+
+    ``with_hi=True`` additionally returns max(ts) as ``(root, hi)`` — it
+    is already computed for the bucket spans, so callers that need the
+    sentinel bound reuse it instead of re-scanning the input."""
     root = tempfile.mkdtemp(prefix="pmr_events_")
     bounds = events_df.select(
         F.min("ts").alias("lo"), F.max("ts").alias("hi")
@@ -394,7 +447,7 @@ def write_event_files(events_df: DataFrame, n_buckets: int = 4) -> str:
             "bucket",
             root,
         )
-        return root
+        return (root, hi) if with_hi else root
     span = max((hi - lo).total_seconds(), 1.0)
     bucketed = events_df.withColumn(
         "bucket",
@@ -403,7 +456,8 @@ def write_event_files(events_df: DataFrame, n_buckets: int = 4) -> str:
             F.lit(n_buckets - 1),
         ).cast("int"),
     ).select("event_id", "user_id", "event_type", "ts", "value", "bucket")
-    return _write_ordered(bucketed, "bucket", root)
+    _write_ordered(bucketed, "bucket", root)
+    return (root, hi) if with_hi else root
 
 
 def windowed_counts_with_watermark(
@@ -422,8 +476,7 @@ def windowed_counts_with_watermark(
     the result (and never appears in the oracle, which aggregates only the
     real events).
     """
-    root = write_event_files(events_df, n_buckets=n_buckets)
-    hi = events_df.select(F.max("ts").alias("hi")).collect()[0]["hi"]
+    root, hi = write_event_files(events_df, n_buckets=n_buckets, with_hi=True)
     sentinel_ts = _sentinel_ts(hi)
     spark.createDataFrame(
         [(-1, -1, "__sentinel__", sentinel_ts, 0.0)], EVENT_SCHEMA
@@ -486,8 +539,7 @@ def stream_dedup(
     100 TB/day stream where an unbounded-state distinct would OOM.
     """
     dups = events_df.filter(F.col("event_id") % 10 == 0)
-    root = write_event_files(events_df, n_buckets=n_buckets)
-    hi = events_df.select(F.max("ts").alias("hi")).collect()[0]["hi"]
+    root, hi = write_event_files(events_df, n_buckets=n_buckets, with_hi=True)
     # duplicate copies arrive after the originals (a later file), then a
     # far-future sentinel flushes the final watermark advance.
     dups.select("event_id", "user_id", "event_type", "ts", "value").coalesce(
@@ -544,8 +596,7 @@ def stream_stream_join(
     bounds buffered rows to the `within` interval per side regardless of
     total stream length.
     """
-    root = write_event_files(events_df, n_buckets=n_buckets)
-    hi = events_df.select(F.max("ts").alias("hi")).collect()[0]["hi"]
+    root, hi = write_event_files(events_df, n_buckets=n_buckets, with_hi=True)
     sentinel_ts = _sentinel_ts(hi)
     # sentinels must carry the REAL side types (they advance each side's
     # watermark downstream of the type filter); event_id=-1 marks them
@@ -631,4 +682,7 @@ def stream_static_enrich(
         )
 
     stream = spark.readStream.schema(EVENT_SCHEMA).parquet(root)
-    return _run_to_memory(stream, transform)
+    try:
+        return _run_to_memory(stream, transform)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -35,12 +35,36 @@ def _mark_path(state_dir: str) -> str:
     return state_dir + ".batchmark"
 
 
-def _last_batch(state_dir: str) -> int:
+def _last_batch(state_dir: str, stream_id: str = "") -> int:
+    """High-water batch id — scoped to one STREAM GENERATION.
+
+    foreachBatch epoch ids belong to a checkpoint lifetime: a fresh (or
+    cleaned) checkpoint restarts them at 0. A mark left by a previous
+    generation must therefore NOT suppress the new generation's batches
+    — comparing raw ids would silently discard genuinely new data. The
+    mark records the generation it belongs to; a mismatch resets the
+    water mark to -1 (re-merging any half-applied batch is safe: the
+    latest-wins merge is idempotent)."""
     try:
         with open(_mark_path(state_dir)) as f:
-            return json.load(f)["batch_id"]
+            m = json.load(f)
+        if m.get("stream", "") != stream_id:
+            return -1
+        return m["batch_id"]
     except Exception:
         return -1
+
+
+def _stream_generation(checkpoint: str) -> str:
+    """Identity of the checkpoint lifetime: Structured Streaming writes
+    the query id to ``<checkpoint>/metadata`` at start — stable across
+    restarts from the same checkpoint, fresh when the checkpoint is new
+    or cleaned. Falls back to the checkpoint path if unreadable."""
+    try:
+        with open(os.path.join(checkpoint, "metadata")) as f:
+            return str(json.load(f)["id"])
+    except Exception:
+        return checkpoint
 
 
 def _stranded(state_dir: str, suffix: str) -> list[tuple[int, str]]:
@@ -58,7 +82,7 @@ def _stranded(state_dir: str, suffix: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
-def _recover(state_dir: str) -> None:
+def _recover(state_dir: str, stream_id: str = "") -> None:
     """Heal an interrupted swap before merging (the crash-safety half of
     the atomic-rename contract).
 
@@ -88,7 +112,7 @@ def _recover(state_dir: str) -> None:
             b, p = done[-1]
             os.rename(p, state_dir)
             with open(_mark_path(state_dir), "w") as f:
-                json.dump({"batch_id": b}, f)
+                json.dump({"batch_id": b, "stream": stream_id}, f)
             tmps = [t for t in tmps if t[1] != p]
         elif olds:
             _, p = olds[-1]
@@ -105,15 +129,19 @@ def upsert_batch(
     state_dir: str,
     key_cols: list[str],
     order_cols: list[str],
+    stream_id: str = "",
 ) -> None:
     """The foreachBatch body: merge ``batch_df`` into ``state_dir``.
 
     Latest-wins by ``order_cols`` (descending, ties by key order is not
     needed — order_cols must be a total order per key, e.g. (ts,
-    event_id)). Replayed batch ids (<= high-water mark) are skipped.
+    event_id)). Replayed batch ids (<= high-water mark) are skipped —
+    within the same ``stream_id`` generation only (see
+    :func:`_last_batch`; a new checkpoint restarts epoch ids at 0 and
+    must not be suppressed by an older generation's mark).
     """
-    _recover(state_dir)
-    if batch_id <= _last_batch(state_dir):
+    _recover(state_dir, stream_id)
+    if batch_id <= _last_batch(state_dir, stream_id):
         return
     if os.path.isdir(state_dir):
         cur = spark.read.parquet(state_dir)
@@ -136,7 +164,7 @@ def upsert_batch(
     os.rename(tmp, state_dir)
     shutil.rmtree(old, ignore_errors=True)
     with open(_mark_path(state_dir), "w") as f:
-        json.dump({"batch_id": batch_id}, f)
+        json.dump({"batch_id": batch_id, "stream": stream_id}, f)
 
 
 def stream_upsert(
@@ -152,7 +180,12 @@ def stream_upsert(
     for continuous operation)."""
     q = (
         stream_df.writeStream.foreachBatch(
-            lambda b, i: upsert_batch(spark, b, i, state_dir, key_cols, order_cols)
+            # generation id read lazily INSIDE the batch: the checkpoint
+            # metadata file exists once the query has started
+            lambda b, i: upsert_batch(
+                spark, b, i, state_dir, key_cols, order_cols,
+                stream_id=_stream_generation(checkpoint),
+            )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

@@ -163,3 +163,28 @@ def test_delta_path_does_strictly_less_work_than_recompute(spark, tmp_path):
         inc.release()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_incremental_preserves_int64_exactness(spark):
+    """sum/min/max over bigint measures must stay bigint: a cast to
+    double would silently lose exactness past 2^53 (the same contract
+    the exact-unit money sums rely on, functions/numeric.py)."""
+    big = 9_007_199_254_740_993  # 2^53 + 1 — not representable as double
+    base = spark.createDataFrame(
+        [(0, big), (0, 1), (1, big)], "section int, v long"
+    )
+    delta = spark.createDataFrame([(0, big), (1, 2)], "section int, v long")
+
+    inc = IncrementalAggregate(
+        "section", {"total": ("sum", "v"), "lo": ("min", "v"), "hi": ("max", "v")}
+    )
+    inc.initialize(base)
+    inc.apply_delta(delta)
+    got = {
+        r["section"]: (r["total"], r["lo"], r["hi"])
+        for r in inc.result().collect()
+    }
+    inc.release()
+    assert got == {0: (2 * big + 1, 1, big), 1: (big + 2, 2, big)}
+    # and the values came back as Python ints (bigint schema), not floats
+    assert all(isinstance(v, int) for t in got.values() for v in t)

@@ -95,10 +95,13 @@ def test_cache_manager_tier_policy():
     assert mgr.decide_tier(50.0) == "disk"
 
 
-def test_cache_key_is_sha256_of_text_plus_layer():
+def test_cache_key_is_injective_sha256_of_text_and_layer():
     import hashlib
 
-    assert cache_key("abc", 7) == hashlib.sha256(b"abc7").hexdigest()
+    # length-prefixed payload (the reference's bare text+layer concat
+    # collides distinct pairs, e.g. ('chunk1', 2) vs ('chunk', 12))
+    assert cache_key("abc", 7) == hashlib.sha256(b"3\x1fabc\x1f7").hexdigest()
+    assert cache_key("chunk1", 2) != cache_key("chunk", 12)
 
 
 def test_partitioned_sink_prunes_partitions(spark):

@@ -370,3 +370,55 @@ def test_windowed_watermark_restart_no_dup_no_loss(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_upsert_new_stream_generation_is_not_suppressed(spark, tmp_path):
+    """A fresh checkpoint restarts foreachBatch epoch ids at 0; batches
+    of the NEW generation must merge into the existing state instead of
+    being skipped by the old generation's high-water mark (the re-ingest
+    pattern: same state table, new/cleaned checkpoint)."""
+    state = str(tmp_path / "state")
+    keys, order = ["user_id"], ["ts", "event_id"]
+    b0 = _ev_rows(spark, [(1, 0, "set", BASE_TS, 1.0)])
+    b1 = _ev_rows(
+        spark, [(2, 1, "set", BASE_TS + datetime.timedelta(minutes=1), 2.0)]
+    )
+    up.upsert_batch(spark, b0, 0, state, keys, order, stream_id="gen-a")
+    up.upsert_batch(spark, b1, 1, state, keys, order, stream_id="gen-a")
+    # same generation, replayed id: skipped
+    replay = _ev_rows(
+        spark, [(9, 0, "set", BASE_TS + datetime.timedelta(hours=1), 9.0)]
+    )
+    up.upsert_batch(spark, replay, 1, state, keys, order, stream_id="gen-a")
+    assert _read_state(spark, state)[0] == (1, 1.0)
+    # NEW generation, epoch restarts at 0: must be applied
+    b_new = _ev_rows(
+        spark, [(3, 0, "set", BASE_TS + datetime.timedelta(hours=2), 3.0)]
+    )
+    up.upsert_batch(spark, b_new, 0, state, keys, order, stream_id="gen-b")
+    got = _read_state(spark, state)
+    assert got == {0: (3, 3.0), 1: (2, 2.0)}
+    assert up._last_batch(state, "gen-b") == 0
+    assert up._last_batch(state, "gen-a") == -1  # old mark superseded
+
+
+def test_write_ordered_tolerates_null_order_values(spark):
+    """Rows with a NULL arrival key (nulled chunk_id from upstream
+    quarantining) must not crash the stage writer — they arrive last,
+    deterministically."""
+    chunks = spark.createDataFrame(
+        [(1, 0, "first"), (1, None, "orphan"), (2, 1, "second")],
+        "doc_id long, chunk_id int, chunk_text string",
+    )
+    root = stream_ops.write_stage_files(chunks)
+    try:
+        files = sorted(
+            f for f in os.listdir(root) if f.endswith(".parquet")
+        )
+        assert len(files) == 3  # one per arrival, nulls last
+        last = spark.read.parquet(os.path.join(root, files[-1]))
+        assert [r["chunk_text"] for r in last.collect()] == ["orphan"]
+        got = spark.read.parquet(root)
+        assert got.count() == 3
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
