@@ -87,6 +87,14 @@ _REWRITTEN = {
     # rescale_units (all consumers above re-queue via their own entries)
     # and the exact-cents resample mean
     "q_dedup_ngram_jaccard": 4,
+    # operators-review pass: null-content sentinel keys in exact dedup,
+    # empty-token drop in the retrieval layer, null-excluded histogram
+    # quantiles (all mirrored in the oracles)
+    "q_dedup_exact": 4,
+    "q_tfidf_top_terms": 4,
+    "q_bm25_search": 4,
+    "q_hybrid_search": 4,
+    "q_unigram_lm_score": 4,
 }
 
 

@@ -52,9 +52,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
     Returns one row per distinct content: representative id (min), dup
     count. Scale: single shuffle on sha256 key; map-side partial agg.
+
+    NULL content is UNKNOWN content, not identical content: sha2(NULL)
+    is NULL and groupBy groups NULLs together, which would collapse
+    every quarantined null-payload doc into one bogus cluster (and a
+    keep-representative step would then delete docs never compared).
+    Each null-content doc instead gets a per-doc sentinel key — its own
+    singleton cluster.
     """
     keyed = df.select(
-        F.col(id_col), F.sha2(normalize_text(F.col(text_col)), 256).alias("content_key")
+        F.col(id_col),
+        F.when(
+            F.col(text_col).isNull(),
+            F.concat(F.lit("__null__:"), F.col(id_col).cast("string")),
+        )
+        .otherwise(F.sha2(normalize_text(F.col(text_col)), 256))
+        .alias("content_key"),
     )
     return keyed.groupBy("content_key").agg(
         F.min(id_col).alias("rep_id"),
@@ -115,6 +128,24 @@ def shingle_sets(words_df: DataFrame, id_col: str = "doc_id", n: int = 3) -> Dat
     )
 
 
+def _h0_rows(shingle_df: DataFrame, id_col: str) -> DataFrame:
+    """(id, h0) — ONE portable md5 per shingle; the single definition the
+    signature builders share (universal-hash base, 2^62 overflow bound
+    documented at MINHASH_PRIME)."""
+    base = (portable_hash64(F.col("shingle")) % MINHASH_PRIME).alias("h0")
+    return shingle_df.select(F.col(id_col), base)
+
+
+def _minhash_min_aggs(n_hashes: int) -> list:
+    """The n_hashes affine min-aggregates h_j = min((a_j·h0 + b_j) mod p)."""
+    return [
+        F.min(
+            (F.lit(MINHASH_A[j]) * F.col("h0") + F.lit(MINHASH_B[j])) % MINHASH_PRIME
+        ).alias(f"mh_{j}")
+        for j in range(n_hashes)
+    ]
+
+
 def minhash_with_sets(
     shingle_df: DataFrame, n_hashes: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -134,14 +165,8 @@ def minhash_with_sets(
     rare, ~|union|²/2³¹) collision is seen identically on both sides —
     the oracle comparison stays exact.
     """
-    base = (portable_hash64(F.col("shingle")) % MINHASH_PRIME).alias("h0")
-    rows = shingle_df.select(F.col(id_col), base)
-    aggs = [
-        F.min((F.lit(MINHASH_A[j]) * F.col("h0") + F.lit(MINHASH_B[j])) % MINHASH_PRIME).alias(
-            f"mh_{j}"
-        )
-        for j in range(n_hashes)
-    ] + [F.collect_set("h0").alias("shingles")]
+    rows = _h0_rows(shingle_df, id_col)
+    aggs = _minhash_min_aggs(n_hashes) + [F.collect_set("h0").alias("shingles")]
     return rows.groupBy(id_col).agg(*aggs)
 
 
@@ -160,15 +185,9 @@ def minhash_signatures(
         shingle_df = shingle_df.select(
             F.col(id_col), F.explode("shingles").alias("shingle")
         )
-    base = (portable_hash64(F.col("shingle")) % MINHASH_PRIME).alias("h0")
-    rows = shingle_df.select(F.col(id_col), base)
-    aggs = [
-        F.min((F.lit(MINHASH_A[j]) * F.col("h0") + F.lit(MINHASH_B[j])) % MINHASH_PRIME).alias(
-            f"mh_{j}"
-        )
-        for j in range(n_hashes)
-    ]
-    return rows.groupBy(id_col).agg(*aggs)
+    return _h0_rows(shingle_df, id_col).groupBy(id_col).agg(
+        *_minhash_min_aggs(n_hashes)
+    )
 
 
 LSH_MAX_BUCKET = 256  # representatives per bucket; >K members star-link to rep

@@ -37,11 +37,16 @@ from ..functions.hashing import py_token_id
 def tokenize_standin(texts: pd.Series) -> pd.Series:
     """Deterministic stand-in tokenizer: md5-derived id per whitespace word.
 
-    Mirrors the tokenizer seam at pipeline_70b_samsum.py:150,170. Equivalent
-    SQL: token = portable_hash64(word) % 32000 — so tokenize queries remain
-    oracle-checkable even though this path exercises the Arrow UDF seam.
+    Mirrors the tokenizer seam at pipeline_70b_samsum.py:150,170 as the
+    Arrow-UDF twin of the relational ``token_id(split(text, ' '))`` path
+    (which the registry queries use) — the two must agree row-for-row,
+    INCLUDING on the empty string, where split(' ') yields one empty
+    token exactly like F.split does (''.split(' ') == ['']). Only NULL
+    text maps to an empty token list.
     """
-    return texts.map(lambda t: [py_token_id(w) for w in t.split(" ")] if t else [])
+    return texts.map(
+        lambda t: [py_token_id(w) for w in t.split(" ")] if t is not None else []
+    )
 
 
 # --- M1: pluggable model stage ----------------------------------------------

@@ -32,9 +32,16 @@ B = 0.75
 
 
 def term_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, term, tf) — one row per distinct term per document."""
+    """(doc_id, term, tf) — one row per distinct term per document.
+
+    Empty tokens (runs of spaces, empty documents) are dropped — the
+    engine-wide retrieval/scoring token convention (functions/scoring
+    does the same): '' is not a term, must never earn an idf, and must
+    not skew document length."""
     ws = F.split(F.col(text_col), " ")
-    words = docs.select("doc_id", F.explode(ws).alias("term"))
+    words = docs.select("doc_id", F.explode(ws).alias("term")).filter(
+        F.col("term") != ""
+    )
     return words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
 
 
@@ -95,7 +102,12 @@ def bm25_search(docs: DataFrame, query_terms: list[str], top_n: int = 10) -> Dat
     avgdl ride along as broadcast joins.
     """
     ws = F.split(F.col("text"), " ")
-    lengths = docs.select("doc_id", F.size(ws).alias("dl"))
+    # dl counts NON-EMPTY tokens (the engine-wide token convention); the
+    # HOF filter is interpreted but runs once per doc on a narrow
+    # projection, not in the per-term hot path
+    lengths = docs.select(
+        "doc_id", F.size(F.filter(ws, lambda x: x != F.lit(""))).alias("dl")
+    )
     stats = lengths.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import portable_hash64
+
 
 def _as_double(col):
     # Cast, not F.transform: array-to-array Cast is a codegen expression,
@@ -70,8 +72,13 @@ _CHUNK = 8
 def _dim_of(emb: DataFrame, vec_col: str) -> int:
     """Probe the (fixed) vector dimensionality — one 1-row job. Kept only
     as the fallback for callers with non-test data; every registry query
-    passes ``dim=EMBED_DIM`` so no probe job runs on the bench path."""
-    return emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    passes ``dim=EMBED_DIM`` so no probe job runs on the bench path.
+
+    A zero-row (or null-vector) input has no dimensionality; report 0 so
+    the callers' empty-input paths produce their documented well-formed
+    empty results instead of a TypeError on ``None["d"]``."""
+    row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    return 0 if row is None or row["d"] is None else row["d"]
 
 
 def _chunked_sum(terms):
@@ -116,6 +123,8 @@ def unrolled_dot(a, b, dim: int):
 
     Pass column NAMES (str) to build the tree through one F.expr parse
     (fast path); Column args take the py4j-per-term path."""
+    if dim <= 0:  # zero-row probe fallback: a well-typed degenerate sum
+        return F.lit(0.0)
     if isinstance(a, str) and isinstance(b, str):
         return F.expr(_chunked_sum_sql([f"{a}[{d}] * {b}[{d}]" for d in range(dim)]))
     return _chunked_sum([a[d] * b[d] for d in range(dim)])
@@ -123,6 +132,8 @@ def unrolled_dot(a, b, dim: int):
 
 def unrolled_norm(a, dim: int):
     """‖a‖ with the same chunked fold order as ``unrolled_dot``."""
+    if dim <= 0:
+        return F.lit(0.0)
     if isinstance(a, str):
         return F.sqrt(
             F.expr(_chunked_sum_sql([f"{a}[{d}] * {a}[{d}]" for d in range(dim)]))
@@ -341,14 +352,12 @@ def ivf_topk(
         .persist()
     )
     if train_fraction < 1.0:
-        # Deterministic hash-gate sample: the first 8 hex chars of
-        # md5(vec_id) are a uniform 32-bit value; keep a vector for
-        # training iff it falls below fraction * 2^32. Same gate family
-        # as q_stratified_sample — no RNG state, stable under re-runs,
-        # re-partitioning and engine changes.
-        gate = F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-        ).cast("bigint")
+        # Deterministic hash-gate sample: portable_hash64 is a uniform
+        # 32-bit value; keep a vector for training iff it falls below
+        # fraction * 2^32. Same gate family as q_stratified_sample — no
+        # RNG state, stable under re-runs, re-partitioning and engine
+        # changes (single pinned definition in functions/hashing.py).
+        gate = portable_hash64(F.col(id_col).cast("string"))
         train = base.filter(gate < int(train_fraction * 2**32)).persist()
     else:
         train = base
@@ -365,7 +374,10 @@ def ivf_topk(
     )
     if not seeds:
         # degenerate sample (fraction too small for the corpus): train on
-        # the full input rather than fail
+        # the full input rather than fail — releasing the orphaned
+        # persisted sample first, so it doesn't outlive the call
+        if train is not base:
+            train.unpersist()
         train = base
         seeds = (
             train.withColumn("h", F.md5(F.col(id_col).cast("string")))

@@ -76,15 +76,22 @@ def histogram_quantiles(
     cross-engine deterministic; the per-group state is `bins` counters
     (mergeable by addition). The cumulative window runs over ≤ `bins`
     rows per group — bounded regardless of data size.
+
+    NULL values are excluded BEFORE counting: a null can't land in any
+    bin, so counting it in n would shift every quantile, and the
+    resulting NULL bin row would make the cumulative window order
+    engine-dependent (Spark sorts NULLS FIRST ascending, DuckDB NULLS
+    LAST). A group whose values are all null has no quantiles and is
+    absent from the output.
     """
     out_cols = out_cols or [f"p{int(p * 100)}" for p in probs]
-    bounds = df.groupBy(group_col).agg(
+    vals = df.select(group_col, value_col).filter(F.col(value_col).isNotNull())
+    bounds = vals.groupBy(group_col).agg(
         F.min(value_col).alias("lo"), F.max(value_col).alias("hi"),
         F.count("*").alias("n"),
     )
     binned = (
-        df.select(group_col, value_col)
-        .join(bounds, group_col)
+        vals.join(bounds, group_col)
         .select(
             group_col, "lo", "hi", "n",
             F.floor(

@@ -28,7 +28,13 @@ from pyspark.sql import functions as F
 def salt_column(stable_col: Column | str, n_salts: int) -> Column:
     """Deterministic per-row salt in [0, n_salts)."""
     c = F.col(stable_col) if isinstance(stable_col, str) else stable_col
-    return F.pmod(F.crc32(c.cast("string")), F.lit(n_salts)).cast("int")
+    # null-safe: crc32(NULL) is NULL, and a NULL salt would silently DROP
+    # the row from salted_join's equi-condition (breaking the documented
+    # plain-inner-join equivalence); a null source deterministically
+    # salts to 0 instead.
+    return F.coalesce(
+        F.pmod(F.crc32(c.cast("string")), F.lit(n_salts)), F.lit(0)
+    ).cast("int")
 
 
 def salted_agg(
@@ -41,7 +47,13 @@ def salted_agg(
     """Two-phase sum/count over (keys + salt), then combine partials.
 
     Equivalent to df.groupBy(keys).agg(sum, count) with the hot-key
-    reduce work spread across n_salts reducers."""
+    reduce work spread across n_salts reducers. For FLOAT measures the
+    equivalence is up to accumulation order (float + is non-associative;
+    the salt changes the association) — boundary-stable when inputs are
+    fixed-point and the display rounds at no finer than the input scale
+    (the q_salted_agg shape: 2-dec values, round(sum, 2)); for exact
+    cross-engine sums at finer display scales, feed fixed-point units
+    (functions/numeric.fixed_units) instead of raw doubles."""
     salted = df.withColumn("_salt", salt_column(salt_source, n_salts))
     partial = salted.groupBy(*key_cols, "_salt").agg(
         F.sum(sum_col).alias("_psum"), F.count("*").alias("_pcnt")

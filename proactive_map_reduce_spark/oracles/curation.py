@@ -37,8 +37,12 @@ from ._base import (  # noqa: F401
     _shingles_from,
 )
 
+# NULL content gets a per-doc sentinel key (its own singleton cluster),
+# mirroring operators/dedup.exact_dedup — sha256(NULL) would otherwise
+# collapse all null-payload docs into one bogus duplicate group.
 ORACLES["q_dedup_exact"] = f"""
-SELECT sha256({_norm('text')}) AS content_key,
+SELECT CASE WHEN text IS NULL THEN '__null__:' || CAST(doc_id AS VARCHAR)
+            ELSE sha256({_norm('text')}) END AS content_key,
        min(doc_id) AS rep_id,
        CAST(count(*) AS BIGINT) AS n_dups
 FROM documents GROUP BY 1
@@ -314,10 +318,13 @@ WHERE {_h("CAST(doc_id AS VARCHAR)", salt="sample")} % 100 <
 """
 
 
+# empty tokens dropped (engine-wide retrieval token convention,
+# operators/ranking.term_counts)
 ORACLES["q_tfidf_top_terms"] = """
-WITH w AS (
+WITH w0 AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
 ),
+w AS (SELECT * FROM w0 WHERE term <> ''),
 tc AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
 dfs AS (SELECT term, count(*) AS df_t FROM tc GROUP BY term),
 n AS (SELECT count(*) AS n_docs FROM documents),
@@ -341,8 +348,11 @@ FROM ranked WHERE rnk <= 3
 # BM25 with k1=1.2, b=0.75 and Robertson idf; expression shapes mirror
 # operators/ranking.py term-for-term so both engines compute identical
 # doubles before the 6-place round.
+# dl counts non-empty tokens (mirrors operators/ranking.bm25_search)
 ORACLES["q_bm25_search"] = """
-WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+WITH dl AS (SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+            FROM documents),
 stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
 w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
 hits AS (
@@ -379,7 +389,8 @@ WITH s AS (
   SELECT doc_id, t.i - 1 AS sent_pos, d.ss[t.i] AS sentence
   FROM (SELECT doc_id,
                string_split(regexp_replace(text, '([.!?])[ 	
-]+', '\\1' || chr(1), 'g'),
+
+]+', '\\1' || chr(1), 'g'),
                             chr(1)) AS ss
         FROM documents) d,
        UNNEST(generate_series(1, len(d.ss))) AS t(i)
@@ -387,8 +398,10 @@ WITH s AS (
 ),
 k AS (
   SELECT doc_id, sent_pos, md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(sentence), '[^a-z0-9 	
-]', '', 'g'), '\\b(a|an|the)\\b', ' ', 'g'), '[ 	
-]+', ' ', 'g'))) AS sent_key FROM s
+
+]', '', 'g'), '\\b(a|an|the)\\b', ' ', 'g'), '[ 	
+
+]+', ' ', 'g'))) AS sent_key FROM s
 ),
 f AS (
   SELECT doc_id,
@@ -404,10 +417,13 @@ FROM f GROUP BY doc_id
 """
 
 
+# empty tokens dropped everywhere (term_counts convention); total_tokens
+# = sum(ctf) inherits the same filter automatically
 ORACLES["q_unigram_lm_score"] = """
-WITH w AS (
+WITH w0 AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
 ),
+w AS (SELECT * FROM w0 WHERE term <> ''),
 tc AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
 ctf AS (SELECT term, sum(tf) AS ctf FROM tc GROUP BY term),
 tot AS (SELECT sum(ctf) AS total_tokens FROM ctf),
@@ -431,7 +447,9 @@ SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents
 # Hybrid retrieval: the BM25 top-20 CTE chain reused, then stand-in
 # embedding cosine rerank against the encoded literal query string.
 ORACLES["q_hybrid_search"] = """
-WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+WITH dl AS (SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+            FROM documents),
 stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
 w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
 hits AS (
@@ -529,7 +547,8 @@ s AS (
   SELECT doc_id, lang, t.i - 1 AS sent_pos, d.ss[t.i] AS sentence
   FROM (SELECT doc_id, lang,
                string_split(regexp_replace(text, '([.!?])[ 	
-]+', '\\1' || chr(1), 'g'),
+
+]+', '\\1' || chr(1), 'g'),
                             chr(1)) AS ss
         FROM surv) d,
        UNNEST(generate_series(1, len(d.ss))) AS t(i)
@@ -540,9 +559,11 @@ k AS (
          len(string_split(sentence, ' ')) AS sent_tok,
          md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(sentence),
              '[^a-z0-9 	
-]', '', 'g'), '\\b(a|an|the)\\b', ' ', 'g'),
+
+]', '', 'g'), '\\b(a|an|the)\\b', ' ', 'g'),
              '[ 	
-]+', ' ', 'g'))) AS sent_key
+
+]+', ' ', 'g'))) AS sent_key
   FROM s
 ),
 f AS (
@@ -679,7 +700,8 @@ s AS (
          trim(regexp_replace(
            replace(regexp_replace(html, '<[^>]+>', ' ', 'g'), '&nbsp;', ' '),
            '[ 	
-]+', ' ', 'g')) AS clean
+
+]+', ' ', 'g')) AS clean
   FROM h
 )
 SELECT doc_id, CAST(length(html) AS BIGINT) AS html_len,

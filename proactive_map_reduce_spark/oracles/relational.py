@@ -129,13 +129,16 @@ kmv AS (
   FROM wrn GROUP BY lang
 ),
 bounds AS (
-  SELECT lang, min(n_chars) AS lo, max(n_chars) AS hi, count(*) AS n
-  FROM documents GROUP BY lang
+  -- nulls excluded before counting (mirrors operators/sketch.py: a null
+  -- lands in no bin, and counting it would shift every quantile)
+  SELECT lang, min(n_chars) AS lo, max(n_chars) AS hi, count(n_chars) AS n
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY lang
 ),
 binned AS (
   SELECT d.lang, b.lo, b.hi, b.n,
          CAST(floor(((d.n_chars - b.lo) * 64) / (b.hi - b.lo + 1)) AS INT) AS bin
   FROM documents d JOIN bounds b USING (lang)
+  WHERE d.n_chars IS NOT NULL
 ),
 cnt AS (
   SELECT lang, lo, hi, n, bin, count(*) AS c

@@ -270,8 +270,12 @@ def q_unigram_lm_score(spark, sf_dir):
     d = _docs(spark, sf_dir)
     tc = rank_ops.term_counts(d)
     wt = Window.partitionBy("term")
+    # non-empty token total, matching term_counts' token convention (the
+    # denominator must count exactly the tokens the tf numerators see)
     tot = d.agg(
-        F.sum(F.size(F.split(F.col("text"), " "))).alias("total_tokens")
+        F.sum(
+            F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit("")))
+        ).alias("total_tokens")
     )
     scored = (
         tc.withColumn("ctf", F.sum("tf").over(wt))

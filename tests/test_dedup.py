@@ -257,3 +257,20 @@ def test_topk_importance_matches_reference_selection(spark):
             ).collect()
         }
         assert got == reference_select(scores, ratio, last_len), (scores, got)
+
+
+def test_exact_dedup_null_content_is_not_a_duplicate(spark):
+    """NULL content is unknown, not identical: each null-payload doc gets
+    its own singleton cluster instead of all nulls collapsing into one
+    sha2(NULL) group (whose keep-representative step would silently drop
+    docs never compared)."""
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["content_key"]: (r["rep_id"], r["n_dups"]) for r in dedup.exact_dedup(df).collect()}
+    assert len(out) == 3  # one real cluster + two null singletons
+    assert ("__null__:3" in out) and out["__null__:3"] == (3, 1)
+    assert ("__null__:4" in out) and out["__null__:4"] == (4, 1)
+    real = [v for k, v in out.items() if not k.startswith("__null__:")]
+    assert real == [(1, 2)]

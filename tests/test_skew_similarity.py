@@ -216,3 +216,32 @@ def test_topk_empty_corpus_returns_typed_empty(spark):
     assert [f.name for f in ivf.schema.fields] == [
         "query_id", "neighbor_id", "cos_sim", "rank"
     ]
+
+
+def test_salted_join_keeps_null_salt_source_rows(spark):
+    """A NULL salt_source column must not drop fact rows: the salted join
+    claims equivalence to the plain inner join (crc32(NULL) is NULL; a
+    NULL salt fails the equi-condition silently)."""
+    from proactive_map_reduce_spark.operators import skew
+
+    fact = spark.createDataFrame(
+        [(1, None, 10.0), (1, 5, 20.0), (2, 7, 30.0)],
+        "k long, src int, v double",
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "dk long, name string")
+    got = skew.salted_join(fact, dim, "k", "dk", salt_source="src").collect()
+    plain = fact.join(dim, fact["k"] == dim["dk"]).collect()
+    assert len(got) == len(plain) == 3
+
+
+def test_brute_force_topk_empty_corpus_dim_probe(spark):
+    """dim=None on a zero-row corpus: the probe reports 0 and the
+    operator returns its documented well-formed empty result."""
+    from proactive_map_reduce_spark.operators import similarity
+
+    empty = spark.createDataFrame([], "vec_id long, emb array<double>")
+    out = similarity.brute_force_topk(
+        empty, id_col="vec_id", vec_col="emb", dim=None
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "neighbor_id", "cos_sim", "rank"}
