@@ -95,6 +95,11 @@ _REWRITTEN = {
     "q_bm25_search": 4,
     "q_hybrid_search": 4,
     "q_unigram_lm_score": 4,
+    # curation/similarity review pass: CR-safe oracle whitespace classes,
+    # zero-vector quantize guard, exact-unit centroid accumulation
+    "q_html_strip": 4,
+    "q_quantize_embeddings": 4,
+    "q_embedding_centroids": 4,
 }
 
 

@@ -413,12 +413,16 @@ def jaccard_pairs(
         a = shingle_df.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
         b = shingle_df.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        # extra pair columns (e.g. a signature-agreement count) pass
+        # through, so callers never re-spell the jaccard convention
+        extras = [c for c in pairs.columns if c not in ("doc_a", "doc_b")]
         return (
             pairs.join(a, "doc_a")
             .join(b, "doc_b")
             .select(
                 "doc_a",
                 "doc_b",
+                *extras,
                 # exact-int half-up round: union size can reduce to a
                 # 2^7·5^t denominator where float round(x, 6) splits
                 # engines (functions/numeric.py)

@@ -97,6 +97,30 @@ def _norm(expr: str) -> str:
     )
 
 
+# One-or-more-whitespace class for inlining into oracle regexes. ALWAYS
+# interpolate this (never hand-type the class): a hand-inlined copy once
+# lost the \r byte in an edit, silently diverging the sentence split and
+# whitespace collapse from the Spark side's [ \t\n\r\f] on CR-bearing
+# text.
+_WS_PLUS = f"[{_WS_CHARS}]+"
+
+
+def _sentence_split_cte(src: str, cols: str = "doc_id") -> str:
+    """One row per non-empty sentence of ``src``'s text column — the
+    DuckDB mirror of operators/chunking.split_sentences (terminator +
+    whitespace boundary via marker-insertion split; whitespace class
+    from _WS_CHARS so the two engines cannot drift)."""
+    return (
+        f"SELECT {cols}, t.i - 1 AS sent_pos, d.ss[t.i] AS sentence\n"
+        f"  FROM (SELECT {cols},\n"
+        f"               string_split(regexp_replace(text, '([.!?]){_WS_PLUS}', '\\1' || chr(1), 'g'),\n"
+        f"                            chr(1)) AS ss\n"
+        f"        FROM {src}) d,\n"
+        f"       UNNEST(generate_series(1, len(d.ss))) AS t(i)\n"
+        f"  WHERE length(d.ss[t.i]) > 0"
+    )
+
+
 ORACLES: dict[str, str] = {}
 
 

@@ -32,9 +32,20 @@ from ._base import (  # noqa: F401
     _jaccard_select,
     _norm,
     _norm_toks,
+    _sentence_split_cte,
     _set_f1_sql,
     _subset_sql,
     _shingles_from,
+    _WS_PLUS,
+)
+
+from ..operators.dedup import LSH_MAX_BUCKET as _K  # noqa: E402
+from ..queries._base import (  # noqa: E402
+    CURATION_JACCARD_MIN as _J_MIN,
+    CURATION_QUALITY_MIN as _Q_MIN,
+    MINHASH_MIN_AGREEMENT as _MIN_AGREE,
+    PACK_BUDGET as _PACK,
+    QUALITY_QUOTA as _QUOTA,
 )
 
 # NULL content gets a per-doc sentinel key (its own singleton cluster),
@@ -69,7 +80,7 @@ agree AS (
   JOIN sig sa ON sa.doc_id = c.doc_a
   JOIN sig sb ON sb.doc_id = c.doc_b
 ),
-conf AS (SELECT * FROM agree WHERE n_sig_match >= 8),
+conf AS (SELECT * FROM agree WHERE n_sig_match >= {_MIN_AGREE}),
 sizes AS (SELECT doc_id, count(*) AS sz FROM hs GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -91,9 +102,6 @@ JOIN sizes sb ON sb.doc_id = c.doc_b
 # dedup.incremental_lsh_matches: batch bands probe the catalog's band
 # index (catalog buckets capped at the LSH_MAX_BUCKET smallest ids, the
 # same rank rule as _CAND), candidates confirmed by signature agreement.
-from ..operators.dedup import LSH_MAX_BUCKET as _K  # noqa: E402
-from ..queries._base import MINHASH_MIN_AGREEMENT as _MIN_AGREE  # noqa: E402
-
 ORACLES["q_dedup_incremental"] = f"""
 WITH {_SHINGLES}, {_HS}, {_SIG},
 newsig AS (SELECT * FROM sig WHERE doc_id % 5 = 0),
@@ -386,22 +394,10 @@ FROM d WHERE NOT (list_contains(ws, 'error') OR list_contains(ws, 'slow'))
 
 ORACLES["q_sentence_dedup"] = f"""
 WITH s AS (
-  SELECT doc_id, t.i - 1 AS sent_pos, d.ss[t.i] AS sentence
-  FROM (SELECT doc_id,
-               string_split(regexp_replace(text, '([.!?])[ 	
-
-]+', '\\1' || chr(1), 'g'),
-                            chr(1)) AS ss
-        FROM documents) d,
-       UNNEST(generate_series(1, len(d.ss))) AS t(i)
-  WHERE length(d.ss[t.i]) > 0
+  {_sentence_split_cte('documents')}
 ),
 k AS (
-  SELECT doc_id, sent_pos, md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(sentence), '[^a-z0-9 	
-
-]', '', 'g'), '\\b(a|an|the)\\b', ' ', 'g'), '[ 	
-
-]+', ' ', 'g'))) AS sent_key FROM s
+  SELECT doc_id, sent_pos, md5({_norm('sentence')}) AS sent_key FROM s
 ),
 f AS (
   SELECT doc_id,
@@ -485,7 +481,7 @@ FROM reranked QUALIFY rank <= 5
 """
 
 
-ORACLES["q_pack_sequences"] = """
+ORACLES["q_pack_sequences"] = f"""
 WITH toks AS (
   SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok FROM documents
 ),
@@ -496,11 +492,11 @@ packed AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
   FROM toks
 )
-SELECT lang, CAST(floor(start_off / 256.0) AS BIGINT) AS pack_id,
+SELECT lang, CAST(floor(start_off / {_PACK}.0) AS BIGINT) AS pack_id,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
-FROM packed GROUP BY lang, CAST(floor(start_off / 256.0) AS BIGINT)
+FROM packed GROUP BY lang, CAST(floor(start_off / {_PACK}.0) AS BIGINT)
 """
 
 
@@ -518,7 +514,7 @@ WITH gated AS (
            '+ 300 * len(list_distinct(string_split(text, chr(32))))',
            '1000 * len(string_split(text, chr(32)))')} AS q
     FROM documents)
-  WHERE q >= 0.40
+  WHERE q >= {_Q_MIN}
 ),
 {_shingles_from('gated')},
 {_HS}, {_SIG}, {_BANDED}, {_CAND},
@@ -538,32 +534,18 @@ jacc AS (
   JOIN sizes sa ON sa.doc_id = c.doc_a
   JOIN sizes sb ON sb.doc_id = c.doc_b
 ),
-dropped AS (SELECT DISTINCT doc_b AS doc_id FROM jacc WHERE jaccard >= 0.5),
+dropped AS (SELECT DISTINCT doc_b AS doc_id FROM jacc WHERE jaccard >= {_J_MIN}),
 surv AS (
   SELECT g.* FROM gated g LEFT JOIN dropped x ON g.doc_id = x.doc_id
   WHERE x.doc_id IS NULL
 ),
 s AS (
-  SELECT doc_id, lang, t.i - 1 AS sent_pos, d.ss[t.i] AS sentence
-  FROM (SELECT doc_id, lang,
-               string_split(regexp_replace(text, '([.!?])[ 	
-
-]+', '\\1' || chr(1), 'g'),
-                            chr(1)) AS ss
-        FROM surv) d,
-       UNNEST(generate_series(1, len(d.ss))) AS t(i)
-  WHERE length(d.ss[t.i]) > 0
+  {_sentence_split_cte('surv', 'doc_id, lang')}
 ),
 k AS (
   SELECT doc_id, lang, sent_pos,
          len(string_split(sentence, ' ')) AS sent_tok,
-         md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(sentence),
-             '[^a-z0-9 	
-
-]', '', 'g'), '\\b(a|an|the)\\b', ' ', 'g'),
-             '[ 	
-
-]+', ' ', 'g'))) AS sent_key
+         md5({_norm('sentence')}) AS sent_key
   FROM s
 ),
 f AS (
@@ -584,11 +566,11 @@ packed AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
   FROM kept
 )
-SELECT lang, CAST(floor(start_off / 256.0) AS BIGINT) AS pack_id,
+SELECT lang, CAST(floor(start_off / {_PACK}.0) AS BIGINT) AS pack_id,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
-FROM packed GROUP BY lang, CAST(floor(start_off / 256.0) AS BIGINT)
+FROM packed GROUP BY lang, CAST(floor(start_off / {_PACK}.0) AS BIGINT)
 """
 
 
@@ -688,7 +670,7 @@ FROM j GROUP BY doc_id
 """
 
 
-ORACLES["q_html_strip"] = """
+ORACLES["q_html_strip"] = f"""
 WITH h AS (
   SELECT doc_id, text,
          '<html><body><p class="c">' || replace(text, ' ', '&nbsp;')
@@ -699,9 +681,7 @@ s AS (
   SELECT doc_id, text, html,
          trim(regexp_replace(
            replace(regexp_replace(html, '<[^>]+>', ' ', 'g'), '&nbsp;', ' '),
-           '[ 	
-
-]+', ' ', 'g')) AS clean
+           '{_WS_PLUS}', ' ', 'g')) AS clean
   FROM h
 )
 SELECT doc_id, CAST(length(html) AS BIGINT) AS html_len,
@@ -735,5 +715,5 @@ ranked AS (
            PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS INT) AS rnk
   FROM scored
 )
-SELECT lang, rnk, doc_id, quality_score FROM ranked WHERE rnk <= 20
+SELECT lang, rnk, doc_id, quality_score FROM ranked WHERE rnk <= {_QUOTA}
 """

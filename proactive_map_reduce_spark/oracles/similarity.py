@@ -1,5 +1,6 @@
 """Embedding-similarity and multimodal oracles."""
 
+from ..functions.numeric import fixed_units_sql as _fu
 from ._base import *  # noqa: F401,F403
 from ._base import (  # noqa: F401
     ORACLES,
@@ -167,9 +168,11 @@ s AS (
   FROM v
 ),
 q AS (
+  -- zero-vector guard mirrors the engine: divide by 1.0 when s = 0 so
+  -- q=0 and err=0 instead of engine-dependent x/0 behavior
   SELECT vec_id, s,
-         list_transform(v, x -> CAST(round(x / s) AS INT)) AS qv,
-         list_transform(v, x -> abs(x - round(x / s) * s)) AS errv
+         list_transform(v, x -> CAST(round(x / CASE WHEN s = 0 THEN 1.0 ELSE s END) AS INT)) AS qv,
+         list_transform(v, x -> abs(x - round(x / CASE WHEN s = 0 THEN 1.0 ELSE s END) * s)) AS errv
   FROM s
 )
 SELECT vec_id, round(s, 6) AS scale,
@@ -182,20 +185,25 @@ FROM q
 
 # Centroid via per-dim mean of the unnested vectors; sum/count division
 # mirrors the Spark side exactly (no avg(), same accumulation shape).
-ORACLES["q_embedding_centroids"] = """
+# Exact integer micro-unit sums (mirrors queries/similarity.py): bigint
+# accumulation is order-independent; the final quotients divide the SAME
+# exact integers on both engines.
+ORACLES["q_embedding_centroids"] = f"""
 WITH d AS (
-  SELECT label, t.i - 1 AS dim, CAST(e.embedding[t.i] AS DOUBLE) AS x
+  SELECT label, t.i - 1 AS dim,
+         {_fu('CAST(e.embedding[t.i] AS DOUBLE)', 6)} AS xi
   FROM embeddings e, UNNEST(generate_series(1, len(e.embedding))) AS t(i)
 ),
 pd AS (
-  SELECT label, dim, sum(x) AS sx, count(*) AS n
+  SELECT label, dim, sum(xi) AS sxi, count(*) AS n
   FROM d GROUP BY label, dim
 ),
 cent AS (
   SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
          CAST(count(*) AS INT) AS dim,
-         round(sum(sx / n), 6) AS centroid_sum,
-         round(max(CASE WHEN dim = 0 THEN sx / n END), 6) AS centroid_0
+         CAST(sum(sxi) AS DOUBLE) / max(n) / 1000000.0 AS centroid_sum,
+         CAST(min(CASE WHEN dim = 0 THEN sxi END) AS DOUBLE) / max(n) / 1000000.0
+           AS centroid_0
   FROM pd GROUP BY label
 )
 SELECT label, n_vectors, dim, centroid_sum, centroid_0 FROM cent

@@ -63,21 +63,10 @@ def q_dedup_minhash_confirmed(spark, sf_dir):
     confirmed = dedup_ops.signature_agreement(pairs, combined, MINHASH_N).filter(
         F.col("n_sig_match") >= MINHASH_MIN_AGREEMENT
     )
-    a = combined.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = combined.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (
-        confirmed.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_sig_match",
-            # exact-int half-up round — see operators/dedup.jaccard_pairs
-            round6_ratio(inter, F.size("sh_a") + F.size("sh_b") - inter).alias(
-                "jaccard"
-            ),
-        )
+    # one spelling of exact Jaccard — n_sig_match rides through as an
+    # extra pair column
+    return dedup_ops.jaccard_pairs(combined, confirmed).select(
+        "doc_a", "doc_b", "n_sig_match", "jaccard"
     )
 
 
@@ -189,10 +178,12 @@ def q_dedup_clusters(spark, sf_dir):
     components → (doc_id, cluster_rep) with min-id representatives.
     Only docs that appear in some pair are emitted (singletons are their
     own representative trivially)."""
-    combined = dedup_ops.minhash_with_sets(
+    # signatures only — this query never computes exact Jaccard, so the
+    # collect_set shingle payload of minhash_with_sets has no consumer
+    sigs = dedup_ops.minhash_signatures(
         dedup_ops.shingle_rows(_words(spark, sf_dir)), MINHASH_N
     )
-    pairs = dedup_ops.lsh_candidate_pairs(combined, MINHASH_N, MINHASH_BANDS).persist()
+    pairs = dedup_ops.lsh_candidate_pairs(sigs, MINHASH_N, MINHASH_BANDS).persist()
     return dedup_ops.connected_components(pairs)
 
 

@@ -110,7 +110,12 @@ def q_quantize_embeddings(spark, sf_dir):
     base = emb.select("vec_id", v.alias("v"))
     amax = F.greatest(*[F.abs(F.col("v")[d]) for d in range(dim)])
     staged = base.select("vec_id", "v", (amax / F.lit(QUANT_SCALE)).alias("s"))
-    qd = [F.round(F.col("v")[d] / F.col("s")).cast("int") for d in range(dim)]
+    # zero-vector guard: s = max|x|/127 = 0 for an all-zero embedding
+    # (padding row, failed encode), and x/0 THROWS under ANSI mode while
+    # DuckDB yields NULL. Dividing by a stand-in 1.0 keeps both engines
+    # on q=0, err=0 — scale itself still reports 0.
+    s_safe = F.when(F.col("s") == 0, F.lit(1.0)).otherwise(F.col("s"))
+    qd = [F.round(F.col("v")[d] / s_safe).cast("int") for d in range(dim)]
     errd = [
         F.abs(F.col("v")[d] - qd[d] * F.col("s")) for d in range(dim)
     ]
@@ -148,21 +153,28 @@ def q_embedding_centroids(spark, sf_dir):
     dims = emb.select(
         "label", F.posexplode(F.col("embedding")).alias("dim", "x")
     )
+    # Exact integer micro-unit accumulation (functions/numeric.py
+    # fixed_units): per-(label,dim) bigint sums are associative, so the
+    # displayed values cannot drift with partition merge order or engine
+    # accumulation order (a raw double sum here was the one remaining
+    # float-sum display site). Every vector carries every dim, so n is
+    # constant per label and sum-of-means == (sum of unit sums)/n; the
+    # final quotients divide IDENTICAL exact integers through the same
+    # IEEE ops on both engines — bit-identical with no rounding step.
     per_dim = dims.groupBy("label", "dim").agg(
-        F.sum(F.col("x").cast("double")).alias("sx"),
+        F.sum(fixed_units(F.col("x").cast("double"), 6)).alias("sxi"),
         F.count("*").alias("n"),
     )
     cent = per_dim.groupBy("label").agg(
-        F.array_sort(
-            F.collect_list(F.struct("dim", (F.col("sx") / F.col("n")).alias("m")))
-        ).alias("dims"),
+        F.sum("sxi").alias("total_units"),
+        F.min(F.when(F.col("dim") == 0, F.col("sxi"))).alias("units_0"),
         F.max("n").cast("bigint").alias("n_vectors"),
+        F.count("*").cast("int").alias("dim"),
     )
-    mean_vec = F.transform("dims", lambda s: s["m"])
     return cent.select(
         "label",
         "n_vectors",
-        F.size("dims").cast("int").alias("dim"),
-        F.round(F.aggregate(mean_vec, F.lit(0.0), lambda a, x: a + x), 6).alias("centroid_sum"),
-        F.round(F.element_at(mean_vec, 1), 6).alias("centroid_0"),
+        "dim",
+        (F.col("total_units") / F.col("n_vectors") / F.lit(1e6)).alias("centroid_sum"),
+        (F.col("units_0") / F.col("n_vectors") / F.lit(1e6)).alias("centroid_0"),
     )

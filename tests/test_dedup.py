@@ -274,3 +274,49 @@ def test_exact_dedup_null_content_is_not_a_duplicate(spark):
     assert ("__null__:4" in out) and out["__null__:4"] == (4, 1)
     real = [v for k, v in out.items() if not k.startswith("__null__:")]
     assert real == [(1, 2)]
+
+
+def test_sentence_dedup_cr_text_matches_oracle(spark):
+    """Cross-engine regression for the lost-carriage-return whitespace
+    class: sentence split and sentence-key normalize must agree on
+    CR-bearing text (a hand-inlined oracle copy once dropped the \\r
+    byte; the oracle now interpolates the shared _WS_CHARS class)."""
+    import duckdb
+    import pandas as pd
+
+    from proactive_map_reduce_spark.oracles import ORACLES
+
+    rows = [
+        (1, "one two.\r\nthree four."),
+        (2, "alpha beta.\tgamma delta. one two.\r\nthree four."),
+        (3, "no terminator here"),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_sents"], r["n_kept"], r["keep_frac"])
+        for r in dedup.sentence_dedup(sdf).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(ORACLES["q_sentence_dedup"]).fetchall()
+    }
+    assert got == want
+    assert got[1][0] == 2  # CR+LF after '.' IS a sentence boundary
+    # doc 2 keeps its two unique sentences; 'one two.' / 'three four.'
+    # are dropped as corpus-order duplicates of doc 1's
+    assert got[2] == (4, 2, 0.5)
+
+
+def test_oracle_whitespace_classes_carry_cr():
+    """Every whitespace character class in the curation oracles must
+    contain the \\r byte (structural pin against a re-inlined copy)."""
+    import re
+
+    from proactive_map_reduce_spark.oracles import ORACLES
+
+    for q in ("q_sentence_dedup", "q_curation_pipeline", "q_html_strip"):
+        classes = re.findall(r"\[[^]]*\t[^]]*\]", ORACLES[q])
+        assert classes, q
+        assert all("\r" in c for c in classes), (q, classes)

@@ -245,3 +245,44 @@ def test_brute_force_topk_empty_corpus_dim_probe(spark):
     )
     assert out.count() == 0
     assert set(out.columns) == {"query_id", "neighbor_id", "cos_sim", "rank"}
+
+
+def test_quantize_zero_vector_no_divide_by_zero(spark):
+    """An all-zero embedding (padding row, failed encode) has scale 0;
+    quantization must yield q=0/err=0, not an ANSI DIVIDE_BY_ZERO."""
+    import duckdb
+    import pandas as pd
+
+    from proactive_map_reduce_spark.oracles import ORACLES
+    from proactive_map_reduce_spark.operators.similarity import EMBED_DIM
+    from proactive_map_reduce_spark.queries import REGISTRY
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="qzv_")
+    try:
+        rows = [
+            (0, 0, [0.0] * EMBED_DIM),
+            (1, 1, [0.5] + [0.0] * (EMBED_DIM - 1)),
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<float>"
+        ).write.parquet(os.path.join(tmp, "embeddings.parquet"))
+        got = {
+            r["vec_id"]: (r["scale"], r["q_max"], r["q_min"], r["max_abs_err"])
+            for r in REGISTRY["q_quantize_embeddings"](spark, tmp).collect()
+        }
+        assert got[0] == (0.0, 0, 0, 0.0)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{os.path.join(tmp, 'embeddings.parquet')}/*.parquet'"
+        )
+        want = {
+            r[0]: (r[1], r[2], r[3], r[4])
+            for r in con.execute(ORACLES["q_quantize_embeddings"]).fetchall()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

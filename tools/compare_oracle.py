@@ -65,6 +65,11 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
+        finally:
+            # dedup/curation queries persist plan intermediates for
+            # within-query reuse; drop them so a 127-query sweep doesn't
+            # accumulate a session's worth of cached corpus derivatives
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"rows {name}: {len(srows)} rows (no oracle — rows-only) [{time.time()-t0:.1f}s]")
             continue

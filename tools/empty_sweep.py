@@ -84,6 +84,8 @@ def main() -> int:
             msg = str(exc).split("\n")[0][:200]
             failures.append((name, msg))
             print(f"FAIL {name}: {msg}")
+        finally:
+            spark.catalog.clearCache()  # drop per-query persisted stages
     print(f"\n{len(failures)} failures / {len(qs) if not only else len(only)} queries")
     for name, msg in failures:
         print(f"  {name}: {msg}")
