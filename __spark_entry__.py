@@ -100,6 +100,10 @@ _REWRITTEN = {
     "q_html_strip": 4,
     "q_quantize_embeddings": 4,
     "q_embedding_centroids": 4,
+    # relational/reference review pass: exact-int z-score window state,
+    # null-text corpus round-trip mirror
+    "q_event_anomaly": 4,
+    "q_scan_text_corpus": 4,
 }
 
 

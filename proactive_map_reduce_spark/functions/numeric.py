@@ -129,3 +129,28 @@ def money_sum_2dp_sql(value: str) -> str:
     """DuckDB mirror of :func:`money_sum_2dp` (same operand caveat as
     :func:`round_ratio_sql`: the SQL string is substituted verbatim)."""
     return rescale_units_sql(f"sum({fixed_units_sql(value, 4)})", 4, 2)
+
+
+def money_sum_2dp_spark_sql(value: str) -> str:
+    """Spark-SQL-TEXT twin of :func:`money_sum_2dp` for ``spark.sql()``
+    queries (Spark dialect: ``DIV`` for integral division). Pinned equal
+    to the Column form and the DuckDB mirror by
+    tests/test_numeric.py::test_money_sum_2dp_three_forms_agree."""
+    return (
+        f"(CAST(sum(CAST(floor(({value}) * CAST(10000.0 AS DOUBLE) "
+        f"+ CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) + 50) DIV 100 "
+        f"/ CAST(100.0 AS DOUBLE)"
+    )
+
+
+def mean_6dp(value: Column) -> Column:
+    """Cross-engine-exact mean of an already-6-dp-rounded double column:
+    exact micro-unit int64 sum (associative, partition-independent),
+    then a quotient of identical exact operands — no rounding step, so
+    no display boundary to split on."""
+    return F.sum(fixed_units(value, 6)) / F.count(value) / F.lit(1e6)
+
+
+def mean_6dp_sql(value: str) -> str:
+    """DuckDB mirror of :func:`mean_6dp` (same op order)."""
+    return f"sum({fixed_units_sql(value, 6)}) / CAST(count({value}) AS DOUBLE) / 1e6"

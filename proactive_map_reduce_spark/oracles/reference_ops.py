@@ -3,9 +3,11 @@ scalar functions, BLEU/ROUGE, flagship)."""
 
 from ..functions.numeric import fixed_units_sql as _fu
 from ..functions.numeric import round6_ratio_sql as _r6
+from ..functions.numeric import mean_6dp_sql as _m6
 from ._base import *  # noqa: F401,F403
 from ._base import (  # noqa: F401
     ORACLES,
+    _sentence_split_cte,
     _AGREE_TERMS,
     _BANDED,
     _BEST_ANS,
@@ -66,15 +68,13 @@ FROM documents WHERE doc_id // 10 <= 200 GROUP BY 1
 """
 
 
-ORACLES["q_sentence_split"] = """
-SELECT doc_id, CAST(t.i - 1 AS INT) AS sent_pos,
-       CAST(length(d.ss[t.i]) AS BIGINT) AS sent_len
-FROM (SELECT doc_id,
-             string_split(regexp_replace(text, '([.!?])[ 	
-]+', '\\1' || chr(1), 'g'), chr(1)) AS ss
-      FROM documents) d,
-     UNNEST(generate_series(1, len(d.ss))) AS t(i)
-WHERE length(d.ss[t.i]) > 0
+ORACLES["q_sentence_split"] = f"""
+WITH s AS (
+  {_sentence_split_cte('documents')}
+)
+SELECT doc_id, CAST(sent_pos AS INT) AS sent_pos,
+       CAST(length(sentence) AS BIGINT) AS sent_len
+FROM s
 """
 
 
@@ -293,7 +293,7 @@ FROM documents, UNNEST(generate_series(0, 3)) AS t(layer)
 ORACLES["q_metrics_avg"] = f"""
 WITH {_FLAGSHIP_CTES}
 SELECT lang,
-       sum({_fu('set_f1', 6)}) / CAST(count(set_f1) AS DOUBLE) / 1e6 AS avg_f1,
+       {_m6('set_f1')} AS avg_f1,
        {_r6('sum(em)', 'count(em)')} AS em_rate,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM flagship GROUP BY lang
@@ -335,7 +335,7 @@ u AS (
   SELECT 'baseline' AS run, doc_id, CAST(1.0 AS DOUBLE) AS f1 FROM documents
 )
 SELECT run,
-       sum({_fu('f1', 6)}) / CAST(count(f1) AS DOUBLE) / 1e6 AS avg_f1,
+       {_m6('f1')} AS avg_f1,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM u GROUP BY run
 """
@@ -344,8 +344,7 @@ FROM u GROUP BY run
 ORACLES["q_flatten_nested_times"] = f"""
 WITH {_WORDS}, {_CHUNKS}
 SELECT d.lang,
-       sum({_fu('round(c.n_words / CAST(4.1 AS DOUBLE), 6)', 6)})
-         / CAST(count(*) AS DOUBLE) / 1e6 AS avg_prefill,
+       {_m6('round(c.n_words / CAST(4.1 AS DOUBLE), 6)')} AS avg_prefill,
        CAST(count(*) AS BIGINT) AS n_times
 FROM chunks c JOIN documents d USING (doc_id)
 GROUP BY d.lang
@@ -621,9 +620,9 @@ FROM documents
 """
 
 
+# only the word CTE is consumed — toks re-derives chunk_id inline
 ORACLES["q_kv_concat"] = f"""
-WITH {_WORDS}, {_CHUNKS.replace("string_agg(word, ' ' ORDER BY pos) AS chunk_text",
-                                "1 AS chunk_text")}
+WITH {_WORDS}
 , toks AS (
   SELECT doc_id, pos, {_h('word')} % 32000 AS tok,
     CAST(CASE WHEN n // {NUM_STEPS} <= 0 THEN {NUM_STEPS - 1}
@@ -637,10 +636,16 @@ FROM toks GROUP BY doc_id
 """
 
 
+# A file has no null: the corpus writer stores a NULL text as an EMPTY
+# file, and spark.read.text(wholetext) yields no row for a zero-byte
+# file — so null/empty documents are absent from the round-trip on both
+# sides (verified empirically; the raw-table oracle must mirror the
+# reader, not the parquet row).
 ORACLES["q_scan_text_corpus"] = """
 SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
 FROM documents
+WHERE coalesce(text, '') <> ''
 """
 
 

@@ -3,6 +3,9 @@
 from ..functions.numeric import fixed_units_sql as _fu
 from ..functions.numeric import money_sum_2dp_sql as _ms
 from ..functions.numeric import round_ratio_sql as _rr
+from ..queries._base import EVENT_TYPES as _EVT  # noqa: E402
+from ..queries._base import SKETCH_BINS as _BINS  # noqa: E402
+from ..queries._base import SKETCH_KMV_K as _KMV  # noqa: E402
 from ._base import *  # noqa: F401,F403
 from ._base import (  # noqa: F401
     ORACLES,
@@ -122,9 +125,9 @@ wrn AS (
 ),
 kmv AS (
   SELECT lang,
-         CAST(CASE WHEN max(rn) < 1024 THEN max(rn)
-                   ELSE floor(1023 * 4294967296.0
-                              / max(CASE WHEN rn = 1024 THEN h END) + 0.5) END
+         CAST(CASE WHEN max(rn) < {_KMV} THEN max(rn)
+                   ELSE floor(({_KMV} - 1) * 4294967296.0
+                              / max(CASE WHEN rn = {_KMV} THEN h END) + 0.5) END
               AS BIGINT) AS approx_distinct_words
   FROM wrn GROUP BY lang
 ),
@@ -136,7 +139,7 @@ bounds AS (
 ),
 binned AS (
   SELECT d.lang, b.lo, b.hi, b.n,
-         CAST(floor(((d.n_chars - b.lo) * 64) / (b.hi - b.lo + 1)) AS INT) AS bin
+         CAST(floor(((d.n_chars - b.lo) * {_BINS}) / (b.hi - b.lo + 1)) AS INT) AS bin
   FROM documents d JOIN bounds b USING (lang)
   WHERE d.n_chars IS NOT NULL
 ),
@@ -155,9 +158,9 @@ quart AS (
   FROM cum GROUP BY lang, lo, hi
 )
 SELECT k.lang, k.approx_distinct_words,
-       CAST(q.lo + ceil((q.b25 * (q.hi - q.lo + 1)) / 64) AS BIGINT) AS p25,
-       CAST(q.lo + ceil((q.b50 * (q.hi - q.lo + 1)) / 64) AS BIGINT) AS p50,
-       CAST(q.lo + ceil((q.b75 * (q.hi - q.lo + 1)) / 64) AS BIGINT) AS p75
+       CAST(q.lo + ceil((q.b25 * (q.hi - q.lo + 1)) / {_BINS}) AS BIGINT) AS p25,
+       CAST(q.lo + ceil((q.b50 * (q.hi - q.lo + 1)) / {_BINS}) AS BIGINT) AS p50,
+       CAST(q.lo + ceil((q.b75 * (q.hi - q.lo + 1)) / {_BINS}) AS BIGINT) AS p75
 FROM kmv k JOIN quart q USING (lang)
 """
 
@@ -288,13 +291,15 @@ GROUP BY CUBE (event_type, CAST(dayofweek(ts) AS INT) + 1)
 """
 
 
-ORACLES["q_pivot_event_types"] = """
+# pivot columns generated from EVENT_TYPES — the Spark query pivots on
+# the same constant, so the two column sets cannot drift apart
+_PIVOT_COLS = ",\n".join(
+    f"  CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}"
+    for t in _EVT
+)
+ORACLES["q_pivot_event_types"] = f"""
 SELECT user_id,
-  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
-  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
-  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
-  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
-  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+{_PIVOT_COLS}
 FROM events
 GROUP BY user_id
 """
@@ -414,17 +419,28 @@ FROM j
 """
 
 
-ORACLES["q_event_anomaly"] = """
-WITH s AS (
-  SELECT user_id, event_id, value,
-         avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS mu,
-         stddev(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS sd
-  FROM events
+# Exact integer window state mirroring the engine: identical int64
+# (c·n − S) and (n·Σc² − S²) through the same IEEE sqrt/divide sequence
+# — no float avg/stddev accumulation-order ulps in the z-score path.
+ORACLES["q_event_anomaly"] = f"""
+WITH cw AS (
+  SELECT user_id, event_id, {_fu('value', 2)} AS c, ts FROM events
+),
+s AS (
+  SELECT user_id, event_id, c,
+         sum(c) OVER w AS s,
+         sum(c * c) OVER w AS q,
+         count(c) OVER w AS n
+  FROM cw
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+),
+zed AS (
+  SELECT user_id, event_id,
+         (c * n - s) * sqrt((n - 1) / (n * (n * q - s * s))) AS z
+  FROM s WHERE n >= 2 AND n * q - s * s > 0
 )
-SELECT user_id, event_id,
-       round((value - mu) / sd, 6) AS z,
-       CASE WHEN abs((value - mu) / sd) > 2 THEN 1 ELSE 0 END AS is_anomaly
-FROM s WHERE sd IS NOT NULL AND sd > 0
+SELECT user_id, event_id, round(z, 6) AS z,
+       CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END AS is_anomaly
+FROM zed
 """

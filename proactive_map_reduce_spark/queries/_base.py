@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import portable_hash64, token_id
 from ..functions.numeric import (
     fixed_units,
+    mean_6dp,
     money_sum_2dp,
     rescale_units,
     round_ratio,

@@ -287,9 +287,7 @@ def q_metrics_avg(spark, sf_dir):
     # ratio (float round(avg) splits engines on boundary quotients like
     # odd/2e6 — functions/numeric.py).
     return scored.groupBy("lang").agg(
-        (F.sum(fixed_units(F.col("set_f1"), 6)) / F.count("set_f1") / F.lit(1e6)).alias(
-            "avg_f1"
-        ),
+        mean_6dp(F.col("set_f1")).alias("avg_f1"),
         round6_ratio(F.sum("em"), F.count("em")).alias("em_rate"),
         F.count("*").cast("bigint").alias("n_docs"),
     )
@@ -334,9 +332,7 @@ def q_mean_over_files(spark, sf_dir):
     """A3: np.mean over each result file (compute_scores.py:56-59)."""
     # micro-unit int sum of the 6-dp f1 values — see q_metrics_avg
     return q_union_outputs(spark, sf_dir).groupBy("run").agg(
-        (F.sum(fixed_units(F.col("f1"), 6)) / F.count("f1") / F.lit(1e6)).alias(
-            "avg_f1"
-        ),
+        mean_6dp(F.col("f1")).alias("avg_f1"),
         F.count("*").cast("bigint").alias("n_rows"),
     )
 
@@ -357,9 +353,7 @@ def q_flatten_nested_times(spark, sf_dir):
         .groupBy("lang")
         # micro-unit int sum of the 6-dp prefill times — see q_metrics_avg
         .agg(
-            (F.sum(fixed_units(F.col("t"), 6)) / F.count("t") / F.lit(1e6)).alias(
-                "avg_prefill"
-            ),
+            mean_6dp(F.col("t")).alias("avg_prefill"),
             F.count("*").cast("bigint").alias("n_times"),
         )
     )
@@ -675,11 +669,27 @@ def q_scan_text_corpus(spark, sf_dir):
     import os as _os
 
     d = _docs(spark, sf_dir)
-    # Deterministic per-sf cache dir, populated once via write-to-staging +
-    # atomic rename: a reader (this invocation's lazy scan, or a prior
-    # invocation's still-unevaluated DataFrame) can never observe a
-    # half-written corpus, and repeat invocations skip the write entirely.
-    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+
+    # Deterministic cache dir keyed on PATH + CONTENT FINGERPRINT
+    # (mtime/size of the parquet source), populated once via
+    # write-to-staging + atomic rename: a reader can never observe a
+    # half-written corpus, repeat invocations skip the write, and a
+    # regenerated fixture at the same path gets a fresh corpus instead
+    # of being served stale files.
+    def _stat_sig(p):
+        if _os.path.isfile(p):
+            st = _os.stat(p)
+            return f"{st.st_mtime_ns}:{st.st_size}"
+        parts = []
+        for b, _, fs in sorted(_os.walk(p)):
+            for f in sorted(fs):
+                st = _os.stat(_os.path.join(b, f))
+                parts.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
+        return "|".join(parts)
+
+    src = _os.path.join(sf_dir, "documents.parquet")
+    sig = _stat_sig(src) if _os.path.exists(src) else ""
+    tag = _hashlib.md5(f"{sf_dir}\x1f{sig}".encode()).hexdigest()[:12]
     root = _os.path.join(_tempfile.gettempdir(), f"pmr_corpus_{tag}")
     if not _os.path.isdir(root):
         staging = _tempfile.mkdtemp(prefix=f"pmr_corpus_{tag}_stage_")

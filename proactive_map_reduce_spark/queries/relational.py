@@ -460,12 +460,13 @@ def q_local_supplier_volume(spark, sf_dir):
         spark, sf_dir,
         ["customer", "orders", "lineitem", "supplier", "nation", "region"],
     )
+    from ..functions.numeric import money_sum_2dp_spark_sql
+
     return spark.sql(
-        """
+        f"""
         SELECT n_name,
-               -- exact 1e-4-unit int sum, half-up to cents (the SQL-text
-               -- form of functions/numeric.py rescale_units)
-               (CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) + 50) DIV 100 / CAST(100.0 AS DOUBLE) AS revenue
+               -- pinned Spark-SQL form of money_sum_2dp (numeric.py)
+               {money_sum_2dp_spark_sql('l_extendedprice * (1 - l_discount)')} AS revenue
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -559,19 +560,40 @@ def q_event_anomaly(spark, sf_dir):
         .orderBy("ts", "event_id")
         .rowsBetween(-10, -1)
     )
+    # Exact integer window state (functions/numeric.py): float avg/stddev
+    # over a window are accumulation-order artifacts (Spark sequential vs
+    # DuckDB segment-tree — ulps apart), so a rounded/thresholded z built
+    # from them is the documented round()-divergence class. With cents
+    # sums S, Σc² and n all exact int64,
+    #   z = (c·n − S) · sqrt((n−1) / (n·(n·Σc² − S²)))
+    # runs identical integers through the same IEEE ops on both engines
+    # — bit-identical z; sqrt makes the 6-dp display boundary-safe
+    # (irrational except measure-zero cases).
+    c = fixed_units(F.col("value"), 2)
     scored = ev.select(
         "user_id",
         "event_id",
-        "value",
-        F.avg("value").over(w).alias("mu"),
-        F.stddev("value").over(w).alias("sd"),
-    ).filter(F.col("sd").isNotNull() & (F.col("sd") > 0))
-    z = (F.col("value") - F.col("mu")) / F.col("sd")
-    return scored.select(
+        "ts",
+        c.alias("c"),
+    ).select(
         "user_id",
         "event_id",
-        F.round(z, 6).alias("z"),
-        (F.abs(z) > 2).cast("int").alias("is_anomaly"),
+        "c",
+        F.sum("c").over(w).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("q"),
+        F.count("c").over(w).alias("n"),
+    )
+    a = F.col("c") * F.col("n") - F.col("s")
+    b = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    z = a * F.sqrt((F.col("n") - 1) / (F.col("n") * b))
+    return (
+        scored.filter((F.col("n") >= 2) & (b > 0))
+        .select(
+            "user_id",
+            "event_id",
+            F.round(z, 6).alias("z"),
+            (F.abs(z) > 2).cast("int").alias("is_anomaly"),
+        )
     )
 
 

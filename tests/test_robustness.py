@@ -240,3 +240,44 @@ def test_lsh_cap_preserves_components(spark, hyp_sigs, max_bucket):
     assert got <= full  # the cap only removes pairs, never invents them
     nodes = set(hyp_sigs)
     assert _components(got, nodes) == _components(full, nodes)
+
+
+def test_text_corpus_roundtrip_null_and_empty_docs_match_oracle(spark, tmp_path):
+    """NULL/empty documents write zero-byte files, which the wholetext
+    reader yields NO row for — the oracle mirrors the reader (excludes
+    them), not the parquet row. Also exercises the content-fingerprint
+    cache key: a regenerated fixture at the same path must not serve a
+    stale corpus."""
+    import duckdb
+    import os
+
+    from proactive_map_reduce_spark.oracles import ORACLES
+    from proactive_map_reduce_spark.queries import REGISTRY
+
+    sf = str(tmp_path)
+    rows = [(1, "hello world", "en", 11), (2, None, "en", 0), (3, "", "fr", 0)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    got = sorted(
+        tuple(r) for r in REGISTRY["q_scan_text_corpus"](spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(sf, 'documents.parquet')}/*.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(ORACLES["q_scan_text_corpus"]).fetchall()
+    )
+    assert got == want == [(1, 11, 2)]
+    # regenerate the fixture in place: the round-trip must see NEW content
+    con.close()
+    spark.createDataFrame(
+        [(7, "fresh text", "en", 10)],
+        "doc_id long, text string, lang string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    got2 = sorted(
+        tuple(r) for r in REGISTRY["q_scan_text_corpus"](spark, sf).collect()
+    )
+    assert got2 == [(7, 10, 2)]
