@@ -59,6 +59,9 @@ def main() -> int:
     results = run(docs, gt)
 
     if args.out:
+        # persist: otherwise the JSONL write AND the metric means below
+        # each recompute the whole chunk→map→reduce→score pipeline
+        results = results.persist()
         pipe.write_results(results, args.out)
     means = results.agg(
         F.round(F.avg("f1"), 6).alias("f1"),

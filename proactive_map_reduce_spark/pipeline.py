@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.scoring import bleu_udf, set_f1
-from .functions.text import exact_match, normalize_text
+from .functions.text import exact_match, norm_tokens
 from .operators import chunking, mapstage
 from .operators import reduce as red
 
@@ -60,8 +60,10 @@ class ProactivePipeline:
         """Join ground truth and score: set-F1 (A6), exact/substring match
         (F3/F4) and BLEU (F6) over normalized word sets."""
         j = final_df.join(gt_df.select("doc_id", "gt_text"), "doc_id")
-        p = F.split(normalize_text(F.col("final_text")), " ")
-        g = F.split(normalize_text(F.col("gt_text")), " ")
+        # norm_tokens, not a bare split: an empty normalization must yield
+        # ZERO tokens (not ['']) so set_f1's no-answer branch fires
+        p = norm_tokens(F.col("final_text"))
+        g = norm_tokens(F.col("gt_text"))
         return j.select(
             "doc_id",
             "n_chunks",
@@ -82,7 +84,9 @@ class ProactivePipeline:
         accumulator runs in the streaming state store (W1/W2)."""
         from .streaming import proactive as stream_ops
 
-        updates = stream_ops.stateful_accumulate(self.spark, self.chunk(docs_df))
+        updates = stream_ops.stateful_accumulate(
+            self.spark, self.chunk(docs_df), model_fn=self.model_fn
+        )
         final = stream_ops.final_accumulation(updates)
         return self.score(final, gt_df)
 

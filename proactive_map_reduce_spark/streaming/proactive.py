@@ -224,11 +224,16 @@ def _accumulate(key, pdfs, state: GroupState):
     )
 
 
-def stateful_accumulate(spark: SparkSession, chunks_df: DataFrame) -> DataFrame:
+def stateful_accumulate(
+    spark: SparkSession, chunks_df: DataFrame, model_fn=None
+) -> DataFrame:
     """W2: cross-stage accumulator via applyInPandasWithState.
 
     Each micro-batch emits the running per-doc accumulation; the final
     update (n_chunks_seen == total chunks) equals batch incremental_concat.
+    ``model_fn`` is the same black-box map seam as the batch path — the
+    pipeline's streaming mode MUST run the caller's model, not silently
+    fall back to the stand-in.
     """
     root = write_stage_files(chunks_df)
     state_schema = T.StructType(
@@ -239,7 +244,7 @@ def stateful_accumulate(spark: SparkSession, chunks_df: DataFrame) -> DataFrame:
     )
 
     def transform(stream_df: DataFrame) -> DataFrame:
-        mapped = mapstage.llm_map(stream_df)
+        mapped = mapstage.llm_map(stream_df, model_fn=model_fn)
         return mapped.groupBy("doc_id").applyInPandasWithState(
             _accumulate,
             outputStructType=_ACC_OUT,

@@ -41,19 +41,20 @@ def main() -> None:
 
     ev = load_table(spark, sf_dir, "events")
     n_events = ev.count()
-    # stage the micro-batch input ONCE, outside the measured region
-    root = write_event_files(ev, n_buckets=8)
+    # stage the micro-batch input ONCE, outside the measured region —
+    # with_hi reuses the max(ts) the writer already computed (no second
+    # scan), and _sentinel_ts handles the empty-table case
+    root, hi = write_event_files(ev, n_buckets=8, with_hi=True)
     # append-mode only emits a window once the watermark passes it, so a
     # far-future sentinel (arriving last) flushes the trailing windows —
     # without it every window within (1h window + 1h lateness) of max ts
     # is silently missing from n_windows (same device as
     # streaming.proactive.windowed_counts_with_watermark; the sentinel's
     # own window never closes, so it never appears in the count)
-    import pandas as pd
+    from proactive_map_reduce_spark.streaming.proactive import _sentinel_ts
 
-    hi = ev.agg(F.max("ts").alias("hi")).collect()[0]["hi"]
     spark.createDataFrame(
-        [(-1, -1, "__sentinel__", hi + pd.Timedelta(hours=10), 0.0)], EVENT_SCHEMA
+        [(-1, -1, "__sentinel__", _sentinel_ts(hi), 0.0)], EVENT_SCHEMA
     ).coalesce(1).write.mode("append").parquet(root)
 
     def transform(s):

@@ -10,6 +10,7 @@ Usage: python tools/compare_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -47,7 +48,11 @@ def main() -> int:
     spark = get_spark("oracle-compare")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # guard like bench.py: DuckDB binds views at CREATE time, so one
+        # missing table parquet would abort the whole gate before any
+        # query ran (queries on the missing table then FAIL individually)
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     failures = []

@@ -60,11 +60,16 @@ def main() -> int:
         t = df.withColumn(
             "ingest_next", F.coalesce(F.lead("ingest").over(w), F.lit(0.0))
         )
+        # first chunk by RANK, not literal id 0: a 1-indexed (or gapped)
+        # chunk numbering must not null out the doc's proactive time —
+        # that silently dropped the doc from the pro sum while the base
+        # sum still counted it
+        t = t.withColumn("rk", F.row_number().over(w))
         row = (
             t.groupBy("doc_id")
             .agg(
                 (
-                    F.min(F.when(F.col("chunk_id") == 0, F.col("ingest")))
+                    F.min(F.when(F.col("rk") == 1, F.col("ingest")))
                     + F.sum(
                         F.greatest(
                             F.col("ingest_next"), F.col("prefill") + F.col("decode")

@@ -1,9 +1,10 @@
 """Time the headline queries' ORACLE SQL in DuckDB at a given sf_dir.
 
 The judge's governing performance number is Spark bench.py wall-clock vs
-DuckDB running the SAME oracle SQL at the same scale factor (best-of-3).
-This tool produces the DuckDB side locally so the bench margin can be
-tracked per round without guessing the denominator.
+DuckDB running the SAME oracle SQL at the same scale factor. bench.py
+itself measures both engines interleaved at best-of-10; this standalone
+tool uses the SAME rep count so its numbers stay comparable to
+bench.py's ratio_vs_duckdb denominator.
 
 Usage: python tools/duck_headline.py [sf_dir]   # one JSON line
 """
@@ -35,7 +36,7 @@ def main() -> None:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     times: dict[str, float] = {}
-    for _ in range(3):
+    for _ in range(10):  # matches bench.py's best-of-10
         for name in HEADLINE:
             sql = ORACLES.get(name)
             if sql is None:

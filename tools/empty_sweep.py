@@ -47,6 +47,14 @@ NULLABLE_CONTENT = {
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--nulls"]
     nulls_mode = "--nulls" in sys.argv[1:]
+    # reject unknown names (same rule as compare_oracle.py): a typo must
+    # not produce a vacuous exit-0 "0 failures" sweep
+    from proactive_map_reduce_spark.queries import REGISTRY as _REG
+
+    unknown = {a for arg in args for a in arg.split(",") if a} - set(_REG)
+    if unknown:
+        print(f"unknown queries: {sorted(unknown)}")
+        return 2
     only = {n for arg in args for n in arg.split(",") if n}
 
     import __spark_entry__ as entry

@@ -85,13 +85,19 @@ def run_set(spark, registry, sf_dir):
     times, rows = {}, {}
     for name in QUERIES:
         spark.catalog.clearCache()
-        df = registry[name](spark, sf_dir)
-        obs = Observation(f"rows_{name}")
-        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 2)
-        rows[name] = obs.get["n"]
+        # a single query failing at scale must not discard every timing
+        # already collected — report the survivors plus the failure
+        try:
+            df = registry[name](spark, sf_dir)
+            obs = Observation(f"rows_{name}")
+            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            times[name] = round(time.time() - t0, 2)
+            rows[name] = obs.get["n"]
+        except Exception as exc:  # noqa: BLE001 — survive, record
+            times[name] = None
+            rows[name] = f"ERROR: {str(exc).splitlines()[0][:160]}"
     return times, rows
 
 
@@ -117,11 +123,20 @@ def main() -> int:
 
     t1, r1 = run_set(spark, REGISTRY, BASE)
     tn, rn = run_set(spark, REGISTRY, big)
+    def _num(x):
+        return isinstance(x, (int, float)) and not isinstance(x, bool)
+
     factors = {
-        k: round(tn[k] / t1[k], 1) if t1[k] > 0.05 else None for k in QUERIES
+        k: round(tn[k] / t1[k], 1)
+        if _num(t1.get(k)) and _num(tn.get(k)) and t1[k] > 0.05
+        else None
+        for k in QUERIES
     }
     out_growth = {
-        k: round(rn[k] / r1[k], 1) if r1[k] else None for k in QUERIES
+        k: round(rn[k] / r1[k], 1)
+        if _num(r1.get(k)) and _num(rn.get(k)) and r1[k]
+        else None
+        for k in QUERIES
     }
     print(
         json.dumps(
