@@ -172,6 +172,17 @@ FROM events GROUP BY event_type
 """
 
 
+# Bucketing must never change the answer: the oracle is the PLAIN join
+ORACLES["q_bucketed_join"] = f"""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       sum(CAST(l.l_quantity AS BIGINT)) AS sum_qty,
+       {_ms('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
 ORACLES["q_salted_join"] = f"""
 SELECT s.s_nationkey,
        {_ms('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,

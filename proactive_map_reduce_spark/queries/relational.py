@@ -160,6 +160,79 @@ def q_salted_agg(spark, sf_dir):
     return out.select("event_type", F.round("sum_value", 2).alias("sum_value"), "n_rows")
 
 
+# (session, sf, content) tags whose bucketed tables are already written
+_BUCKETED_READY: set[str] = set()
+
+
+def q_bucketed_join(spark, sf_dir):
+    """Bucketed co-located join (SURVEY §4 partitioning): lineitem and
+    orders are persisted bucket-sorted on their join key, then joined
+    with NO shuffle of either fact side. At fixture scale the planner
+    may still prefer a broadcast of the tiny orders side (also
+    shuffle-free — bucketing is the insurance for when broadcast is
+    impossible); with broadcast off, the matching bucket partitionings
+    yield the zero-exchange sort-merge join pinned by
+    tests/test_bucketed.py. Either way this query's budget is ONE hash
+    exchange: the final aggregation.
+
+    The 100 TB pattern this demonstrates: for a join key used by every
+    recurring query (orderkey here), pre-bucketing converts the
+    workload's biggest repeated shuffle into a one-time write-side cost.
+    Values are checked against the plain join-aggregate SQL — bucketing
+    must change the PLAN, never the answer."""
+    import hashlib as _hl
+    import os as _os
+
+    from ..sources import bucketed as bkt
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    # WRITE-ONCE per (session, sf, source content): an overwrite on a
+    # repeat call would delete the files under any still-alive DataFrame
+    # from an earlier call (lazy plans bind to concrete part files). The
+    # tag keys on the session app id (no cross-session interference) and
+    # the source parquet's mtime/size (a regenerated fixture gets fresh
+    # tables, never stale ones).
+    def _sig(p):
+        try:
+            st = _os.stat(p)
+            return f"{st.st_mtime_ns}:{st.st_size}"
+        except OSError:
+            return "absent"
+
+    sess = spark.sparkContext.applicationId
+    src = "|".join(
+        f"{t}={_sig(_os.path.join(sf_dir, t + '.parquet'))}"
+        for t in ("lineitem", "orders")
+    )
+    tag = _hl.md5(f"{sf_dir}|{sess}|{src}".encode()).hexdigest()[:12]
+    base = _os.path.join(_tempfile.gettempdir(), f"pmr_bucketed_{tag}")
+    if tag not in _BUCKETED_READY:
+        bkt.write_bucketed(
+            li, f"pmr_li_b_{tag}", "l_orderkey", buckets=8,
+            path=_os.path.join(base, "li"),
+        )
+        bkt.write_bucketed(
+            orders, f"pmr_ord_b_{tag}", "o_orderkey", buckets=8,
+            path=_os.path.join(base, "ord"),
+        )
+        _BUCKETED_READY.add(tag)
+    j = bkt.co_located_join(
+        spark, f"pmr_li_b_{tag}", f"pmr_ord_b_{tag}", "l_orderkey", "o_orderkey"
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        money_sum_2dp(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue"),
+    )
+
+
 def q_salted_join(spark, sf_dir):
     """Skew-safe fact⋈dim join with N_SALTS-fold dim replication instead of
     broadcast: lineitem ⋈ supplier on (suppkey, salt)."""

@@ -18,12 +18,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def write_bucketed(
-    df: DataFrame, table: str, key: str, buckets: int = 32, sort: bool = True
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    sort: bool = True,
+    path: str | None = None,
 ) -> None:
-    """Persist `df` as a bucketed (and bucket-sorted) catalog table."""
+    """Persist `df` as a bucketed (and bucket-sorted) catalog table.
+
+    ``path`` makes it an EXTERNAL table at that location — callers that
+    run outside a configured warehouse (the query registry) point the
+    data at a temp dir instead of littering ./spark-warehouse."""
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
     w = df.write.bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
     w.mode("overwrite").saveAsTable(table)
 
 

@@ -67,3 +67,18 @@ def test_compaction_reduces_files_preserves_rows(spark):
     a = {r["doc_id"] for r in out.select("doc_id").collect()}
     b = {r["doc_id"] for r in docs.select("doc_id").collect()}
     assert a == b
+
+
+def test_q_bucketed_join_zero_exchange_smj_under_no_broadcast(no_broadcast):
+    """The registry query's scale contract: with broadcast off (the 100 TB
+    regime where neither side fits an executor), the join is a
+    zero-exchange sort-merge over the bucket-sorted scans and the only
+    hash exchange in the whole plan is the final aggregation."""
+    spark = no_broadcast
+    from proactive_map_reduce_spark.queries import REGISTRY
+
+    df = REGISTRY["q_bucketed_join"](spark, SF0001)
+    plan = audit.simple_plan(df)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert audit.exchange_counts(df) == {"hash": 1, "single": 0, "roundrobin": 0}

@@ -125,6 +125,9 @@ BUDGETS = {
     "q_running_metric": 1,
     "q_salted_agg": 2,
     "q_salted_join": 1,
+    # co-located join: neither fact side shuffles (bucketed SMJ, or a
+    # broadcast at fixture scale); the agg is the only hash exchange
+    "q_bucketed_join": 1,
     "q_scan_documents": 0,
     "q_scan_json_dataset": 0,
     "q_semi_anti_join": 1,
