@@ -671,24 +671,15 @@ def q_scan_text_corpus(spark, sf_dir):
     d = _docs(spark, sf_dir)
 
     # Deterministic cache dir keyed on PATH + CONTENT FINGERPRINT
-    # (mtime/size of the parquet source), populated once via
+    # (sources/tables.stat_signature), populated once via
     # write-to-staging + atomic rename: a reader can never observe a
     # half-written corpus, repeat invocations skip the write, and a
     # regenerated fixture at the same path gets a fresh corpus instead
     # of being served stale files.
-    def _stat_sig(p):
-        if _os.path.isfile(p):
-            st = _os.stat(p)
-            return f"{st.st_mtime_ns}:{st.st_size}"
-        parts = []
-        for b, _, fs in sorted(_os.walk(p)):
-            for f in sorted(fs):
-                st = _os.stat(_os.path.join(b, f))
-                parts.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
-        return "|".join(parts)
+    from ..sources.tables import stat_signature
 
     src = _os.path.join(sf_dir, "documents.parquet")
-    sig = _stat_sig(src) if _os.path.exists(src) else ""
+    sig = stat_signature(src) if _os.path.exists(src) else ""
     tag = _hashlib.md5(f"{sf_dir}\x1f{sig}".encode()).hexdigest()[:12]
     root = _os.path.join(_tempfile.gettempdir(), f"pmr_corpus_{tag}")
     if not _os.path.isdir(root):

@@ -160,10 +160,6 @@ def q_salted_agg(spark, sf_dir):
     return out.select("event_type", F.round("sum_value", 2).alias("sum_value"), "n_rows")
 
 
-# (session, sf, content) tags whose bucketed tables are already written
-_BUCKETED_READY: set[str] = set()
-
-
 def q_bucketed_join(spark, sf_dir):
     """Bucketed co-located join (SURVEY §4 partitioning): lineitem and
     orders are persisted bucket-sorted on their join key, then joined
@@ -191,36 +187,53 @@ def q_bucketed_join(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
-    # WRITE-ONCE per (session, sf, source content): an overwrite on a
-    # repeat call would delete the files under any still-alive DataFrame
-    # from an earlier call (lazy plans bind to concrete part files). The
-    # tag keys on the session app id (no cross-session interference) and
-    # the source parquet's mtime/size (a regenerated fixture gets fresh
-    # tables, never stale ones).
-    def _sig(p):
-        try:
-            st = _os.stat(p)
-            return f"{st.st_mtime_ns}:{st.st_size}"
-        except OSError:
-            return "absent"
+    # WRITE-ONCE per (sf, source content): the bucketed files are
+    # CONTENT-ADDRESSED (sources/tables.stat_signature walks the parquet
+    # dir, so an in-place fixture regeneration always re-keys) and built
+    # via staging + atomic rename — repeat calls and other sessions
+    # REUSE the materialization (same economics as the pmr_corpus
+    # cache); nothing ever overwrites files a live plan is bound to.
+    # Each session then registers its own catalog entries over the
+    # shared files (bucket spec lives in the catalog; bucket ids are
+    # parsed from the standard file names, so a CLUSTERED BY table over
+    # them reads as bucketed).
+    from ..sources.tables import stat_signature
 
-    sess = spark.sparkContext.applicationId
     src = "|".join(
-        f"{t}={_sig(_os.path.join(sf_dir, t + '.parquet'))}"
+        f"{t}={stat_signature(p) if _os.path.exists(p) else 'absent'}"
         for t in ("lineitem", "orders")
+        for p in [_os.path.join(sf_dir, t + ".parquet")]
     )
-    tag = _hl.md5(f"{sf_dir}|{sess}|{src}".encode()).hexdigest()[:12]
+    tag = _hl.md5(f"{sf_dir}|{src}".encode()).hexdigest()[:12]
     base = _os.path.join(_tempfile.gettempdir(), f"pmr_bucketed_{tag}")
-    if tag not in _BUCKETED_READY:
-        bkt.write_bucketed(
-            li, f"pmr_li_b_{tag}", "l_orderkey", buckets=8,
-            path=_os.path.join(base, "li"),
-        )
-        bkt.write_bucketed(
-            orders, f"pmr_ord_b_{tag}", "o_orderkey", buckets=8,
-            path=_os.path.join(base, "ord"),
-        )
-        _BUCKETED_READY.add(tag)
+    for df, short, key in (
+        (li, "li", "l_orderkey"),
+        (orders, "ord", "o_orderkey"),
+    ):
+        table = f"pmr_{short}_b_{tag}"
+        path = _os.path.join(base, short)
+        if not _os.path.isdir(path):
+            staging = _tempfile.mkdtemp(prefix=f"pmr_bucketed_{tag}_stage_")
+            stage_dir = _os.path.join(staging, short)
+            stage_tbl = f"{table}_stage"
+            bkt.write_bucketed(df, stage_tbl, key, buckets=8, path=stage_dir)
+            spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")  # external: files stay
+            _os.makedirs(base, exist_ok=True)
+            try:
+                _os.rename(stage_dir, path)
+            except OSError:  # lost the race: another writer finished first
+                _shutil.rmtree(staging, ignore_errors=True)
+            else:
+                _shutil.rmtree(staging, ignore_errors=True)
+        if not spark.catalog.tableExists(table):
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {table} ({cols}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS "
+                f"LOCATION '{path}'"
+            )
     j = bkt.co_located_join(
         spark, f"pmr_li_b_{tag}", f"pmr_ord_b_{tag}", "l_orderkey", "o_orderkey"
     )

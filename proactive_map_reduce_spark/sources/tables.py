@@ -39,6 +39,25 @@ TABLES = [
 _NANO_TS_COLS = {"events": ["ts"]}
 
 
+def stat_signature(path: str) -> str:
+    """Content fingerprint of a parquet file OR directory: per-file
+    (name, mtime_ns, size). Cache keys derived from source data use THIS
+    (never a single stat of the top-level path — a directory's own
+    mtime/size does not change when a part file is rewritten in place),
+    so a regenerated fixture always invalidates, never serves stale."""
+    import os
+
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return f"{st.st_mtime_ns}:{st.st_size}"
+    parts = []
+    for b, _, fs in sorted(os.walk(path)):
+        for f in sorted(fs):
+            st = os.stat(os.path.join(b, f))
+            parts.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
+    return "|".join(parts)
+
+
 def _ensure_nanos_conf(spark: SparkSession) -> None:
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
