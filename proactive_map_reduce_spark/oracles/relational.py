@@ -176,7 +176,7 @@ FROM events GROUP BY event_type
 ORACLES["q_bucketed_join"] = f"""
 SELECT o.o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_items,
-       sum(CAST(l.l_quantity AS BIGINT)) AS sum_qty,
+       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        {_ms('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority

@@ -234,6 +234,15 @@ def q_bucketed_join(spark, sf_dir):
                 f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS "
                 f"LOCATION '{path}'"
             )
+    # Liveness beacon + retention sweep: reuse must refresh the dir's
+    # mtime (reads don't), so the GC's idle-age test only ever fires on
+    # materializations whose fingerprint no longer occurs — i.e. the
+    # fixture was regenerated and this dir is unreachable garbage.
+    try:
+        _os.utime(base)
+    except OSError:
+        pass
+    bkt.gc_stale_materializations(spark, _tempfile.gettempdir(), tag)
     j = bkt.co_located_join(
         spark, f"pmr_li_b_{tag}", f"pmr_ord_b_{tag}", "l_orderkey", "o_orderkey"
     )

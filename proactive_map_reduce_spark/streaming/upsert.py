@@ -82,7 +82,7 @@ def _stranded(state_dir: str, suffix: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
-def _recover(state_dir: str, stream_id: str = "") -> None:
+def _recover(state_dir: str) -> None:
     """Heal an interrupted swap before merging (the crash-safety half of
     the atomic-rename contract).
 
@@ -92,7 +92,18 @@ def _recover(state_dir: str, stream_id: str = "") -> None:
     - a COMPLETED tmp (has Spark's ``_SUCCESS`` marker) with state_dir
       missing — died between the two renames. The tmp IS the post-merge
       state: promote it and advance the mark to its batch id, so the
-      replayed batch is skipped as already applied.
+      replayed batch is skipped as already applied. The mark keeps the
+      GENERATION recorded by the pre-crash mark file — the tmp was
+      written by whatever generation that mark belongs to, which is not
+      necessarily the generation now running recovery. Stamping the
+      CURRENT stream id here would let a tmp stranded by generation A
+      suppress generation B's restarted batch ids 0..b as replays
+      (silent data loss — exactly the cross-generation hole the
+      stream-scoped mark exists to close). With no readable mark the
+      writer generation is unknown: record a sentinel that matches no
+      generation, so the high-water check resets to -1 and the promoted
+      batch merely re-merges (latest-wins is idempotent, so that is
+      safe; suppression is not).
     - an old dir with state_dir missing and no completed tmp — restore
       the pre-batch state; the batch replays on top of it.
     - stale tmp/old next to a live state_dir (died before the first
@@ -111,8 +122,13 @@ def _recover(state_dir: str, stream_id: str = "") -> None:
         if done:
             b, p = done[-1]
             os.rename(p, state_dir)
+            try:
+                with open(_mark_path(state_dir)) as f:
+                    gen = json.load(f).get("stream", "__recovered__")
+            except Exception:
+                gen = "__recovered__"
             with open(_mark_path(state_dir), "w") as f:
-                json.dump({"batch_id": b, "stream": stream_id}, f)
+                json.dump({"batch_id": b, "stream": gen}, f)
             tmps = [t for t in tmps if t[1] != p]
         elif olds:
             _, p = olds[-1]
@@ -140,7 +156,7 @@ def upsert_batch(
     :func:`_last_batch`; a new checkpoint restarts epoch ids at 0 and
     must not be suppressed by an older generation's mark).
     """
-    _recover(state_dir, stream_id)
+    _recover(state_dir)
     if batch_id <= _last_batch(state_dir, stream_id):
         return
     if os.path.isdir(state_dir):

@@ -82,3 +82,57 @@ def test_q_bucketed_join_zero_exchange_smj_under_no_broadcast(no_broadcast):
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
     assert audit.exchange_counts(df) == {"hash": 1, "single": 0, "roundrobin": 0}
+
+
+def test_gc_sweeps_orphaned_materializations(spark):
+    """ADVICE r4 (relational.py:233): fixture regeneration re-keys the
+    content tag, orphaning the previous pmr_bucketed_* dir and its two
+    catalog tables. The retention sweep removes idle-past-max-age dirs
+    (plus their tables), drops tables whose backing dir vanished, and
+    never touches the live tag or a recently-active sibling."""
+    import os
+    import tempfile
+    import time
+
+    from proactive_map_reduce_spark.queries import REGISTRY
+
+    tmp = tempfile.gettempdir()
+    dead, fresh, live = "deadbeef0000", "facefeed0000", "aaaabbbb0000"
+    paths = {t: os.path.join(tmp, f"pmr_bucketed_{t}") for t in (dead, fresh, live)}
+    for p in paths.values():
+        os.makedirs(p, exist_ok=True)
+    old = time.time() - 7200
+    os.utime(paths[dead], (old, old))
+    # stage dir stranded by a crashed writer: ages out like its parent
+    stage = os.path.join(tmp, f"pmr_bucketed_{dead}_stage_x")
+    os.makedirs(stage, exist_ok=True)
+    os.utime(stage, (old, old))
+    # catalog entry whose backing dir is gone entirely (metastore outlives /tmp)
+    spark.sql("CREATE TABLE IF NOT EXISTS pmr_li_b_000000000000 (x INT) USING parquet")
+    try:
+        removed = bucketed.gc_stale_materializations(spark, tmp, live)
+        assert paths[dead] in removed and stage in removed
+        assert not os.path.isdir(paths[dead]) and not os.path.isdir(stage)
+        assert os.path.isdir(paths[fresh])      # recent sibling: kept
+        assert os.path.isdir(paths[live])       # live tag: kept
+        assert not spark.catalog.tableExists("pmr_li_b_000000000000")
+    finally:
+        for p in (*paths.values(), stage):
+            __import__("shutil").rmtree(p, ignore_errors=True)
+        spark.sql("DROP TABLE IF EXISTS pmr_li_b_000000000000")
+
+    # end-to-end: repeated registry calls keep exactly one live dir and
+    # refresh its mtime (the liveness beacon the age test relies on)
+    df = REGISTRY["q_bucketed_join"](spark, SF0001)
+    df.collect()
+    live_dirs = [
+        os.path.join(tmp, n) for n in os.listdir(tmp)
+        if n.startswith("pmr_bucketed_") and "_stage_" not in n
+    ]
+    assert len(live_dirs) >= 1
+    for p in live_dirs:  # backdate all; the sf0.001 one must come back
+        m = os.stat(p).st_mtime - 10
+        os.utime(p, (m, m))
+    floor = max(os.stat(p).st_mtime for p in live_dirs)
+    REGISTRY["q_bucketed_join"](spark, SF0001).collect()
+    assert any(os.stat(p).st_mtime > floor for p in live_dirs)

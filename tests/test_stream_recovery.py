@@ -402,6 +402,67 @@ def test_upsert_new_stream_generation_is_not_suppressed(spark, tmp_path):
     assert up._last_batch(state, "gen-a") == -1  # old mark superseded
 
 
+def test_recover_promoted_tmp_keeps_writer_generation(spark, tmp_path):
+    """ADVICE r4 (upsert.py:115): a tmp stranded by generation A, then
+    recovered while generation B is running, must NOT get stamped with
+    B's stream id — that would mark B's restarted epochs 0..b as replays
+    and silently drop them. The promoted mark keeps the generation the
+    pre-crash mark recorded, so B sees a mismatch, resets to -1, and its
+    batch 0 merges."""
+    state = str(tmp_path / "state")
+    keys, order = ["user_id"], ["ts", "event_id"]
+    b0 = _ev_rows(spark, [(1, 0, "set", BASE_TS, 1.0)])
+    up.upsert_batch(spark, b0, 0, state, keys, order, stream_id="gen-a")
+
+    # generation A crashes between the two renames of batch 1: completed
+    # tmp_1 (merge of state + b1), state renamed away, mark still at
+    # {batch_id: 0, stream: gen-a}
+    b1 = _ev_rows(
+        spark, [(2, 1, "set", BASE_TS + datetime.timedelta(minutes=1), 2.0)]
+    )
+    merged = spark.read.parquet(state).unionByName(b1)
+    latest = (
+        merged.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter("__rn = 1")
+        .drop("__rn")
+    )
+    latest.write.mode("overwrite").parquet(state + ".tmp_1")
+    os.rename(state, state + ".old_1")  # ← crash; checkpoint then cleaned
+
+    # generation B starts fresh: epoch ids restart at 0 with NEW data
+    b_new = _ev_rows(
+        spark, [(3, 2, "set", BASE_TS + datetime.timedelta(hours=1), 3.0)]
+    )
+    up.upsert_batch(spark, b_new, 0, state, keys, order, stream_id="gen-b")
+    got = _read_state(spark, state)
+    # A's stranded merge recovered AND B's batch 0 applied — not skipped
+    assert got == {0: (1, 1.0), 1: (2, 2.0), 2: (3, 3.0)}
+    assert up._last_batch(state, "gen-b") == 0
+    assert not os.path.isdir(state + ".tmp_1")
+    assert not os.path.isdir(state + ".old_1")
+
+
+def test_recover_promoted_tmp_without_mark_uses_sentinel(spark, tmp_path):
+    """No readable mark next to the stranded tmp → the writer generation
+    is unknown; the promoted mark must match NO generation so the next
+    batch re-merges (idempotent) instead of being suppressed."""
+    state = str(tmp_path / "state")
+    keys, order = ["user_id"], ["ts", "event_id"]
+    b0 = _ev_rows(spark, [(1, 0, "set", BASE_TS, 1.0)])
+    b0.write.mode("overwrite").parquet(state + ".tmp_0")  # crashed before rename
+    up.upsert_batch(spark, b0, 0, state, keys, order, stream_id="gen-b")
+    assert _read_state(spark, state) == {0: (1, 1.0)}
+    # the re-merge advanced the mark under gen-b; the sentinel never won
+    assert up._last_batch(state, "gen-b") == 0
+
+
 def test_write_ordered_tolerates_null_order_values(spark):
     """Rows with a NULL arrival key (nulled chunk_id from upstream
     quarantining) must not crash the stage writer — they arrive last,
