@@ -21,7 +21,16 @@ double-precision integer arithmetic anywhere in the path.
 Domain: num ≥ 0, den > 0, and 2·num·10⁶ + den must stay below 2^63
 (num ≲ 4.6e12) — the int64 overflow bound of the scaled numerator;
 DuckDB raises on bigint overflow rather than wrapping, so breaching it
-is loud, not silently wrong. Within that domain the cross-engine
+is loud, not silently wrong. NEGATIVE numerators are out of domain for
+every helper in this module: both engines' integral division truncates
+toward zero (Spark ``div``, DuckDB ``//`` — verified, ``-7 // 2 = -3``),
+so the engines still agree with each other below zero, but the result
+is truncation-toward-zero, not the documented half-up — a silent
+semantics change rather than an error. Every current call site is
+non-negative by construction (counts, lengths, 2-decimal prices,
+discounts in [0,1], micro-units of scores in [0,1]); a call site whose
+sign is data-dependent must carry its own precondition comment (see the
+event-value mean in queries/relational.py) or pre-clamp. Within that domain the cross-engine
 bit-identity is unconditional; the value additionally equals the exact
 half-up decimal whenever the scaled quotient is double-exact
 (num/den ≲ 9e9 — true for every live ratio site, which are all means,
@@ -97,9 +106,11 @@ def rescale_units(units: Column, from_scale: int, to_scale: int) -> Column:
     """Half-up round of an exact integer units count (10^-from_scale
     units, e.g. a revenue sum in 1e-4 units) DOWN to to_scale decimals,
     as a double. Dividing down instead of multiplying up means the only
-    headroom needed over the units sum itself is +f/2, so the domain is
-    the full int64 range; the integral ``div`` keeps the quotient exact
-    (the earlier ``(a - pmod) / b`` form went through double and drifted
+    headroom needed over the units sum itself is +f/2, so magnitude-wise
+    the domain is the full NON-NEGATIVE int64 range (negatives are out
+    of domain module-wide — integral div truncates, see module
+    docstring); the integral ``div`` keeps the quotient exact (the
+    earlier ``(a - pmod) / b`` form went through double and drifted
     off the SQL mirror above ~2^55 units)."""
     f = 10 ** (from_scale - to_scale)
     a = units.cast("bigint") + (f // 2)

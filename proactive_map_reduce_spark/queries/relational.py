@@ -720,6 +720,10 @@ def q_resample_ffill(spark, sf_dir):
         # still split the engines when the quotient's shortest repr lands
         # on a 5e-7 half (e.g. sum 2.01 over 32 events → 0.0628125:
         # Spark rounds the repr up, DuckDB the binary value down)
+        # PRECONDITION (numeric.py domain): event `value` is a
+        # non-negative money-like measure (fixture min 0.01); a signed
+        # measure here would make round_ratio truncate instead of
+        # half-up. tests/test_numeric.py pins the fixture-wide sign.
         round_ratio(F.sum(fixed_units(F.col("value"), 2)), 100 * F.count("*"), 6).alias("v")
     )
     joined = grid.join(hourly, ["user_id", "hour"], "left")

@@ -211,3 +211,40 @@ def test_fixed_units_exact_at_money_magnitudes(spark):
     for cents in (1, 50, 99, 101, 123456789, 10**11):
         value = cents / 100.0
         assert _spark_eval(spark, fixed_units(F.lit(value), 2)) == cents
+
+
+def test_negative_numerators_agree_cross_engine_but_are_out_of_domain(spark):
+    """ADVICE r4 (numeric.py:51): below zero the integral division
+    truncates toward zero in BOTH engines, so the helpers still agree
+    with each other — but the result is truncation, not the documented
+    half-up. This pins both facts: (a) cross-engine agreement holds even
+    out of domain (a signed value slipping in diverges from the decimal
+    semantics, never from the oracle), (b) the truncation really does
+    differ from half-up on a half boundary, which is why negatives are
+    excluded from the domain."""
+    from pyspark.sql import functions as F
+
+    for num, den in ((-7, 2_000_000), (-1, 2_000_000), (-27484, 64000)):
+        s = _spark_eval(spark, round_ratio(F.lit(num), F.lit(den), 6))
+        d = _duck_eval(round_ratio_sql(str(num), str(den), 6))
+        assert s == d  # engines agree even out of domain
+    # -1/2 units at to-scale: half-up would give -0.01 (away) or 0.0
+    # (toward +inf); truncation gives 0.0 — whichever convention one
+    # wanted, the point is the code does NOT implement decimal half-up
+    # for negatives, hence the domain exclusion.
+    s = _spark_eval(spark, rescale_units(F.lit(-50), 4, 2))
+    d = _duck_eval(rescale_units_sql("-50", 4, 2))
+    assert s == d == 0.0
+
+
+def test_fixture_event_values_are_nonnegative():
+    """Pins the PRECONDITION of the one sign-data-dependent call site
+    (queries/relational.py resample mean): event `value` must stay a
+    non-negative measure in every fixture, or that site needs a clamp."""
+    import glob
+
+    import duckdb as dk
+
+    for p in sorted(glob.glob("/root/testdata/sf*/events.parquet")):
+        lo = dk.sql(f"SELECT min(value) FROM '{p}'").fetchone()[0]
+        assert lo is not None and lo >= 0, f"{p}: min(value)={lo}"
