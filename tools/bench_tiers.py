@@ -20,18 +20,53 @@ fs with page cache the measured spread is far flatter — the number to
 read is the RANK agreement and the fetch-vs-recompute margin, which is
 what the placement policy actually acts on).
 
-Usage: python tools/bench_tiers.py [sf_dir]   (default /root/testdata/sf0.1)
+A second, COLD pass then re-measures the memory:disk pair with the
+page cache dropped for the on-disk blocks (``sync`` +
+``posix_fadvise(POSIX_FADV_DONTNEED)`` over the block-manager's
+``rdd_*`` files before every fetch). The warm pass shows the model's
+10:1 memory:disk constant measuring ~1:1 because DISK_ONLY blocks sit
+in the page cache; the cold pass is the honest analog of the
+reference's physically-slow nfs tier (kv_loading_interface.py:28-53,
+size/1 vs size/100) — the regime the constant models. Both numbers are
+printed; the placement decision (`decide_tier`) acts on the
+fetch-vs-recompute margin, which holds in both regimes.
+
+Usage: python tools/bench_tiers.py [sf_dir] [reps]
+       (default /root/testdata/sf0.1, 5)
 """
 
 from __future__ import annotations
 
+import glob
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F  # noqa: E402
+
+
+def _drop_block_page_cache() -> tuple[int, int]:
+    """Evict the OS page cache for every Spark block-manager RDD block
+    file (the DISK_ONLY storage). Dirty pages can't be dropped, so flush
+    first; returns (files, bytes) advised — 0 files means the persist
+    landed nowhere on disk and the 'cold' number would be fake."""
+    os.sync()
+    files = n_bytes = 0
+    for p in glob.glob("/tmp/blockmgr-*/*/rdd_*"):
+        try:
+            fd = os.open(p, os.O_RDONLY)
+        except OSError:
+            continue
+        try:
+            os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+            n_bytes += os.fstat(fd).st_size
+            files += 1
+        finally:
+            os.close(fd)
+    return files, n_bytes
 
 
 def main() -> int:
@@ -124,6 +159,71 @@ def main() -> int:
         ),
     }
     print(json.dumps(summary))
+
+    # ---- cold pass: memory vs disk with the page cache actually cold.
+    # Two things distinguish this from the warm pass: (a) the page cache
+    # for the on-disk blocks is dropped before EVERY fetch (a fetch
+    # re-warms it, so once per rep is not enough), and (b) the stored
+    # intermediate is replicated ~COLD_MULT× — the staged map output is
+    # <1 MB at bench scale, where a fetch is pure job overhead and even a
+    # genuinely cold disk read is free; the bandwidth constant under
+    # test only expresses itself once the blocks are storage-bandwidth-
+    # sized. Replication multiplies STORED bytes without multiplying the
+    # upstream map work, which is exactly the variable the tier model
+    # prices (bytes moved per fetch). The session stores blocks
+    # compressed (spark.rdd.compress), so identical replicas would
+    # deduplicate to nothing — each replica carries an incompressible
+    # sha2-chain payload (~512 B of hex, 256 B entropy) so stored bytes
+    # actually scale with the multiplier.
+    cold_mult = int(os.environ.get("SPARK_GRAFT_COLD_MULT", "64"))
+    dup = F.explode(F.array(*[F.lit(i) for i in range(cold_mult)])).alias("dup")
+
+    def intermediate_large():
+        base = intermediate().select("*", dup)
+        payload = F.concat(
+            *[
+                F.sha2(
+                    F.concat_ws(
+                        "-",
+                        F.hash("out_text").cast("string"),
+                        F.col("dup").cast("string"),
+                        F.lit(str(i)),
+                    ),
+                    256,
+                )
+                for i in range(4)
+            ]
+        )
+        return base.withColumn("payload", payload)
+
+    cold: dict[str, list[float]] = {"memory": [], "disk": []}
+    advised_files = advised_bytes = 0
+    for rep in range(reps):
+        for tier in ("memory", "disk"):
+            df = intermediate_large()
+            mgr.add(key_of[tier], df, tier=tier)
+            df.count()
+            if tier == "disk":
+                nf, nb = _drop_block_page_cache()
+                advised_files, advised_bytes = max(advised_files, nf), max(
+                    advised_bytes, nb
+                )
+            cold[tier].append(consume(mgr.fetch(key_of[tier])))
+            mgr.evict(key_of[tier])
+    mem_c, dsk_c = min(cold["memory"]), min(cold["disk"])
+    cold_summary = {
+        "metric": "tier_load_ab_cold",
+        "stored_replication": cold_mult,
+        "memory_fetch_sec": round(mem_c, 3),
+        "disk_cold_fetch_sec": round(dsk_c, 3),
+        "measured_memory_disk_ratio_cold": round(dsk_c / mem_c, 2)
+        if mem_c > 0
+        else None,
+        "model_memory_disk_ratio": TIERS["memory"][1] / TIERS["disk"][1],
+        "advised_block_files": advised_files,
+        "advised_block_bytes": advised_bytes,
+    }
+    print(json.dumps(cold_summary))
     spark.stop()
     return 0
 
