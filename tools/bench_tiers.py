@@ -147,11 +147,19 @@ def main() -> int:
     model_rank = sorted(TIERS, key=lambda t: est_load[t])
     meas_rank = sorted(TIERS, key=lambda t: min(fetch[t]))
     mem, dsk = min(fetch["memory"]), min(fetch["disk"])
+    # when the measured per-tier spread is inside noise (page-cached
+    # local fs: every tier ~ memory speed), the measured rank is a
+    # shuffle of ties and "rank_agreement" is meaningless — say so
+    # instead of letting a coin flip read as a model error
+    fastest = min(min(fetch[t]) for t in TIERS)
+    slowest = max(min(fetch[t]) for t in TIERS)
+    distinguishable = fastest > 0 and (slowest - fastest) / fastest > 0.25
     summary = {
         "metric": "tier_load_ab",
         "model_rank": model_rank,
         "measured_rank": meas_rank,
-        "rank_agreement": model_rank == meas_rank,
+        "tiers_distinguishable": distinguishable,
+        "rank_agreement": model_rank == meas_rank if distinguishable else None,
         "model_memory_disk_ratio": TIERS["memory"][1] / TIERS["disk"][1],
         "measured_memory_disk_ratio": round(dsk / mem, 2) if mem > 0 else None,
         "fetch_beats_recompute_all_tiers": all(
