@@ -67,13 +67,32 @@ def prefix_scan_inputs(
     )
 
 
-def running_mean(
-    df: DataFrame, id_col: str, order_col: str, value_col: str, out_col: str = "running_avg"
+def running_metric(
+    df: DataFrame,
+    id_col: str,
+    order_col: str,
+    value_col: str,
+    sum_col: str = "running_sum",
+    n_col: str = "running_n",
 ) -> DataFrame:
-    """W3: cumulative mean in arrival order (pipeline_70b_samsum.py:312-323)."""
+    """W3: running metric in arrival order (pipeline_70b_samsum.py:312-323).
+
+    Emits the cumulative sum (rounded to the value's own 2-decimal
+    grain) and count — the mean's exact numerator/denominator — rather
+    than the mean quotient: ``round(avg, 6)`` lands on exact x.5
+    rounding boundaries where Spark's sequential and DuckDB's
+    segment-tree float summation legitimately disagree in the last ulp
+    (the family the sf0.1 deep gate caught; functions/numeric.py).
+    ``round(sum, 2)`` is boundary-free *because* the true sum of
+    2-decimal values is itself a 2-decimal number: the float sum sits
+    ulps from a 0.01-multiple, never near a .005 boundary. Callers with
+    a different value grain should adjust the rounding scale to match
+    (or accumulate fixed_units)."""
     w = (
         Window.partitionBy(id_col)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return df.withColumn(out_col, F.round(F.avg(value_col).over(w), 6))
+    return df.withColumn(
+        sum_col, F.round(F.sum(value_col).over(w), 2)
+    ).withColumn(n_col, F.count("*").over(w).cast("bigint"))

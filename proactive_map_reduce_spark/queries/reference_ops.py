@@ -485,17 +485,8 @@ def q_running_metric(spark, sf_dir):
     Spark's sequential and DuckDB's segment-tree summation legitimately
     disagree in the last ulp; sum/count are boundary-free."""
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.round(F.sum("value").over(w), 2).alias("running_sum"),
-        F.count("*").over(w).cast("bigint").alias("running_n"),
-    )
+    out = red.running_metric(ev, "user_id", "event_id", "value")
+    return out.select("event_id", "user_id", "running_sum", "running_n")
 
 
 def q_speedup_model(spark, sf_dir):

@@ -1,0 +1,171 @@
+"""Randomized model-based tests for the custom join/selection operators.
+
+Each operator is compared against a direct pure-Python brute-force model
+on hypothesis-generated inputs. The fixed-fixture oracle gate proves
+cross-engine agreement on realistic data; these prove the OPERATOR
+CONTRACT itself on the adversarial shapes fixtures rarely contain —
+duplicate timestamps, exact window boundaries, keys with one empty
+side, tail-vs-k collisions. One Spark job covers many random groups per
+example (per-example Spark overhead dominates, so examples are few and
+wide rather than many and narrow).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from proactive_map_reduce_spark.operators.asof import asof_join
+from proactive_map_reduce_spark.operators.rangejoin import interval_join
+from proactive_map_reduce_spark.operators import topk as topk_ops
+
+SLOW = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (key, ts) event rows: few keys, tight ts range → plenty of duplicate
+# timestamps and boundary collisions
+_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),          # key
+        st.integers(0, 20),         # ts (micros)
+        st.integers(0, 1_000_000),  # payload
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+_EV_SCHEMA = StructType(
+    [
+        StructField("k", IntegerType(), False),
+        StructField("ts", LongType(), False),
+        StructField("v", LongType(), False),
+    ]
+)
+
+
+@SLOW
+@given(left=_rows, right=_rows)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """Backward as-of: for each left row, the right row with the max
+    (ts, payload) among same-key rows with ts <= left ts (the payload
+    tie-break mirrors the operator's documented struct ordering)."""
+    ldf = spark.createDataFrame([(k, t, v) for k, t, v in left], _EV_SCHEMA)
+    rdf = spark.createDataFrame([(k, t, v) for k, t, v in right], _EV_SCHEMA)
+    got = sorted(
+        (r["k"], r["ts"], r["v"], r["r_v"])
+        for r in asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="ts")
+        .select("k", "ts", "v", "r_v")
+        .collect()
+    )
+    exp = []
+    for k, t, v in left:
+        cands = [(rt, rv) for rk, rt, rv in right if rk == k and rt <= t]
+        exp.append((k, t, v, max(cands)[1] if cands else None))
+    assert got == sorted(exp)
+
+
+@SLOW
+@given(left=_rows, right=_rows, w=st.integers(1, 7))
+def test_interval_join_matches_bruteforce(spark, left, right, w):
+    """Inner interval join: every same-key pair with |lt - rt| <= W,
+    inclusive at both boundaries, no duplicates from bucket overlap."""
+    ldf = spark.createDataFrame(
+        [(k, t, v) for k, t, v in left], _EV_SCHEMA
+    ).withColumn("ts", F.timestamp_micros(F.col("ts")))
+    rdf = spark.createDataFrame(
+        [(k, t, v) for k, t, v in right], _EV_SCHEMA
+    ).withColumn("ts", F.timestamp_micros(F.col("ts")))
+    out = interval_join(ldf, rdf, on="k", within_us=w)
+    got = sorted(
+        (
+            r["k"],
+            r["ts"].timestamp() * 1_000_000,
+            r["v"],
+            r["r_ts"].timestamp() * 1_000_000,
+            r["r_v"],
+        )
+        for r in out.select("k", "ts", "v", "r_ts", "r_v").collect()
+    )
+    got = sorted((k, round(lt), lv, round(rt), rv) for k, lt, lv, rt, rv in got)
+    exp = sorted(
+        (k, lt, lv, rt, rv)
+        for k, lt, lv in left
+        for rk, rt, rv in right
+        if rk == k and abs(lt - rt) <= w
+    )
+    assert got == exp
+
+
+# topk groups: (group, [score per position]); position is the list index
+_groups = st.dictionaries(
+    st.integers(0, 4),
+    st.lists(st.integers(0, 9), min_size=1, max_size=12),
+    min_size=1,
+    max_size=5,
+)
+
+
+@SLOW
+@given(
+    groups=_groups,
+    ratio=st.sampled_from([0.0, 0.1, 0.3, 0.5, 0.9, 1.0]),
+    last_len=st.integers(0, 4),
+)
+def test_topk_importance_matches_bruteforce(spark, groups, ratio, last_len):
+    """Reference selection rule (modeling_llama.py:860-869): always keep
+    the last `last_len` positions; additionally keep the top
+    k = clamp(int(ratio*n) - 1, 0, n - last_len) NON-TAIL positions by
+    (score desc, position asc). Small integer scores force ties."""
+    rows = [
+        (g, pos, float(s))
+        for g, scores in groups.items()
+        for pos, s in enumerate(scores)
+    ]
+    df = spark.createDataFrame(rows, ["g", "pos", "score"])
+    out = topk_ops.topk_importance(
+        df, "g", "pos", "score", ratio=ratio, last_len=last_len
+    )
+    got = sorted((r["g"], r["pos"], r["selected"]) for r in out.collect())
+
+    exp = []
+    for g, scores in groups.items():
+        n = len(scores)
+        k = max(int(ratio * n) - 1, 0)
+        k = min(n - last_len, k)
+        tail_start = n - last_len
+        nontail = sorted(
+            (p for p in range(n) if p < tail_start),
+            key=lambda p: (-scores[p], p),
+        )
+        exp.extend((g, p, "topk") for p in nontail[:k])
+        exp.extend((g, p, "tail") for p in range(max(tail_start, 0), n))
+    assert got == sorted(exp)
+
+
+def test_asof_join_all_left_before_right(spark):
+    """Every left row precedes every right row → all matches null."""
+    ldf = spark.createDataFrame([(1, 1, 10), (1, 2, 20)], _EV_SCHEMA)
+    rdf = spark.createDataFrame([(1, 5, 99)], _EV_SCHEMA)
+    rows = asof_join(ldf, rdf, on="k").select("r_v").collect()
+    assert [r["r_v"] for r in rows] == [None, None]
+
+
+def test_interval_join_exact_boundary_inclusive(spark):
+    """|lt - rt| == W must match (the bucket-edge case the exact filter
+    re-admits after expansion)."""
+    mk = lambda rows: spark.createDataFrame(rows, _EV_SCHEMA).withColumn(
+        "ts", F.timestamp_micros(F.col("ts"))
+    )
+    out = interval_join(mk([(1, 10, 1)]), mk([(1, 3, 2), (1, 17, 3)]), "k", 7)
+    assert sorted(r["r_v"] for r in out.collect()) == [2, 3]
