@@ -152,6 +152,13 @@ def rechunk_chunk_id(pos: Column, n: Column, chunk_len: int, tail_frac: float = 
 
     n_chunks = ceil(n/chunk_len); tail = n - (n_chunks-1)*chunk_len;
     merge iff n_chunks > 1 and tail < tail_frac*chunk_len.
+
+    Deliberate deviation: the reference loop (test_proactive.py:152-165)
+    raises IndexError on any input shorter than ``tail_frac*chunk_len``
+    (it merges the short tail into ``chunk_ids[-1]`` which doesn't exist
+    yet); here a document that fits in one chunk IS its one chunk — the
+    ``n_chunks > 1`` guard — since crashing the 100 TB job on its
+    shortest document is not a semantics worth preserving.
     """
     n_chunks = F.ceil(n / chunk_len)
     tail = n - (n_chunks - 1) * chunk_len
@@ -183,6 +190,30 @@ def ratio_schedule(num_steps: int, low: float = 0.2, increment: float = 0.1) -> 
         F.sequence(F.lit(0), F.lit(num_steps - 1)),
         lambda i: F.round(F.least(F.lit(low) + i * F.lit(increment), F.lit(1.0)), 6),
     )
+
+
+def derived_increment(num_steps: int, low: float, target_ratio: float) -> float:
+    """C4, the reference's parameterization (test_proactive.py:141-147
+    ``split_ratio``): the caller gives a TARGET mean ratio and the
+    increment is derived as ``(2*target_ratio - low)/num_steps`` — the
+    uncapped ramp low, low+inc, … then averages ≈ target_ratio
+    (arithmetic-series mean (low + last)/2 → target as num_steps grows).
+    Computed in plain Python floats, exactly the reference expression,
+    so schedules built from it are bit-equal to the reference list."""
+    return (2.0 * target_ratio - low) / num_steps
+
+
+def ratio_schedule_from_target(
+    num_steps: int, low: float, target_ratio: float
+) -> Column:
+    """C4 with the reference's (low, num_doc, ratio) signature
+    (test_proactive.py:141-147)."""
+    return ratio_schedule(num_steps, low, derived_increment(num_steps, low, target_ratio))
+
+
+def ratio_schedule_uniform(num_steps: int, ratio: float) -> Column:
+    """C4 uniform variant (test_proactive.py:149-150: ``[ratio]*num_doc``)."""
+    return F.array_repeat(F.round(F.lit(ratio), 6), num_steps)
 
 
 @F.udf(returnType=T.ArrayType(T.IntegerType()))

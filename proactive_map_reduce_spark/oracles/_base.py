@@ -8,6 +8,8 @@ from ..queries import (
     NUM_STEPS,
     RATIO_INC,
     RATIO_LOW,
+    RATIO_TINC,
+    RATIO_TLOW,
 )
 from ..functions.numeric import round6_ratio_sql  # noqa: E402
 from ..operators.dedup import MINHASH_A, MINHASH_B, MINHASH_PRIME  # noqa: E402

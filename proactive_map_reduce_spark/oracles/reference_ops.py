@@ -135,6 +135,17 @@ FROM chunks
 """
 
 
+# derived-increment C4: {RATIO_TINC} interpolates the SAME Python double
+# the Spark plan uses (repr round-trips exactly), so both engines ramp
+# with the identical IEEE literal
+ORACLES["q_ratio_schedule_target"] = f"""
+WITH {_WORDS}, {_CHUNKS}
+SELECT doc_id, chunk_id,
+       round(least({RATIO_TLOW} + chunk_id * {RATIO_TINC}, 1.0), 6) AS ratio
+FROM chunks
+"""
+
+
 ORACLES["q_middle_drop_truncate"] = f"""
 WITH RECURSIVE {_WORDS}, {_RECHUNK},
 base AS (

@@ -52,7 +52,13 @@ TAIL_FRAC = 0.3        # C2 tail-merge threshold
 DROP_BUDGET = 60       # P5 middle-drop token budget
 
 
-RATIO_LOW, RATIO_INC = 0.2, 0.1   # C4 schedule
+RATIO_LOW, RATIO_INC = 0.2, 0.1   # C4 schedule (explicit-increment form)
+# C4 reference parameterization (test_proactive.py:141-147): target mean
+# ratio + low bound; the increment is derived. Computed ONCE here in
+# Python and interpolated into both engines' plans by repr, so the
+# literal the two parse is the identical IEEE double.
+RATIO_TLOW, RATIO_TARGET = 0.1, 0.45
+RATIO_TINC = chunking.derived_increment(NUM_STEPS, RATIO_TLOW, RATIO_TARGET)
 
 
 TOPK_RATIO, TOPK_LAST = 0.3, 2    # T1 selection knobs

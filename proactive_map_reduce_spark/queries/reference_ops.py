@@ -138,6 +138,26 @@ def q_split_ratio_schedule(spark, sf_dir):
     )
 
 
+def q_ratio_schedule_target(spark, sf_dir):
+    """C4, the reference's own parameterization (test_proactive.py:141-147
+    ``split_ratio(low, num_doc, ratio)``): the increment is DERIVED from a
+    target mean ratio, (2*ratio - low)/num_steps, computed once in Python
+    (queries/_base.RATIO_TINC) and interpolated into both engines'
+    literals — the ramp values are bit-equal to the reference list."""
+    d = _chunks(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        "chunk_id",
+        F.round(
+            F.least(
+                F.lit(RATIO_TLOW) + F.col("chunk_id") * F.lit(RATIO_TINC),
+                F.lit(1.0),
+            ),
+            6,
+        ).alias("ratio"),
+    )
+
+
 def q_middle_drop_truncate(spark, sf_dir):
     """P5: middle-drop until total tokens <= budget (order-dependent loop)."""
     chunks = chunking.rechunk_fixed(_words(spark, sf_dir), CHUNK_LEN, tail_frac=TAIL_FRAC)

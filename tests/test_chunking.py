@@ -187,3 +187,49 @@ def test_partition_equal_arrays_matches_grouped_form(spark):
         for r in chunking.partition_equal(chunking.split_words(docs), 4).collect()
     }
     assert a == b
+
+
+def test_ratio_schedule_from_target_matches_reference_loop(spark):
+    """C4 reference parameterization (test_proactive.py:141-147): the
+    increment is derived from (low, num_doc, target ratio). The engine
+    array must be bit-equal (up to the engine-wide 6-dp display round)
+    to the reference loop re-derived here in pure Python."""
+    from pyspark.sql import functions as F
+
+    from proactive_map_reduce_spark.operators.chunking import (
+        ratio_schedule_from_target,
+        ratio_schedule_uniform,
+    )
+
+    def reference_split_ratio(low, num_doc, ratio):
+        out, increment = [], (2 * ratio - low) / num_doc
+        for i in range(num_doc):
+            out.append(min(low + i * increment, 1.0))
+        return out
+
+    for low, n, target in ((0.1, 4, 0.45), (0.2, 6, 0.6), (0.0, 3, 0.9), (0.3, 5, 0.8)):
+        got = spark.range(1).select(
+            ratio_schedule_from_target(n, low, target).alias("r")
+        ).collect()[0]["r"]
+        exp = [round(v, 6) for v in reference_split_ratio(low, n, target)]
+        assert got == exp, (low, n, target)
+
+    got = spark.range(1).select(
+        ratio_schedule_uniform(4, 0.35).alias("r")
+    ).collect()[0]["r"]
+    assert got == [0.35] * 4  # test_proactive.py:149-150
+
+
+def test_rechunk_short_doc_is_single_chunk(spark):
+    """Deliberate deviation from the reference (test_proactive.py:152-165
+    raises IndexError when the whole input is shorter than
+    0.3*chunk_len): a short document is its own single chunk."""
+    from pyspark.sql import functions as F
+
+    from proactive_map_reduce_spark.operators import chunking
+
+    docs = spark.createDataFrame([(1, "just two")], ["doc_id", "text"])
+    out = chunking.rechunk_fixed(
+        chunking.split_words(docs), chunk_len=100
+    ).collect()
+    assert [(r["doc_id"], r["chunk_id"], r["n_tokens"]) for r in out] == [(1, 0, 2)]
