@@ -67,6 +67,55 @@ def prefix_scan_inputs(
     )
 
 
+def prefix_scan_refeed(
+    chunks_df: DataFrame,
+    mapped_df: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "chunk_id",
+    text_col: str = "chunk_text",
+    out_col: str = "out_text",
+    sep: str = " ",
+) -> DataFrame:
+    """R2, the v2 re-feed variant (test_proactive_2.py:231): stage n's
+    input = chunks 0..n PLUS the accumulated outputs of stages 0..n-1
+    (``list(chain(doc_chunk_ids[:n+1])) + q_ids + total_res_toks``).
+
+    Modeled non-recursively over the per-chunk map outputs — the
+    reference's true loop is sequential (stage n's OUTPUT depends on its
+    re-fed input); the dataflow analog assembles the same input strings
+    from the staged outputs, which is exactly what the streaming W2
+    accumulator feeds each micro-batch. Stage 0 has no prior output and
+    gets no trailing separator."""
+    j = chunks_df.join(
+        mapped_df.select(id_col, order_col, out_col), [id_col, order_col]
+    )
+    w_cur = (
+        Window.partitionBy(id_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    def prefix(col, w):
+        return F.transform(
+            F.array_sort(F.collect_list(F.struct(order_col, col)).over(w)),
+            lambda s: s[col],
+        )
+
+    chunk_prefix = F.array_join(prefix(text_col, w_cur), sep)
+    outs = prefix(out_col, w_prev)
+    return j.withColumn(
+        "stage_input",
+        F.when(F.size(outs) == 0, chunk_prefix).otherwise(
+            F.concat(chunk_prefix, F.lit(sep), F.array_join(outs, sep))
+        ),
+    )
+
+
 def running_metric(
     df: DataFrame,
     id_col: str,

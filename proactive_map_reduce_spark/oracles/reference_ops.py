@@ -213,6 +213,28 @@ FROM chunks
 """
 
 
+# v2 re-feed: prior-stage outputs append to the chunk prefix; stage 0
+# (no prior output) carries no trailing separator
+ORACLES["q_prefix_scan_refeed"] = f"""
+WITH {_WORDS}, {_CHUNKS}, {_MAPPED}
+SELECT c.doc_id, c.chunk_id,
+       CAST(
+         length(string_agg(c.chunk_text, ' ') OVER (
+           PARTITION BY c.doc_id ORDER BY c.chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         + CASE WHEN op.prev_out IS NULL THEN 0
+                ELSE 1 + length(op.prev_out) END
+       AS BIGINT) AS input_len
+FROM chunks c JOIN (
+  SELECT doc_id, chunk_id,
+         string_agg(out_text, ' ') OVER (
+           PARTITION BY doc_id ORDER BY chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_out
+  FROM mapped
+) op USING (doc_id, chunk_id)
+"""
+
+
 ORACLES["q_flagship"] = f"""
 WITH {_WORDS}, {_CHUNKS}, {_MAPPED},
 fin AS (

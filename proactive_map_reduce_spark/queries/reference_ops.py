@@ -199,6 +199,21 @@ def q_prefix_scan_inputs(spark, sf_dir):
     )
 
 
+def q_prefix_scan_refeed(spark, sf_dir):
+    """R2, v2 re-feed form (test_proactive_2.py:231): stage n's input =
+    chunks 0..n + accumulated map outputs of stages 0..n-1. Output is the
+    input length per stage (the quantity the reference asserts against,
+    `input_len == q_ids_len + sum(lengths[:n+1]) + len(total_res_toks)`)."""
+    chunks = _chunks(spark, sf_dir)
+    mapped = mapstage.llm_map(chunks)
+    out = red.prefix_scan_refeed(chunks, mapped)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.length("stage_input").cast("bigint").alias("input_len"),
+    )
+
+
 def q_flagship(spark, sf_dir):
     """Flagship: chunked map-reduce round-trip with scoring.
 

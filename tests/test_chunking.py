@@ -233,3 +233,27 @@ def test_rechunk_short_doc_is_single_chunk(spark):
         chunking.split_words(docs), chunk_len=100
     ).collect()
     assert [(r["doc_id"], r["chunk_id"], r["n_tokens"]) for r in out] == [(1, 0, 2)]
+
+
+def test_prefix_scan_refeed_exact_strings(spark):
+    """R2 v2 (test_proactive_2.py:231): stage n input = chunks 0..n +
+    outputs 0..n-1; stage 0 gets no trailing separator."""
+    from proactive_map_reduce_spark.operators import reduce as red
+
+    chunks = spark.createDataFrame(
+        [(1, 0, "a b"), (1, 1, "c"), (2, 0, "x")],
+        ["doc_id", "chunk_id", "chunk_text"],
+    )
+    mapped = spark.createDataFrame(
+        [(1, 0, "b a"), (1, 1, "c"), (2, 0, "x")],
+        ["doc_id", "chunk_id", "out_text"],
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): r["stage_input"]
+        for r in red.prefix_scan_refeed(chunks, mapped).collect()
+    }
+    assert got == {
+        (1, 0): "a b",            # no prior output, no separator
+        (1, 1): "a b c b a",      # chunks 0..1 + output of stage 0
+        (2, 0): "x",
+    }
