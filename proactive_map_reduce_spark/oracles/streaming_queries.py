@@ -81,3 +81,29 @@ SELECT e.event_id, e.user_id, e.event_type,
        c.c_mktsegment AS segment, round(e.value, 6) AS value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 """
+
+
+# The sequential re-feed recursion as a recursive-CTE fold: base = each
+# doc's first chunk with empty accumulator, step joins chunk_id+1.
+# chain_n = substr(md5(chain_{n-1} || out_n), 1, 8) exactly mirrors the
+# state function; acc counts non-empty tokens like the engine.
+ORACLES["q_stream_refeed_chain"] = f"""
+WITH RECURSIVE {_WORDS}, {_CHUNKS}, {_MAPPED},
+m AS (
+  SELECT doc_id, chunk_id, out_text,
+         CAST(len(list_filter(string_split(out_text, ' '), w -> w != ''))
+              AS BIGINT) AS n_out
+  FROM mapped
+),
+rec AS (
+  SELECT doc_id, chunk_id, CAST(0 AS BIGINT) AS acc_words_before,
+         substr(md5(out_text), 1, 8) AS chain, n_out
+  FROM m
+  WHERE chunk_id = (SELECT min(chunk_id) FROM m m2 WHERE m2.doc_id = m.doc_id)
+  UNION ALL
+  SELECT m.doc_id, m.chunk_id, rec.acc_words_before + rec.n_out,
+         substr(md5(rec.chain || m.out_text), 1, 8), m.n_out
+  FROM rec JOIN m ON m.doc_id = rec.doc_id AND m.chunk_id = rec.chunk_id + 1
+)
+SELECT doc_id, chunk_id, acc_words_before, chain FROM rec
+"""

@@ -69,3 +69,16 @@ def q_stream_static_enrich(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return stream_ops.stream_static_enrich(spark, ev, cust)
+
+
+def q_stream_refeed_chain(spark, sf_dir):
+    """W2 v2 (test_proactive_2.py:228-233): the SEQUENTIAL re-feed loop —
+    stage n's computation consumes the accumulated outputs of stages
+    0..n-1 — run as keyed streaming state over staged arrival. Emits the
+    accumulated-output word count each stage saw plus a rolling md5
+    chain over the stage outputs (order-sensitive: any reorder, replay
+    or loss changes every later value). Fully hash-checked against a
+    DuckDB recursive-CTE fold — the batch-equivalent of the recursion."""
+    return stream_ops.refeed_chain(spark, _chunks(spark, sf_dir)).select(
+        "doc_id", "chunk_id", "acc_words_before", "chain"
+    )

@@ -259,6 +259,77 @@ def stateful_accumulate(
         shutil.rmtree(root, ignore_errors=True)
 
 
+_REFEED_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_id", T.IntegerType()),
+        T.StructField("acc_words_before", T.LongType()),
+        T.StructField("chain", T.StringType()),
+    ]
+)
+
+
+def _refeed(key, pdfs, state: GroupState):
+    """v2 re-feed state function (test_proactive_2.py:228-233): each
+    stage's computation consumes the ACCUMULATED prior outputs, so the
+    result is genuinely sequential — stage n cannot be computed without
+    stage n-1's. State carries (next expected info): the accumulated
+    output word count and a rolling md5 CHAIN over the per-stage outputs
+    (chain_n = md5(chain_{n-1} + out_n)[:8]); the chain is
+    order-sensitive, so any replay, reorder, or lost stage changes every
+    later emitted value — the strongest cheap witness that the stateful
+    path ran the stages in arrival order. Rows within one micro-batch
+    are folded in chunk_id order (normally one stage per batch; recovery
+    can coalesce several)."""
+    import hashlib as _hl
+
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("chunk_id")
+    acc_words, chain = (0, "") if not state.exists else state.get
+    out_ids, out_acc, out_chain = [], [], []
+    for _, r in rows.iterrows():
+        toks = [w for w in (r["out_text"] or "").split(" ") if w]
+        out_ids.append(int(r["chunk_id"]))
+        out_acc.append(int(acc_words))
+        chain = _hl.md5((chain + (r["out_text"] or "")).encode("utf-8")).hexdigest()[:8]
+        out_chain.append(chain)
+        acc_words += len(toks)
+    state.update((acc_words, chain))
+    yield pd.DataFrame(
+        {
+            "doc_id": [key[0]] * len(out_ids),
+            "chunk_id": out_ids,
+            "acc_words_before": out_acc,
+            "chain": out_chain,
+        }
+    )
+
+
+def refeed_chain(spark: SparkSession, chunks_df: DataFrame, model_fn=None) -> DataFrame:
+    """W2 v2: the sequential re-feed loop as keyed streaming state.
+
+    Stages arrive one micro-batch at a time; the per-doc state threads
+    the accumulated output word count and the rolling output chain hash
+    through every stage. Batch-equivalent oracle: a recursive fold over
+    the mapped chunks in chunk order (DuckDB recursive CTE) — fully
+    hash-checked, unlike typical custom stateful ops."""
+    root = write_stage_files(chunks_df)
+
+    def transform(stream_df: DataFrame) -> DataFrame:
+        mapped = mapstage.llm_map(stream_df, model_fn=model_fn)
+        return mapped.groupBy("doc_id").applyInPandasWithState(
+            _refeed,
+            outputStructType=_REFEED_OUT,
+            stateStructType="acc_words long, chain string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    try:
+        return _run_to_memory(_chunk_stream(spark, root), transform)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def rate_source_soak(
     spark: SparkSession,
     duration_s: int = 30,
