@@ -67,6 +67,21 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
 
 def get_spark(app_name: str = "proactive_map_reduce_spark") -> SparkSession:
     cpus = default_parallelism()
+    # Python WORKERS must be able to import this package: the driver's
+    # sys.path (examples/ scripts insert the repo dir) is NOT inherited
+    # by executor workers, so a pandas UDF that references a package
+    # function (the stand-in tokenizer's py_token_id) deserializes with
+    # ModuleNotFoundError whenever the driver runs from another cwd.
+    # Exporting PYTHONPATH BEFORE the JVM launches fixes every fork of
+    # the worker daemon; on a real cluster the packaged equivalent is
+    # --py-files/a wheel, this is the local-mode analog. Must run before
+    # getOrCreate — the JVM captures its environment at launch.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

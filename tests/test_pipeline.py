@@ -78,3 +78,33 @@ def test_custom_model_fn_plugs_in(spark):
     final = pipe.reduce_stage(pipe.map_stage(pipe.chunk(docs)))
     texts = {r["doc_id"]: r["final_text"] for r in final.collect()}
     assert texts[3] == "SHORT DOC"
+
+
+def test_example_runs_from_foreign_cwd():
+    """Regression: running the example entry point from OUTSIDE the repo
+    used to crash every pandas-UDF task with ModuleNotFoundError — the
+    driver's sys.path isn't inherited by executor workers. get_spark now
+    exports PYTHONPATH before the JVM launches. Subprocess on purpose:
+    the fix only acts at JVM creation, so an in-session test can't see
+    it."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "examples", "run_proactive.py"),
+            "--corpus",
+            "/root/testdata/sf0.001",
+        ],
+        cwd="/tmp",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "'n': 500" in proc.stdout
