@@ -169,3 +169,73 @@ def test_interval_join_exact_boundary_inclusive(spark):
     )
     out = interval_join(mk([(1, 10, 1)]), mk([(1, 3, 2), (1, 17, 3)]), "k", 7)
     assert sorted(r["r_v"] for r in out.collect()) == [2, 3]
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2**32 - 1)),
+        min_size=0,
+        max_size=60,
+        unique=True,
+    ),
+    k=st.sampled_from([1, 4, 16]),
+)
+def test_kmv_exact_branch_and_partition_independence(spark, rows, k):
+    """kmv_distinct's two contracts on arbitrary distinct (group, hash)
+    sets: (a) a group with fewer than k distinct hashes answers EXACTLY;
+    (b) the answer is identical at 1 and 7 physical partitions (the
+    two-level min-k must be a pure locality optimization)."""
+    from proactive_map_reduce_spark.operators import sketch as sk
+
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, ["g", "h"]).dropDuplicates(["g", "h"])
+    got = {}
+    for parts in (1, 7):
+        got[parts] = {
+            r["g"]: r["approx_distinct"]
+            for r in sk.kmv_distinct(df.repartition(parts), "g", "h", k=k).collect()
+        }
+    assert got[1] == got[7]
+    from collections import defaultdict
+
+    exact = defaultdict(set)
+    for g, h in rows:
+        exact[g].add(h)
+    for g, hs in exact.items():
+        if len(hs) < k:
+            assert got[1][g] == len(hs), (g, k)
+
+
+@SLOW
+@given(
+    rows=st.lists(st.integers(0, 500), min_size=1, max_size=50),
+    bins=st.sampled_from([4, 16, 64]),
+)
+def test_histogram_quantiles_bracket_and_convention(spark, rows, bins):
+    """histogram_quantiles on one group: each reported pXX is the LOWER
+    BOUND of the bin where the cumulative count first covers p·n under
+    the pinned crossing convention (prev_cum < p·n), recomputed here in
+    pure Python over the same equi-width integer bins."""
+    from proactive_map_reduce_spark.operators import sketch as sk
+
+    df = spark.createDataFrame([(1, v) for v in rows], ["g", "v"])
+    out = sk.histogram_quantiles(df, "g", "v", bins=bins).collect()[0]
+
+    lo, hi, n = min(rows), max(rows), len(rows)
+    width = hi - lo + 1
+    counts = {}
+    for v in rows:
+        b = (v - lo) * bins // width
+        counts[b] = counts.get(b, 0) + 1
+    for p, col in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75")):
+        cum = 0
+        hit = None
+        for b in sorted(counts):
+            if cum < p * n:
+                hit = b
+            cum += counts[b]
+        # smallest value whose bin is `hit`: lo + ceil(hit*width/bins)
+        exp = lo + -((-hit * width) // bins)
+        assert out[col] == exp, (p, rows, bins)
