@@ -715,6 +715,10 @@ def q_scan_text_corpus(spark, sf_dir):
             _os.rename(staging, root)
         except OSError:  # lost the rename race: another writer finished first
             _shutil.rmtree(staging, ignore_errors=True)
+    try:  # liveness beacon: reuse refreshes mtime so the retention sweep
+        _os.utime(root)  # (sources/retention.py) only ages out dead tags
+    except OSError:
+        pass
     back = txt_src.read_text_corpus(spark, root)
     return back.select(
         "doc_id",

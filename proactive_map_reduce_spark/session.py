@@ -62,6 +62,12 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on this build — builder path sets it instead
+    # Tempdir retention (once per process): ephemeral pmr_* artifacts
+    # whose lifetime must outlast their query call age out here instead
+    # of accumulating forever (sources/retention.py).
+    from .sources.retention import sweep_once
+
+    sweep_once()
     return spark
 
 

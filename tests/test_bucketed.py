@@ -136,3 +136,29 @@ def test_gc_sweeps_orphaned_materializations(spark):
     floor = max(os.stat(p).st_mtime for p in live_dirs)
     REGISTRY["q_bucketed_join"](spark, SF0001).collect()
     assert any(os.stat(p).st_mtime > floor for p in live_dirs)
+
+
+def test_tmp_retention_sweep(tmp_path):
+    """Generalized tempdir TTL (sources/retention.py): idle pmr_* dirs
+    and files age out; fresh ones, non-pmr names, and the exempt
+    pmr_scale_* replicas survive."""
+    import os
+    import time as _t
+
+    from proactive_map_reduce_spark.sources import retention
+
+    tmp = str(tmp_path)
+    old = _t.time() - 7 * 3600
+    mk = lambda n: os.makedirs(os.path.join(tmp, n), exist_ok=True)
+    for n in ("pmr_jsonl_dead", "pmr_corpus_dead", "pmr_scale_10x", "other_dir"):
+        mk(n)
+    mk("pmr_jsonl_fresh")
+    with open(os.path.join(tmp, "pmr_stray_file"), "w") as f:
+        f.write("x")
+    for n in ("pmr_jsonl_dead", "pmr_corpus_dead", "pmr_scale_10x", "other_dir",
+              "pmr_stray_file"):
+        os.utime(os.path.join(tmp, n), (old, old))
+    removed = retention.sweep_tmp_artifacts(parent=tmp)
+    names = set(os.listdir(tmp))
+    assert names == {"pmr_jsonl_fresh", "pmr_scale_10x", "other_dir"}
+    assert len(removed) == 3
