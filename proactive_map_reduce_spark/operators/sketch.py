@@ -58,7 +58,20 @@ def kmv_distinct(
     ).select(
         group_col,
         F.when(F.col("n_distinct") < k, F.col("n_distinct"))
-        .otherwise(F.floor((k - 1) * F.lit(float(2**32)) / F.col("kth") + 0.5))
+        .otherwise(
+            # greatest(kth, 1): hash value 0 CAN be the k-th minimum
+            # (p ≈ k/2^32 per group, a certainty over 100 TB of groups)
+            # and Spark 4 runs ANSI mode, where the bare division THROWS
+            # instead of nulling — found by the property test's
+            # rows=[(0, 0)], k=1 example. Clamping to 1 changes the
+            # estimate only in that degenerate cell (where any answer
+            # within the estimator's error is defensible); the oracle
+            # mirrors the same clamp.
+            F.floor(
+                (k - 1) * F.lit(float(2**32)) / F.greatest(F.col("kth"), F.lit(1))
+                + 0.5
+            )
+        )
         .cast("bigint")
         .alias(out_col),
     )

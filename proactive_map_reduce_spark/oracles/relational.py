@@ -127,7 +127,8 @@ kmv AS (
   SELECT lang,
          CAST(CASE WHEN max(rn) < {_KMV} THEN max(rn)
                    ELSE floor(({_KMV} - 1) * 4294967296.0
-                              / max(CASE WHEN rn = {_KMV} THEN h END) + 0.5) END
+                              / greatest(max(CASE WHEN rn = {_KMV} THEN h END), 1)
+                              + 0.5) END
               AS BIGINT) AS approx_distinct_words
   FROM wrn GROUP BY lang
 ),
