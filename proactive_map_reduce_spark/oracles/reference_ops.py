@@ -311,7 +311,9 @@ FROM a
 ORACLES["q_timing_arith"] = f"""
 SELECT doc_id,
        round(n_chars / CAST(100.0 AS DOUBLE), 6) AS decode_time,
-       {_r6("100 * len(string_split(text, ' '))", 'n_chars')} AS decoding_speed
+       CASE WHEN n_chars > 0
+            THEN {_r6("100 * len(string_split(text, ' '))", 'n_chars')}
+       END AS decoding_speed
 FROM documents
 """
 

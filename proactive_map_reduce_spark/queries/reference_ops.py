@@ -295,8 +295,15 @@ def q_timing_arith(spark, sf_dir):
         # its shortest repr, safe in both engines
         F.round(decode_time, 6).alias("decode_time"),
         # w/(c/100) = 100w/c: exact int ratio (c can reduce to a 2^7·5^t
-        # denominator → live round() boundary; functions/numeric.py)
-        round6_ratio(100 * n_words, F.col("n_chars")).alias("decoding_speed"),
+        # denominator → live round() boundary; functions/numeric.py).
+        # n_chars = 0 (an empty document) is guarded to NULL: under ANSI
+        # the integral div THROWS — one empty doc in 100 TB would kill
+        # the job (the reference's own len/time raises ZeroDivisionError
+        # there; null-speed-for-empty is the deliberate deviation, the
+        # oracle mirrors it).
+        F.when(
+            F.col("n_chars") > 0, round6_ratio(100 * n_words, F.col("n_chars"))
+        ).alias("decoding_speed"),
     )
 
 

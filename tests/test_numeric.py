@@ -248,3 +248,28 @@ def test_fixture_event_values_are_nonnegative():
     for p in sorted(glob.glob("/root/testdata/sf*/events.parquet")):
         lo = dk.sql(f"SELECT min(value) FROM '{p}'").fetchone()[0]
         assert lo is not None and lo >= 0, f"{p}: min(value)={lo}"
+
+
+def test_zero_denominator_guard_on_timing_arith_shape(spark):
+    """ANSI-mode audit (round 5): data-dependent integral denominators
+    must be guarded — an empty document (n_chars=0) must yield NULL
+    decoding speed, not an ANSI division error. The sum/count family
+    needs no guard (count 0 ⟺ null numerator short-circuits)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "", 0), (2, "a b", 3)], ["doc_id", "text", "n_chars"]
+    )
+    out = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id",
+            F.when(
+                F.col("n_chars") > 0,
+                round_ratio(
+                    100 * F.size(F.split("text", " ")), F.col("n_chars"), 6
+                ),
+            ).alias("s"),
+        ).collect()
+    }
+    assert out[1] is None and abs(out[2] - 66.666667) < 1e-9
