@@ -104,6 +104,19 @@ _REWRITTEN = {
     # null-text corpus round-trip mirror
     "q_event_anomaly": 4,
     "q_scan_text_corpus": 4,
+    # round-5 ANSI-robustness pass (the --extreme sweep): zero-norm
+    # cosine guard, clamped IVF fixed-point, winsorized z-score cents,
+    # KMV divisor clamp, empty-doc decoding-speed guard — in-domain
+    # values unchanged (gate-verified), but the PLANS changed, so the
+    # driver should re-derive green rows on the new expressions.
+    "q_similarity_topk": 5,
+    "q_similarity_lsh": 5,
+    "q_similarity_ivf": 5,
+    "q_similarity_ivf_sampled": 5,
+    "q_dedup_embedding": 5,
+    "q_event_anomaly": 5,
+    "q_sketch_stats": 5,
+    "q_timing_arith": 5,
 }
 
 

@@ -34,11 +34,23 @@ def _as_double(col):
     return col.cast("array<double>")
 
 
+def cos_expr(dot, norm_prod):
+    """dot/(‖a‖·‖b‖) with the zero-norm guard: a zero vector has no
+    direction, so its cosine is NULL — exactly what DuckDB's x/0.0
+    yields, while Spark under ANSI mode THROWS on any double division
+    by zero (found by the --extreme sweep's zero-vector row; zero
+    embeddings are routine in practice — padding rows, dead features).
+    Null cosines sort last in top-k windows and fail ``>= threshold``
+    filters identically on both engines, so every consumer's semantics
+    are unchanged for non-degenerate vectors."""
+    return F.when(norm_prod != 0, dot / norm_prod)
+
+
 def cosine(a, b):
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
-    return dot / (na * nb)
+    return cos_expr(dot, na * nb)
 
 
 # Test-data embedding dimensionality (embeddings.parquet, all SFs). Passed
@@ -205,8 +217,10 @@ def brute_force_topk(
                 "query_id",
                 F.col(id_col).alias("neighbor_id"),
                 F.round(
-                    unrolled_dot("qv", "v", dim)
-                    / (qnorms[F.col("qi")] * F.col("nv")),
+                    cos_expr(
+                        unrolled_dot("qv", "v", dim),
+                        qnorms[F.col("qi")] * F.col("nv"),
+                    ),
                     6,
                 ).alias("cos_sim"),
             )
@@ -227,7 +241,7 @@ def brute_force_topk(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             F.round(
-                unrolled_dot("qv", "v", dim) / (F.col("nq") * F.col("nv")),
+                cos_expr(unrolled_dot("qv", "v", dim), F.col("nq") * F.col("nv")),
                 6,
             ).alias("cos_sim"),
         )
@@ -275,8 +289,7 @@ def lsh_topk(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             F.round(
-                unrolled_dot("qv", "v", dim)
-                / (F.col("nq") * F.col("nv")),
+                cos_expr(unrolled_dot("qv", "v", dim), F.col("nq") * F.col("nv")),
                 6,
             ).alias("cos_sim"),
         )
@@ -287,15 +300,31 @@ def lsh_topk(
 
 IVF_SCALE = 1_000_000
 IVF_ITERS = 5
+# Coordinate clamp: the integer L2 squares coordinate DIFFERENCES, so
+# dim·(2·C)² < 2^63 bounds |xi| — C = 1.5e8 (component ±150 at the 1e-6
+# grid) keeps a 64-dim distance exact with 6× headroom. Un-clamped, one
+# garbage 1e30 component saturates floor() to Long.Max and the squared
+# difference OVERFLOWS (ANSI throws — found by the --extreme sweep).
+# Real embedding components are O(1); the clamp only touches garbage.
+IVF_CLAMP = 150_000_000
 
 
 def _fixed_point(vec_col) -> "F.Column":
-    """floor(x·1e6 + 0.5) per dim: exact int64 coordinates. All distance
-    math and centroid sums below are integer → order-independent and
-    bit-identical across engines (double sums would depend on partition
-    reduction order)."""
+    """clamp(floor(x·1e6 + 0.5), ±IVF_CLAMP) per dim: exact int64
+    coordinates. All distance math and centroid sums below are integer →
+    order-independent and bit-identical across engines (double sums
+    would depend on partition reduction order). NaN components quantize
+    to 0 (a junk coordinate contributes nothing to the quantizer);
+    oracle mirrored in _ivf_sql."""
     return F.transform(
-        vec_col, lambda x: F.floor(x.cast("double") * IVF_SCALE + 0.5).cast("bigint")
+        vec_col,
+        lambda x: F.greatest(
+            F.least(
+                F.floor(F.nanvl(x.cast("double"), F.lit(0.0)) * IVF_SCALE + 0.5),
+                F.lit(IVF_CLAMP),
+            ),
+            F.lit(-IVF_CLAMP),
+        ).cast("bigint"),
     )
 
 
@@ -474,8 +503,7 @@ def ivf_topk(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             F.round(
-                unrolled_dot("qv", "v", dim)
-                / (F.col("nq") * F.col("nv")),
+                cos_expr(unrolled_dot("qv", "v", dim), F.col("nq") * F.col("nv")),
                 6,
             ).alias("cos_sim"),
         )
@@ -513,8 +541,10 @@ def embedding_near_dup_pairs(
             "vec_a",
             "vec_b",
             F.round(
-                unrolled_dot(F.col("va"), F.col("vb"), dim)
-                / (F.col("na") * F.col("nb")),
+                cos_expr(
+                    unrolled_dot(F.col("va"), F.col("vb"), dim),
+                    F.col("na") * F.col("nb"),
+                ),
                 6,
             ).alias("cos_sim"),
         )

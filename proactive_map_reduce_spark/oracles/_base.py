@@ -354,9 +354,15 @@ def _ivf_sql(n_queries=8, k=5, n_clusters=8, nprobe=3, iters=5, scale=1_000_000,
     parts = [
         f"""
 xint AS (
+  -- clamp + NaN→0 mirror similarity.py _fixed_point (IVF_CLAMP): the
+  -- clamp applies in DOUBLE before the BIGINT cast, so garbage
+  -- components can neither overflow the cast nor the squared distance
   SELECT vec_id,
          list_transform(embedding,
-           x -> CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS xi,
+           x -> CAST(greatest(least(floor(
+                  (CASE WHEN isnan(CAST(x AS DOUBLE)) THEN 0.0
+                        ELSE CAST(x AS DOUBLE) END) * {scale} + 0.5),
+                  150000000.0), -150000000.0) AS BIGINT)) AS xi,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ){gate_cte},

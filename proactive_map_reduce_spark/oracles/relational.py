@@ -436,7 +436,11 @@ FROM j
 # — no float avg/stddev accumulation-order ulps in the z-score path.
 ORACLES["q_event_anomaly"] = f"""
 WITH cw AS (
-  SELECT user_id, event_id, {_fu('value', 2)} AS c, ts FROM events
+  -- winsorized into the exact-int window domain (see the Spark side)
+  SELECT user_id, event_id,
+         greatest(least({_fu('value', 2)}, 100000000), -100000000) AS c,
+         ts
+  FROM events
 ),
 s AS (
   SELECT user_id, event_id, c,

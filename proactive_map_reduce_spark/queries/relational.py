@@ -664,7 +664,17 @@ def q_event_anomaly(spark, sf_dir):
     # runs identical integers through the same IEEE ops on both engines
     # — bit-identical z; sqrt makes the 6-dp display boundary-safe
     # (irrational except measure-zero cases).
-    c = fixed_units(F.col("value"), 2)
+    # Winsorize the cents into the exact-int state's domain: the window
+    # algebra squares c, so n·Σc² < 2^63 bounds |c| ≤ ~9.6e8 cents for
+    # the 10-event frame — an un-clamped 1e12 value OVERFLOWS (ANSI
+    # throws; found by the --extreme sweep). Clamping at ±1e8 cents
+    # (±1e6 units, far above any sane event measure) preserves anomaly
+    # semantics: a clamped extreme still maxes |z| against any normal
+    # baseline, and an all-extreme baseline hits the zero-variance
+    # exclusion. Mirrored in the oracle.
+    c = F.greatest(
+        F.least(fixed_units(F.col("value"), 2), F.lit(10**8)), F.lit(-(10**8))
+    )
     scored = ev.select(
         "user_id",
         "event_id",

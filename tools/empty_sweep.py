@@ -15,7 +15,18 @@ contract: dropped/invalid rows, not degraded content).
 Every query must compile, execute and return its schema rather than
 crash in plan build, model-state collection or UDF paths.
 
-Usage: python tools/empty_sweep.py [--nulls] [query ...]
+Extreme mode (--extreme): the sf0.001 rows with a deterministic subset
+patched to the adversarial values 100 TB of real data always contains —
+multilingual/emoji/control-char text, a ~90k-char mega-document,
+whitespace-only and punctuation-only documents, 1e12 and NEGATIVE event
+values (out of the display helpers' documented half-up domain — must
+truncate, never throw), epoch-0 and far-future nano timestamps, a
+zero embedding vector, a 1e30 component and a NaN component. Derived
+columns (n_chars) are re-derived so patched rows stay self-consistent.
+Every query must still execute and return its schema; VALUES are not
+checked (the oracle gate owns values on well-formed data).
+
+Usage: python tools/empty_sweep.py [--nulls|--extreme] [query ...]
 Prints one line per query; exits non-zero on any failure.
 """
 
@@ -44,9 +55,74 @@ NULLABLE_CONTENT = {
 }
 
 
+_MEGA_TEXT = ("lorem ipsum dolor sit amet consectetur " * 2500).strip()
+_WEIRD_TEXT = "héllo wörld 😀 日本語 текст vtab\ttab\nline two  double  space"
+
+
+def _patch_extreme(df, table):
+    """Adversarial value injection per table (deterministic key gates)."""
+    from pyspark.sql import functions as F
+
+    if table == "documents":
+        key = F.col("doc_id")
+        txt = (
+            F.when(key == 7, F.lit(_MEGA_TEXT))
+            .when(key % 21 == 0, F.lit(_WEIRD_TEXT))
+            .when(key % 21 == 14, F.lit("   "))       # whitespace-only
+            .when(key % 21 == 17, F.lit("!!!???..."))  # punctuation-only
+            .otherwise(F.col("text"))
+        )
+        return df.withColumn("text", txt).withColumn(
+            "n_chars", F.length("text").cast("bigint")
+        )
+    if table == "events":
+        key = F.col("event_id")
+        val = (
+            F.when(key % 13 == 0, F.lit(1.0e12))
+            .when(key % 17 == 0, F.lit(-5.25))  # out of half-up domain:
+            .otherwise(F.col("value"))          # must truncate, not throw
+        )
+        # ts is an int64 nanos column in this fixture: epoch 0 and a
+        # far-future value exercise the DIV-1000 conversion boundaries
+        ts = (
+            F.when(key % 19 == 0, F.lit(0).cast("long"))
+            .when(key % 23 == 0, F.lit(2**62).cast("long"))
+            .otherwise(F.col("ts"))
+        )
+        out = df.withColumn("value", val)
+        return out.withColumn("ts", ts) if dict(df.dtypes).get("ts") == "bigint" else out
+    if table == "embeddings":
+        key = F.col("vec_id")
+        rest = F.expr("slice(embedding, 2, size(embedding) - 1)")
+        zero = F.expr("transform(embedding, x -> cast(0.0 as float))")
+        emb = (
+            F.when(key == 3, zero)  # zero vector: cosine guard path
+            .when(
+                key == 5,  # one huge component: norms stay finite-double
+                F.concat(F.array(F.lit(1.0e30).cast("float")), rest),
+            )
+            .when(
+                key == 9,  # a NaN component: must not crash any plan
+                F.concat(F.array(F.lit(float("nan")).cast("float")), rest),
+            )
+            .otherwise(F.col("embedding"))
+        )
+        return df.withColumn("embedding", emb)
+    if table == "customer":
+        return df.withColumn(
+            "c_name",
+            F.when(F.col("c_custkey") % 11 == 0, F.lit("客户 😀 Ünïcode")).otherwise(
+                F.col("c_name")
+            ),
+        )
+    return df
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--nulls"]
+    flags = {"--nulls", "--extreme"}
+    args = [a for a in sys.argv[1:] if a not in flags]
     nulls_mode = "--nulls" in sys.argv[1:]
+    extreme_mode = "--extreme" in sys.argv[1:]
     # reject unknown names (same rule as compare_oracle.py): a typo must
     # not produce a vacuous exit-0 "0 failures" sweep
     from proactive_map_reduce_spark.queries import REGISTRY as _REG
@@ -63,10 +139,13 @@ def main() -> int:
     from proactive_map_reduce_spark.sources.tables import TABLES
 
     spark = get_spark("empty-sweep")
-    tmp = tempfile.mkdtemp(prefix=("nulls_sf_" if nulls_mode else "empty_sf_"))
+    mode = "nulls_sf_" if nulls_mode else ("extreme_sf_" if extreme_mode else "empty_sf_")
+    tmp = tempfile.mkdtemp(prefix=mode)
     for t in TABLES:
         df = spark.read.parquet(f"{SF_SCHEMA_SRC}/{t}.parquet")
-        if nulls_mode:
+        if extreme_mode:
+            df = _patch_extreme(df, t)
+        elif nulls_mode:
             key = df.columns[0]  # first column is the table's id/key
             gate = F.col(key).cast("bigint") % 5 == 0
             for c in NULLABLE_CONTENT.get(t, []):
