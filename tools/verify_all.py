@@ -7,8 +7,10 @@ phase can't poison another):
      AND sf0.1 — the sf0.1 pass is the only net that catches
      boundary-rounding drift on realistic group sizes (both r4 deep-gate
      finds were sf0.1-only),
-  2. the test suite (pytest tests/ -q),
-  3. the bench harness (bench.py).
+  2. the three degenerate-input sweeps (tools/empty_sweep.py: empty
+     tables, nulled content, adversarial extremes),
+  3. the test suite (pytest tests/ -q),
+  4. the bench harness (bench.py).
 
 Emits ONE summary JSON line at the end (and writes it to
 VERIFY_ALL.json at the repo root) with per-phase results and a single
@@ -16,7 +18,7 @@ top-level "ok". Phase output streams through, so a failure is
 diagnosable from the same log.
 
 Usage: python tools/verify_all.py [--skip-bench] [--skip-tests]
-       [--scales sf0.001,sf0.01,sf0.1]
+       [--skip-sweeps] [--scales sf0.001,sf0.01,sf0.1]
 """
 
 from __future__ import annotations
@@ -55,6 +57,7 @@ def main() -> int:
     args = sys.argv[1:]
     skip_bench = "--skip-bench" in args
     skip_tests = "--skip-tests" in args
+    skip_sweeps = "--skip-sweeps" in args
     scales = DEFAULT_SCALES
     for a in args:
         if a.startswith("--scales"):
@@ -80,6 +83,24 @@ def main() -> int:
         }
         ok = ok and rc == 0
     summary["oracle_gate"] = gates
+
+    if not skip_sweeps:
+        sweeps: dict[str, dict] = {}
+        for mode, flag in (("empty", None), ("nulls", "--nulls"), ("extreme", "--extreme")):
+            t0 = time.time()
+            cmd = [sys.executable, "tools/empty_sweep.py"]
+            if flag:
+                cmd.append(flag)
+            rc, out = _run(cmd)
+            m = re.search(r"^(\d+) failures / (\d+) queries", out, re.M)
+            sweeps[mode] = {
+                "rc": rc,
+                "failures": int(m.group(1)) if m else -1,
+                "queries": int(m.group(2)) if m else -1,
+                "sec": round(time.time() - t0, 1),
+            }
+            ok = ok and rc == 0
+        summary["sweeps"] = sweeps
 
     if not skip_tests:
         t0 = time.time()
