@@ -154,6 +154,56 @@ def money_sum_2dp_spark_sql(value: str) -> str:
     )
 
 
+def decimal_sum(value: Column, dp: int = 2) -> Column:
+    """Order- and engine-deterministic ``round(sum(value), dp)`` for an
+    UNBOUNDED-magnitude double measure (the events ``value`` class:
+    user-supplied numbers with no schema-level cap), as a double.
+
+    The int64-unit trick above cannot host this domain — a single 1e12
+    measure is 1e18 micro-units, so a few rows overflow the bigint
+    accumulator (ANSI raises) — and a raw double ``sum()`` is
+    accumulation-order-dependent: with mixed magnitudes in one group the
+    engines land ulps apart and ``round()`` publishes the difference
+    (observed via tools/adversarial_gate.py: four rollup/window queries
+    diverged in their last printed decimal once a 1e12 value joined a
+    group). DECIMAL(38,6) accumulation fixes both ends:
+
+      * the double→decimal quantization is engine-identical — no finite
+        binary double sits exactly on a 1e-6 midpoint (5·10⁻⁷ has no
+        finite base-2 representation), so round-to-nearest agrees,
+      * the 128-bit sum is exact and associative (partition- and
+        micro-batch-order-independent — the same property the money
+        sums get from int64 units),
+      * both engines round decimals half-up away from zero (verified:
+        1.005→1.01, −1.005→−1.01, 2.675→2.68 in Spark AND DuckDB —
+        unlike double round(), which diverges on shortest-repr
+        boundaries, module docstring) and convert the same exact
+        decimal to the same double.
+
+    Domain: finite values, |v| < 10³² (38−6 digits of headroom, ~10¹³×
+    the adversarial fixture's 1e12 ceiling); NaN/Inf are a
+    data-contract violation and raise LOUDLY in both engines (ANSI
+    decimal cast). Nulls are skipped; an all-null/empty group is NULL.
+
+    Display bound: the final decimal→double conversion is only
+    guaranteed engine-identical while the ROUNDED sum's scaled integer
+    |sum|·10^dp stays below 2^53 — DuckDB converts decimals through
+    int128→double→·10^−dp, which double-rounds one ulp off the
+    correctly-rounded value beyond that (measured: a 4e12 sum displayed
+    at 6 dp split the engines; the same sum at 2 dp is exact). At the
+    default dp=2 the bound is |sum| < 9e13 — 5× the adversarial
+    fixture's worst group and far beyond any canonical one. Callers
+    wanting finer display grains must keep |sum|·10^dp < 2^53.
+    """
+    return F.round(F.sum(value.cast("decimal(38,6)")), dp).cast("double")
+
+
+def decimal_sum_sql(value: str, dp: int = 2) -> str:
+    """DuckDB mirror of :func:`decimal_sum` (same operand caveat as
+    :func:`round_ratio_sql`: the SQL string is substituted verbatim)."""
+    return f"CAST(round(sum(CAST(({value}) AS DECIMAL(38,6))), {dp}) AS DOUBLE)"
+
+
 def mean_6dp(value: Column) -> Column:
     """Cross-engine-exact mean of an already-6-dp-rounded double column:
     exact micro-unit int64 sum (associative, partition-independent),

@@ -122,8 +122,10 @@ def _lcs_len(a: list[str], b: list[str]) -> int:
 
 
 def rouge_l(pred: str, gold: str) -> float:
-    """ROUGE-L f-measure over whitespace tokens (pipeline_70b_samsum.py:77-81)."""
-    p, g = _tokens(pred), _tokens(gold)
+    """ROUGE-L f-measure over whitespace tokens (pipeline_70b_samsum.py:77-81),
+    scored over the first LCS_MAX_TOKENS tokens of each side (see the
+    cap's rationale below — identity for canonical-length inputs)."""
+    p, g = _tokens(pred)[:LCS_MAX_TOKENS], _tokens(gold)[:LCS_MAX_TOKENS]
     if not p or not g:
         return 0.0
     lcs = _lcs_len(p, g)
@@ -280,13 +282,34 @@ def rouge_l_udf(pred: pd.Series, gold: pd.Series) -> pd.Series:
     return pd.Series([round(rouge_l(p or "", g or ""), 6) for p, g in zip(pred, gold)])
 
 
+# ROUGE-L scoring window: LCS is O(n·m) with no subquadratic shortcut,
+# so an uncapped scorer lets ONE pathological document own the stage —
+# a single 15k-token doc is ~2.3e8 DP cells in the Python UDF and a
+# ~2.3e8-row recursive CTE in the oracle (observed: the adversarial
+# mega-doc stalled both for tens of minutes). Scoring the first
+# LCS_MAX_TOKENS tokens of each side is the truncate-before-score
+# convention the reference pipeline itself applies to model inputs
+# (P5 middle-drop truncation); 2048 is 20× the largest canonical
+# document (100 tokens, measured tri-scale), so canonical values are
+# untouched, and the worst per-doc cost is bounded at 2048² ≈ 4e6
+# cells regardless of corpus content. Mirrored in the q_rouge oracle.
+LCS_MAX_TOKENS = 2048
+
+
 @F.pandas_udf(T.LongType())
 def lcs_udf(pred: pd.Series, gold: pd.Series) -> pd.Series:
-    """Integer LCS length over whitespace tokens — the exact, hashable
-    core of ROUGE-L. The f-measure is derived from this integer with
-    IEEE-exact +,*,/ in the SQL layer on BOTH engines, so the whole
-    ROUGE query hash-checks (the oracle computes the same integer via a
-    recursive-CTE row DP)."""
+    """Integer LCS length over the first LCS_MAX_TOKENS whitespace tokens
+    of each side — the exact, hashable core of (capped) ROUGE-L. The
+    f-measure is derived from this integer with IEEE-exact +,*,/ in the
+    SQL layer on BOTH engines, so the whole ROUGE query hash-checks
+    (the oracle computes the same integer via a recursive-CTE row DP
+    over identically capped token lists)."""
     return pd.Series(
-        [_lcs_len(_tokens(p or ""), _tokens(g or "")) for p, g in zip(pred, gold)]
+        [
+            _lcs_len(
+                _tokens(p or "")[:LCS_MAX_TOKENS],
+                _tokens(g or "")[:LCS_MAX_TOKENS],
+            )
+            for p, g in zip(pred, gold)
+        ]
     )

@@ -132,16 +132,22 @@ def running_metric(
     rounding boundaries where Spark's sequential and DuckDB's
     segment-tree float summation legitimately disagree in the last ulp
     (the family the sf0.1 deep gate caught; functions/numeric.py).
-    ``round(sum, 2)`` is boundary-free *because* the true sum of
-    2-decimal values is itself a 2-decimal number: the float sum sits
-    ulps from a 0.01-multiple, never near a .005 boundary. Callers with
-    a different value grain should adjust the rounding scale to match
-    (or accumulate fixed_units)."""
+    The cumulative sum accumulates as exact DECIMAL(38,6)
+    (functions/numeric.decimal_sum rationale): a prefix FLOAT sum is
+    only boundary-free while the measure's magnitudes are homogeneous —
+    one huge value in the prefix parks every later running total at a
+    magnitude where Spark's sequential and DuckDB's segment-tree
+    re-association differ by more than the display grain. The decimal
+    prefix sum is exact in both engines at ANY magnitude mix, so the
+    displayed 2-decimal totals cannot drift."""
     w = (
         Window.partitionBy(id_col)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(
-        sum_col, F.round(F.sum(value_col).over(w), 2)
+        sum_col,
+        F.round(F.sum(F.col(value_col).cast("decimal(38,6)")).over(w), 2).cast(
+            "double"
+        ),
     ).withColumn(n_col, F.count("*").over(w).cast("bigint"))

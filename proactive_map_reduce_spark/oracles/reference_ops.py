@@ -488,9 +488,10 @@ FROM events
 
 ORACLES["q_running_metric"] = """
 SELECT event_id, user_id,
-       round(sum(value) OVER (
+       CAST(round(sum(CAST(value AS DECIMAL(38,6))) OVER (
          PARTITION BY user_id ORDER BY event_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+         AS running_sum,
        CAST(count(*) OVER (
          PARTITION BY user_id ORDER BY event_id
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
@@ -597,11 +598,20 @@ fin AS (
   SELECT doc_id, string_agg(out_text, ' ' ORDER BY chunk_id) AS final_text
   FROM mapped GROUP BY doc_id
 ),
-ptoks AS (SELECT doc_id, list_filter(string_split(final_text, ' '), x -> x <> '') AS toks FROM fin),
-gtoks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
-pw AS (SELECT doc_id, s.i AS i, toks[s.i] AS a
+-- token lists capped at the scoring window (functions/scoring.py
+-- LCS_MAX_TOKENS = 2048, identity for every canonical document — max
+-- measured 100 tokens tri-scale): the recursive DP below materializes
+-- i·j rows, so one uncapped 15k-token document is a ~2.3e8-row CTE
+-- (adversarial-gate stall)
+-- MATERIALIZED is load-bearing: pw is referenced inside the recursive
+-- member, and an inlined CTE re-derives the whole tokenization
+-- pipeline on EVERY iteration — at the 2048-token cap that turned a
+-- 27 s oracle into a 9+-minute one (measured)
+ptoks AS MATERIALIZED (SELECT doc_id, list_filter(string_split(final_text, ' '), x -> x <> '')[1:2048] AS toks FROM fin),
+gtoks AS MATERIALIZED (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')[1:2048] AS toks FROM documents),
+pw AS MATERIALIZED (SELECT doc_id, s.i AS i, toks[s.i] AS a
        FROM ptoks, UNNEST(generate_series(1, len(toks))) s(i)),
-gw AS (SELECT doc_id, s.j AS j, toks[s.j] AS b
+gw AS MATERIALIZED (SELECT doc_id, s.j AS j, toks[s.j] AS b
        FROM gtoks, UNNEST(generate_series(1, len(toks))) s(j)),
 dp AS (
   SELECT doc_id, 0 AS i, j, b, 0 AS v FROM gw

@@ -84,7 +84,7 @@ GROUP BY r.r_name
 ORACLES["q_window_tumbling"] = """
 SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS hour_bucket,
        event_type,
-       round(sum(value), 2) AS sum_value,
+       CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_value,
        CAST(count(*) AS BIGINT) AS n_events
 FROM events
 GROUP BY 1, 2
@@ -167,7 +167,8 @@ FROM kmv k JOIN quart q USING (lang)
 
 
 ORACLES["q_salted_agg"] = """
-SELECT event_type, round(sum(value), 2) AS sum_value,
+SELECT event_type,
+       CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_value,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM events GROUP BY event_type
 """
@@ -197,7 +198,7 @@ ORACLES["q_rollup_multi"] = """
 SELECT event_type,
        CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 2) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY ROLLUP (event_type, date_trunc('day', ts))
 """
@@ -258,7 +259,7 @@ s AS (
 SELECT user_id,
        CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 2) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_value
 FROM s GROUP BY user_id, sess_id
 """
 
@@ -278,7 +279,7 @@ x AS (
 )
 SELECT CAST(win_start_s AS BIGINT) AS win_start_s, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 2) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_value
 FROM x GROUP BY 1, 2
 """
 
@@ -297,7 +298,7 @@ ORACLES["q_cube_events"] = """
 SELECT event_type,
        CAST(dayofweek(ts) AS INT) + 1 AS dow,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 2) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY CUBE (event_type, CAST(dayofweek(ts) AS INT) + 1)
 """
@@ -393,15 +394,21 @@ FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
 
 # The maintained incremental view must equal the full recompute.
 ORACLES["q_incremental_rollup"] = """
-SELECT user_id, round(sum(value), 6) AS total_value,
+SELECT user_id,
+       CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_value,
        CAST(count(value) AS BIGINT) AS n_events
 FROM events GROUP BY user_id
 """
 
 
 # exact hourly mean: integer-cents ratio rounded half-up in int64
-# (mirrors queries/relational.py q_resample_ffill)
-_v_expr = _rr(f"sum({_fu('value', 2)})", "100 * count(*)", 6)
+# (mirrors queries/relational.py q_resample_ffill, including the ±1e8
+# cents clamp that keeps the scaled numerator inside int64)
+_v_expr = _rr(
+    f"sum(greatest(least({_fu('value', 2)}, 100000000), -100000000))",
+    "100 * count(*)",
+    6,
+)
 ORACLES["q_resample_ffill"] = f"""
 WITH b AS (
   SELECT user_id, date_trunc('hour', min(ts)) AS h0,

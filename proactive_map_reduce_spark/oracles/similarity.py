@@ -103,7 +103,10 @@ WITH m AS (
   FROM documents
 )
 SELECT doc_id, media_type,
-       CAST(length(text) AS BIGINT) AS payload_len,
+       -- BYTE length of the utf-8 payload, not character length of the
+       -- text: the payload is a binary column, and the two only agree
+       -- on pure-ASCII corpora (adversarial-gate find on multibyte text)
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
        md5(text) AS payload_md5,
        CAST(CASE WHEN media_type = 'audio' THEN 0 ELSE h % 1920 END AS BIGINT) AS width,
        CAST(CASE WHEN media_type = 'audio' THEN 0 ELSE (h // 1920) % 1080 END AS BIGINT) AS height,
@@ -164,21 +167,30 @@ WITH v AS (
 ),
 s AS (
   SELECT vec_id, v,
-         list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS s,
+         len(list_filter(v, x -> isnan(x))) > 0 AS nan
   FROM v
 ),
 q AS (
   -- zero-vector guard mirrors the engine: divide by 1.0 when s = 0 so
-  -- q=0 and err=0 instead of engine-dependent x/0 behavior
-  SELECT vec_id, s,
-         list_transform(v, x -> CAST(round(x / CASE WHEN s = 0 THEN 1.0 ELSE s END) AS INT)) AS qv,
-         list_transform(v, x -> abs(x - round(x / CASE WHEN s = 0 THEN 1.0 ELSE s END) * s)) AS errv
+  -- q=0 and err=0 instead of engine-dependent x/0 behavior.
+  -- NaN quarantine mirrors the engine (queries/similarity.py): the INT
+  -- casts must not see the NaN lane (they error in both engines), so
+  -- the CASE skips computing qv/errv entirely for quarantined rows.
+  SELECT vec_id, s, nan,
+         CASE WHEN nan THEN NULL ELSE
+           list_transform(v, x -> CAST(round(x / CASE WHEN s = 0 THEN 1.0 ELSE s END) AS INT))
+         END AS qv,
+         CASE WHEN nan THEN NULL ELSE
+           list_transform(v, x -> abs(x - round(x / CASE WHEN s = 0 THEN 1.0 ELSE s END) * s))
+         END AS errv
   FROM s
 )
-SELECT vec_id, round(s, 6) AS scale,
-       CAST(list_max(qv) AS INT) AS q_max,
-       CAST(list_min(qv) AS INT) AS q_min,
-       round(list_max(errv), 6) AS max_abs_err
+SELECT vec_id,
+       CASE WHEN nan THEN NULL ELSE round(s, 6) END AS scale,
+       CAST(CASE WHEN nan THEN NULL ELSE list_max(qv) END AS INT) AS q_max,
+       CAST(CASE WHEN nan THEN NULL ELSE list_min(qv) END AS INT) AS q_min,
+       CASE WHEN nan THEN NULL ELSE round(list_max(errv), 6) END AS max_abs_err
 FROM q
 """
 
@@ -189,10 +201,19 @@ FROM q
 # accumulation is order-independent; the final quotients divide the SAME
 # exact integers on both engines.
 ORACLES["q_embedding_centroids"] = f"""
-WITH d AS (
+WITH clean AS (
+  -- corrupt-vector quarantine + double-side ±1e6 component clamp,
+  -- mirroring queries/similarity.py (NaN vectors excluded; the clamp
+  -- runs BEFORE the bigint micro-unit cast, which would error here on
+  -- a 1e30 outlier where Spark's floor merely saturates)
+  SELECT label, embedding
+  FROM embeddings
+  WHERE len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0
+),
+d AS (
   SELECT label, t.i - 1 AS dim,
-         {_fu('CAST(e.embedding[t.i] AS DOUBLE)', 6)} AS xi
-  FROM embeddings e, UNNEST(generate_series(1, len(e.embedding))) AS t(i)
+         {_fu('greatest(least(CAST(e.embedding[t.i] AS DOUBLE), 1e6), -1e6)', 6)} AS xi
+  FROM clean e, UNNEST(generate_series(1, len(e.embedding))) AS t(i)
 ),
 pd AS (
   SELECT label, dim, sum(xi) AS sxi, count(*) AS n

@@ -38,7 +38,7 @@ ORACLES["q_stream_window_late"] = """
 SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS hour_bucket,
        event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 2) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 """

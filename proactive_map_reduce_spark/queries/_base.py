@@ -5,6 +5,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from ..functions.hashing import portable_hash64, token_id
 from ..functions.numeric import (
+    decimal_sum,
     fixed_units,
     mean_6dp,
     money_sum_2dp,

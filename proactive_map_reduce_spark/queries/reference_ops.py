@@ -586,16 +586,26 @@ def q_rouge(spark, sf_dir):
 
     mapped = red.incremental_concat(mapstage.llm_map(_chunks(spark, sf_dir)))
     joined = mapped.join(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id")
+    from ..functions.scoring import LCS_MAX_TOKENS
+
     staged = joined.select(
         "doc_id",
         lcs_udf(F.col("final_text"), F.col("text")).alias("lcs"),
         # non-empty token counts, matching lcs_udf's _tokens convention
         # (an empty text has ZERO tokens, so empty-vs-empty scores 0.0
-        # like functions.scoring.rouge_l, not a degenerate 1.0)
-        F.size(F.filter(F.split("final_text", " "), lambda x: x != ""))
+        # like functions.scoring.rouge_l, not a degenerate 1.0), capped
+        # at the scoring window (functions/scoring.LCS_MAX_TOKENS) so
+        # the f-measure stays a true f-measure OF THE SCORED PREFIXES
+        F.least(
+            F.size(F.filter(F.split("final_text", " "), lambda x: x != "")),
+            F.lit(LCS_MAX_TOKENS),
+        )
         .cast("bigint")
         .alias("len_p"),
-        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        F.least(
+            F.size(F.filter(F.split("text", " "), lambda x: x != "")),
+            F.lit(LCS_MAX_TOKENS),
+        )
         .cast("bigint")
         .alias("len_g"),
     )
@@ -825,13 +835,39 @@ def q_scan_csv_roundtrip(spark, sf_dir):
     """CSV source/sink coverage: documents written as quoted CSV (free
     text with embedded delimiters), read back with an explicit schema —
     values must round-trip exactly. Parallel executor-side write (one
-    file per partition), schema-on-read with no inference pass."""
+    file per partition), schema-on-read with no inference pass.
+
+    Free text can embed NEWLINES and QUOTES, so the pair is pinned to
+    RFC 4180: escape='"' writes embedded quotes doubled, and
+    multiLine=True parses quoted newlines as field content (the default
+    line-mode reader split one mega-doc into 25 phantom rows —
+    adversarial-gate find). multiLine trades away intra-file split
+    parallelism (each file parses as a unit — file-level parallelism
+    remains, and the write keeps one file per partition exactly so the
+    read-back stays wide); for 100 TB content columns the engine's
+    parquet/JSONL sinks are the right format, this query pins the CSV
+    interchange path."""
     d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
     path = _tempfile.mkdtemp(prefix="pmr_csv_") + "/docs"
-    d.write.mode("overwrite").option("header", True).csv(path)
-    return spark.read.schema("doc_id bigint, lang string, text string").option(
-        "header", True
-    ).csv(path)
+    (
+        d.write.mode("overwrite")
+        .option("header", True)
+        .option("escape", '"')
+        # the WRITER trims field whitespace by default (both ignore*
+        # options default TRUE on write, FALSE on read), so a
+        # whitespace-only document came back as null — roundtrip
+        # fidelity needs the trim off (adversarial-gate find)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(path)
+    )
+    return (
+        spark.read.schema("doc_id bigint, lang string, text string")
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(path)
+    )
 
 
 def q_orc_roundtrip(spark, sf_dir):

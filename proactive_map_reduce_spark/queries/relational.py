@@ -117,8 +117,12 @@ def q_window_tumbling(spark, sf_dir):
             # boundaries (e.g. 1391.13/32 = 43.4728125) where Spark's and
             # DuckDB's last-ulp summation/rounding legitimately disagree
             # — first observed at sf0.1, the same boundary class
-            # q_running_metric documents. sum/count are boundary-free.
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # q_running_metric documents. The sum itself accumulates as
+            # exact DECIMAL(38,6) (functions/numeric.decimal_sum): the
+            # events measure has no schema-level magnitude cap, so a
+            # single huge value in a group makes a raw double sum
+            # order-dependent (adversarial-gate find).
+            decimal_sum(F.col("value"), 2).alias("sum_value"),
             F.count("*").cast("bigint").alias("n_events"),
         )
         .select(
@@ -152,12 +156,23 @@ def q_sessionize(spark, sf_dir):
 def q_salted_agg(spark, sf_dir):
     """Skew-safe two-phase aggregation: per-event_type value sum/count via
     a deterministic salt (hot keys spread across N_SALTS reducers).
-    Value-identical to the plain groupBy — the oracle IS the plain SQL."""
-    ev = load_table(spark, sf_dir, "events")
-    out = skew_ops.salted_agg(
-        ev, ["event_type"], "value", salt_source="event_id", n_salts=N_SALTS
+    Value-identical to the plain groupBy — the oracle IS the plain SQL.
+    The measure is pre-cast to DECIMAL(38,6) (functions/numeric.py):
+    exact partials compose exactly under the salt's re-association, so
+    "value-identical to the plain groupBy" holds for ANY magnitude mix —
+    a raw double measure only holds it up to accumulation order (the
+    salted_agg docstring's caveat, made live by the adversarial gate)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(38,6)")
     )
-    return out.select("event_type", F.round("sum_value", 2).alias("sum_value"), "n_rows")
+    out = skew_ops.salted_agg(
+        ev, ["event_type"], "value_dec", salt_source="event_id", n_salts=N_SALTS
+    )
+    return out.select(
+        "event_type",
+        F.round("sum_value", 2).cast("double").alias("sum_value"),
+        "n_rows",
+    )
 
 
 def q_bucketed_join(spark, sf_dir):
@@ -282,7 +297,7 @@ def q_rollup_multi(spark, sf_dir):
         .rollup("event_type", "day")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            decimal_sum(F.col("value"), 2).alias("sum_value"),
         )
         .select(
             "event_type",
@@ -404,7 +419,7 @@ def q_session_window(spark, sf_dir):
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            decimal_sum(F.col("value"), 2).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -425,7 +440,7 @@ def q_window_sliding(spark, sf_dir):
         ev.groupBy(win.alias("w"), "event_type")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            decimal_sum(F.col("value"), 2).alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).cast("bigint").alias("win_start_s"),
@@ -464,7 +479,7 @@ def q_cube_events(spark, sf_dir):
         .cube("event_type", "dow")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            decimal_sum(F.col("value"), 2).alias("sum_value"),
         )
     )
 
@@ -623,7 +638,15 @@ def q_incremental_rollup(spark, sf_dir):
     checks."""
     from ..plans.incremental import IncrementalAggregate
 
-    ev = load_table(spark, sf_dir, "events")
+    # DECIMAL(38,6) measure (functions/numeric.decimal_sum rationale):
+    # the maintained partials and the delta partials may associate the
+    # same rows differently than a one-shot recompute, so the
+    # ==-full-recompute contract needs an exactly-associative
+    # accumulator for an uncapped-magnitude measure — decimal partials
+    # merge exactly; double partials only up to accumulation order.
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(38,6)")
+    )
     base = ev.filter(F.col("ts") < INCR_SPLIT_DATE)
     delta = ev.filter(F.col("ts") >= INCR_SPLIT_DATE)
     inc = IncrementalAggregate(
@@ -633,7 +656,13 @@ def q_incremental_rollup(spark, sf_dir):
     inc.apply_delta(delta)
     out = inc.result().select(
         "user_id",
-        F.round("total_value", 6).alias("total_value"),
+        # display at the measure's own 2-decimal grain (identity for
+        # 2-dec inputs, and the grain every other sum_value uses): a
+        # 6-dp display kept more scaled digits than 2^53, where
+        # DuckDB's decimal→double cast double-rounds one ulp off the
+        # correctly-rounded conversion (functions/numeric.decimal_sum
+        # domain note; adversarial-gate find)
+        F.round("total_value", 2).cast("double").alias("total_value"),
         F.col("n_events").cast("bigint").alias("n_events"),
     )
     return out
@@ -734,7 +763,22 @@ def q_resample_ffill(spark, sf_dir):
         # non-negative money-like measure (fixture min 0.01); a signed
         # measure here would make round_ratio truncate instead of
         # half-up. tests/test_numeric.py pins the fixture-wide sign.
-        round_ratio(F.sum(fixed_units(F.col("value"), 2)), 100 * F.count("*"), 6).alias("v")
+        # Cents clamp to ±1e8 (the q_event_anomaly convention, mirrored
+        # in the oracle): round_ratio's scaled numerator is int64, so an
+        # uncapped 1e12 value (1e14 cents, ×2e6 ≈ 2e20) would raise
+        # ANSI long-overflow instead of producing an hourly mean —
+        # adversarial-gate find. Means stay exact for |value| ≤ 1e6;
+        # beyond that the outlier caps deterministically in BOTH engines.
+        round_ratio(
+            F.sum(
+                F.greatest(
+                    F.least(fixed_units(F.col("value"), 2), F.lit(10**8)),
+                    F.lit(-(10**8)),
+                )
+            ),
+            100 * F.count("*"),
+            6,
+        ).alias("v")
     )
     joined = grid.join(hourly, ["user_id", "hour"], "left")
     w = (

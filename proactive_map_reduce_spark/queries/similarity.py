@@ -119,12 +119,20 @@ def q_quantize_embeddings(spark, sf_dir):
     errd = [
         F.abs(F.col("v")[d] - qd[d] * F.col("s")) for d in range(dim)
     ]
+    # Corrupt-vector quarantine (the null-payload convention): a NaN
+    # component makes the scale NaN and round(NaN)::int RAISES under
+    # ANSI (DuckDB's NaN::int cast equally errors — adversarial-gate
+    # find), so quantization is undefined for the row. Keep the row
+    # (joins don't silently lose the vector) with NULL metadata; CASE
+    # short-circuits, so the int casts never see the NaN lane.
+    has_nan = F.exists("v", lambda c: F.isnan(c))
+    null_if_nan = lambda col: F.when(has_nan, F.lit(None)).otherwise(col)  # noqa: E731
     return staged.select(
         "vec_id",
-        F.round(F.col("s"), 6).alias("scale"),
-        F.greatest(*qd).alias("q_max"),
-        F.least(*qd).alias("q_min"),
-        F.round(F.greatest(*errd), 6).alias("max_abs_err"),
+        null_if_nan(F.round(F.col("s"), 6)).alias("scale"),
+        null_if_nan(F.greatest(*qd)).alias("q_max"),
+        null_if_nan(F.least(*qd)).alias("q_min"),
+        null_if_nan(F.round(F.greatest(*errd), 6)).alias("max_abs_err"),
     )
 
 
@@ -150,7 +158,15 @@ def q_embedding_centroids(spark, sf_dir):
     Output is the centroid's checksum + first component (same
     float-array-hash-free convention as q_embed_documents)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    dims = emb.select(
+    # Corrupt-vector quarantine (the null-payload convention,
+    # operators/multimodal.py): a NaN component cannot contribute to a
+    # trained centroid, so vectors containing one are EXCLUDED from the
+    # aggregate entirely — deterministic in both engines, unlike
+    # NaN-poisoned float sums. Mirrored in the oracle.
+    clean = emb.filter(
+        ~F.exists("embedding", lambda c: F.isnan(c.cast("double")))
+    )
+    dims = clean.select(
         "label", F.posexplode(F.col("embedding")).alias("dim", "x")
     )
     # Exact integer micro-unit accumulation (functions/numeric.py
@@ -161,8 +177,22 @@ def q_embedding_centroids(spark, sf_dir):
     # constant per label and sum-of-means == (sum of unit sums)/n; the
     # final quotients divide IDENTICAL exact integers through the same
     # IEEE ops on both engines — bit-identical with no rounding step.
+    # Components clamp to ±1e6 first (DOUBLE-side, BEFORE fixed_units —
+    # Spark's floor() would merely saturate a 1e36-unit outlier at
+    # Long.Max but DuckDB's BIGINT cast raises, so the clamp must happen
+    # while both engines still agree): embeddings carry no schema-level
+    # magnitude cap, and an unclamped 1e30 component overflows the
+    # bigint micro-unit SUM under ANSI (adversarial-gate find). Real
+    # embedding components are O(1); the clamp is exact-identity there
+    # and caps garbage deterministically in both engines.
+    comp = fixed_units(
+        F.greatest(
+            F.least(F.col("x").cast("double"), F.lit(1e6)), F.lit(-1e6)
+        ),
+        6,
+    )
     per_dim = dims.groupBy("label", "dim").agg(
-        F.sum(fixed_units(F.col("x").cast("double"), 6)).alias("sxi"),
+        F.sum(comp).alias("sxi"),
         F.count("*").alias("n"),
     )
     cent = per_dim.groupBy("label").agg(

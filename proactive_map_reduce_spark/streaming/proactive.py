@@ -564,7 +564,13 @@ def windowed_counts_with_watermark(
             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
             .agg(
                 F.count("*").cast("bigint").alias("n_events"),
-                F.round(F.sum("value"), 2).alias("sum_value"),
+                # exact DECIMAL(38,6) state (functions/numeric.decimal_sum
+                # rationale): the micro-batch arrival order re-associates
+                # the sum, so a double accumulator couldn't promise
+                # ==-batch-equivalence for uncapped magnitudes
+                F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2)
+                .cast("double")
+                .alias("sum_value"),
             )
             .select(
                 (F.unix_timestamp(F.col("w.start")) / 3600).cast("bigint").alias("hour_bucket"),
