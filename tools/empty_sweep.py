@@ -164,7 +164,13 @@ def main() -> int:
             continue
         try:
             out = fn(spark, tmp)
-            n = out.count()
+            # collect(), NOT count(): count() lets Catalyst prune every
+            # unreferenced projection, so an ANSI overflow in a displayed
+            # column sails through the sweep and only crashes when the
+            # values are actually produced (tools/adversarial_gate.py
+            # caught q_resample_ffill exactly that way). Outputs at the
+            # sf0.001 schema scale are driver-safe to materialize.
+            n = len(out.collect())
             _ = out.schema  # schema must be derivable too
             print(f"PASS {name}: {n} rows")
         except Exception as exc:  # noqa: BLE001 — report, don't mask

@@ -9,8 +9,11 @@ phase can't poison another):
      finds were sf0.1-only),
   2. the three degenerate-input sweeps (tools/empty_sweep.py: empty
      tables, nulled content, adversarial extremes),
-  3. the test suite (pytest tests/ -q),
-  4. the bench harness (bench.py).
+  3. the adversarial VALUE gate (tools/adversarial_gate.py: the full
+     oracle compare on the extreme fixture — engines must AGREE, not
+     merely survive),
+  4. the test suite (pytest tests/ -q),
+  5. the bench harness (bench.py).
 
 Emits ONE summary JSON line at the end (and writes it to
 VERIFY_ALL.json at the repo root) with per-phase results and a single
@@ -18,7 +21,8 @@ top-level "ok". Phase output streams through, so a failure is
 diagnosable from the same log.
 
 Usage: python tools/verify_all.py [--skip-bench] [--skip-tests]
-       [--skip-sweeps] [--scales sf0.001,sf0.01,sf0.1]
+       [--skip-sweeps] [--skip-adversarial]
+       [--scales sf0.001,sf0.01,sf0.1]
 """
 
 from __future__ import annotations
@@ -58,6 +62,7 @@ def main() -> int:
     skip_bench = "--skip-bench" in args
     skip_tests = "--skip-tests" in args
     skip_sweeps = "--skip-sweeps" in args
+    skip_adversarial = "--skip-adversarial" in args
     scales = DEFAULT_SCALES
     for a in args:
         if a.startswith("--scales"):
@@ -101,6 +106,22 @@ def main() -> int:
             }
             ok = ok and rc == 0
         summary["sweeps"] = sweeps
+
+    if not skip_adversarial:
+        # the VALUE gate on the extreme fixture (tools/adversarial_gate.py)
+        # — the execution sweeps above prove survival; this proves the
+        # ENGINES STILL AGREE on adversarial data (found the round-5
+        # decimal-sum / NaN-quarantine / CSV-fidelity class)
+        t0 = time.time()
+        rc, out = _run([sys.executable, "tools/adversarial_gate.py"])
+        m = re.search(r"^(\d+) failures", out, re.M)
+        summary["adversarial_gate"] = {
+            "rc": rc,
+            "pass": len(re.findall(r"^PASS ", out, re.M)),
+            "failures": int(m.group(1)) if m else -1,
+            "sec": round(time.time() - t0, 1),
+        }
+        ok = ok and rc == 0
 
     if not skip_tests:
         t0 = time.time()
