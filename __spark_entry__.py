@@ -117,6 +117,27 @@ _REWRITTEN = {
     "q_event_anomaly": 5,
     "q_sketch_stats": 5,
     "q_timing_arith": 5,
+    # round-5 adversarial VALUE gate (tools/adversarial_gate.py): exact
+    # DECIMAL(38,6) event-value accumulation, NaN quarantines, int64
+    # clamps, RFC-4180 CSV round-trip, capped+materialized ROUGE DP,
+    # byte-length multimodal oracle — canonical values unchanged
+    # (tri-fixture-verified) but expressions/oracles changed, so the
+    # driver should re-derive these rows.
+    "q_window_tumbling": 5,
+    "q_session_window": 5,
+    "q_window_sliding": 5,
+    "q_cube_events": 5,
+    "q_rollup_multi": 5,
+    "q_salted_agg": 5,
+    "q_incremental_rollup": 5,
+    "q_resample_ffill": 5,
+    "q_running_metric": 5,
+    "q_stream_window_late": 5,
+    "q_quantize_embeddings": 5,
+    "q_embedding_centroids": 5,
+    "q_multimodal_features": 5,
+    "q_scan_csv_roundtrip": 5,
+    "q_rouge": 5,
 }
 
 
