@@ -138,6 +138,17 @@ _REWRITTEN = {
     "q_multimodal_features": 5,
     "q_scan_csv_roundtrip": 5,
     "q_rouge": 5,
+    # round-5 nulls VALUE gate (adversarial_gate.py --nulls): explicit
+    # null contracts — quarantine-with-NULLs (lang_id, pii, multimodal,
+    # scores) or documented drop (token-domain operators), and the
+    # null-safe sentinel filter in the streaming window.
+    "q_lang_id": 5,
+    "q_pii_redact": 5,
+    "q_any_answer_contained": 5,
+    "q_minhash_signatures": 5,
+    "q_multimodal_resize": 5,
+    "q_repetition_signals": 5,
+    "q_set_f1": 5,
 }
 
 

@@ -47,8 +47,16 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         ]
     )
     best = F.array_sort(scores).getItem(0)
-    return df.withColumn("pred_lang", best["code"]).withColumn(
-        "marker_hits", (-best["neg_score"]).cast("bigint")
+    # null-text quarantine: with no text every marker count is NULL and
+    # the struct sort's winner is an ordering artifact — the engines
+    # "agreed" on different arbitrary codes (nulls value gate find). An
+    # unknown document has an unknown language: NULL out, row kept.
+    null_text = F.col(text_col).isNull()
+    return df.withColumn(
+        "pred_lang", F.when(null_text, F.lit(None)).otherwise(best["code"])
+    ).withColumn(
+        "marker_hits",
+        F.when(null_text, F.lit(None)).otherwise((-best["neg_score"]).cast("bigint")),
     )
 
 

@@ -201,11 +201,17 @@ ans AS (
 
 
 def _shingles_from(src: str) -> str:
+    # WHERE ws IS NOT NULL mirrors the engine's explode semantics: a
+    # null-text document has NO word rows at all, so it never reaches
+    # the shingle/signature domain (DuckDB's greatest(NULL,0)=0 would
+    # otherwise mint one phantom NULL-shingle row per null doc — the
+    # nulls value gate caught q_minhash_signatures off by those rows)
     return f"""
 sh AS (
   SELECT DISTINCT d.doc_id, array_to_string(d.ws[t.i + 1 : t.i + 3], ' ') AS shingle
   FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM {src}) d,
        UNNEST(generate_series(0, greatest(len(d.ws) - 3, 0))) AS t(i)
+  WHERE d.ws IS NOT NULL
 )
 """
 

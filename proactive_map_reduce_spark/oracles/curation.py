@@ -172,7 +172,7 @@ WITH l AS (
   SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents
 ),
 c AS (
-  SELECT doc_id, lang,
+  SELECT doc_id, lang, ws,
     len(list_filter(ws, x -> list_contains(['der','die','das','und','ist'], x))) AS c_de,
     len(list_filter(ws, x -> list_contains(['the','a','of','and','is'], x))) AS c_en,
     len(list_filter(ws, x -> list_contains(['el','la','de','que','y'], x))) AS c_es,
@@ -180,7 +180,10 @@ c AS (
   FROM l
 )
 SELECT doc_id, lang,
-  CASE WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+  -- null-text quarantine mirrors the engine: without the guard every
+  -- c_* is NULL and the CASE falls through to an arbitrary 'fr'
+  CASE WHEN ws IS NULL THEN NULL
+       WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
        WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
        WHEN c_es >= c_fr THEN 'es' ELSE 'fr' END AS pred_lang,
   CAST(greatest(c_de, c_en, c_es, c_fr) AS BIGINT) AS marker_hits
@@ -290,7 +293,10 @@ FROM reach GROUP BY src
 # slice(ws, i+1, k).
 ORACLES["q_repetition_signals"] = f"""
 WITH g AS (
+  -- engine-mirror: a null-text doc has no word rows (explode of a NULL
+  -- split), so it leaves the n-gram domain entirely
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE text IS NOT NULL
 ),
 r AS (
   SELECT doc_id,
@@ -607,7 +613,11 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(p,
     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips,
   CAST(length(clean) AS BIGINT) AS clean_len,
-  CASE WHEN strpos(clean, '@') = 0 THEN 1 ELSE 0 END AS no_email_left
+  -- null-text quarantine (engine-mirror): the bare CASE would coerce a
+  -- NULL strpos to the ELSE 0 branch, claiming an email survived in
+  -- text nobody saw
+  CASE WHEN clean IS NULL THEN NULL
+       WHEN strpos(clean, '@') = 0 THEN 1 ELSE 0 END AS no_email_left
 FROM s3
 """
 

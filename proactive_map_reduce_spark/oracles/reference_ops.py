@@ -302,8 +302,12 @@ WITH a AS (
   FROM documents
 )
 SELECT doc_id,
-       CAST(len(list_filter(answers, x -> contains({_norm('text')}, {_norm('x')}))) > 0 AS INT)
-         AS has_answer
+       -- null-text quarantine (engine-mirror): list_filter treats a
+       -- NULL contains() as false, which would coerce the unknown to a
+       -- confident 0 where the engine's exists() stays NULL
+       CASE WHEN text IS NULL THEN NULL ELSE
+         CAST(len(list_filter(answers, x -> contains({_norm('text')}, {_norm('x')}))) > 0 AS INT)
+       END AS has_answer
 FROM a
 """
 
@@ -423,7 +427,13 @@ WITH pr AS (
          list_distinct({_norm_toks('b.text')}) AS g_set
   FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
 )
-SELECT doc_id, {_set_f1_sql('p', 'g_set')} AS set_f1 FROM pr
+-- null-side quarantine (engine-mirror): a NULL token list is an absent
+-- answer, not an empty one — the score is unknown, where the bare
+-- formula's NULL-comparison CASE branches coerced it to 0.0
+SELECT doc_id,
+       CASE WHEN p IS NULL OR g_set IS NULL THEN NULL
+            ELSE {_set_f1_sql('p', 'g_set')} END AS set_f1
+FROM pr
 """
 
 

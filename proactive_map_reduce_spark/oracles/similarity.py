@@ -108,9 +108,15 @@ SELECT doc_id, media_type,
        -- on pure-ASCII corpora (adversarial-gate find on multibyte text)
        CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
        md5(text) AS payload_md5,
-       CAST(CASE WHEN media_type = 'audio' THEN 0 ELSE h % 1920 END AS BIGINT) AS width,
-       CAST(CASE WHEN media_type = 'audio' THEN 0 ELSE (h // 1920) % 1080 END AS BIGINT) AS height,
-       CAST(CASE WHEN media_type = 'video' THEN h % 300 ELSE 1 END AS BIGINT) AS n_frames
+       -- null-payload quarantine (engine-mirror, nulls value gate): the
+       -- constant CASE arms (audio→0, non-video→1) must not fire for a
+       -- missing asset — every metadata field is NULL, the row is kept
+       CAST(CASE WHEN text IS NULL THEN NULL
+                 WHEN media_type = 'audio' THEN 0 ELSE h % 1920 END AS BIGINT) AS width,
+       CAST(CASE WHEN text IS NULL THEN NULL
+                 WHEN media_type = 'audio' THEN 0 ELSE (h // 1920) % 1080 END AS BIGINT) AS height,
+       CAST(CASE WHEN text IS NULL THEN NULL
+                 WHEN media_type = 'video' THEN h % 300 ELSE 1 END AS BIGINT) AS n_frames
 FROM m
 """
 
@@ -118,16 +124,26 @@ FROM m
 ORACLES["q_multimodal_resize"] = f"""
 WITH {_MM_META},
 dims AS (
+  -- h IS NULL ⟺ text IS NULL (md5 of NULL): the null-payload
+  -- quarantine must precede the constant audio→0 arm, and the out_*
+  -- CASEs below need their own NULL arm — DuckDB's least(NULL, 512)
+  -- IGNORES the null and returned a confident 512 for a missing asset
+  -- (nulls value gate find)
   SELECT doc_id, media_type,
-         CAST(CASE WHEN media_type = 'audio' THEN 0 ELSE h % 1920 END AS BIGINT) AS width,
-         CAST(CASE WHEN media_type = 'audio' THEN 0 ELSE (h // 1920) % 1080 END AS BIGINT) AS height
+         CAST(CASE WHEN h IS NULL THEN NULL
+                   WHEN media_type = 'audio' THEN 0 ELSE h % 1920 END AS BIGINT) AS width,
+         CAST(CASE WHEN h IS NULL THEN NULL
+                   WHEN media_type = 'audio' THEN 0 ELSE (h // 1920) % 1080 END AS BIGINT) AS height
   FROM m
 )
 SELECT doc_id, media_type, width, height,
-       CAST(CASE WHEN width <= 0 THEN 0 ELSE least(width, 512) END AS BIGINT) AS out_width,
-       CAST(CASE WHEN width <= 0 THEN 0
+       CAST(CASE WHEN width IS NULL THEN NULL
+                 WHEN width <= 0 THEN 0 ELSE least(width, 512) END AS BIGINT) AS out_width,
+       CAST(CASE WHEN width IS NULL THEN NULL
+                 WHEN width <= 0 THEN 0
                  ELSE height * least(width, 512) // width END AS BIGINT) AS out_height,
-       CAST(CASE WHEN width <= 0 THEN 0
+       CAST(CASE WHEN width IS NULL THEN NULL
+                 WHEN width <= 0 THEN 0
                  ELSE length('resized:' || CAST(least(width, 512) AS VARCHAR) || ':'
                       || CAST(height * least(width, 512) // width AS VARCHAR)) END AS BIGINT)
          AS out_payload_len

@@ -501,16 +501,25 @@ def q_pii_redact(spark, sf_dir):
     step1 = F.regexp_replace(dirty, email_re, "[EMAIL]")
     step2 = F.regexp_replace(step1, phone_re, "[PHONE]")
     clean = F.regexp_replace(step2, ip_re, "[IP]")
+    # null-text quarantine (nulls value gate): the pre-fix mix — counts
+    # coalesced to 0 but clean/no_email_left NULL — half-claimed "no PII
+    # found" about text nobody saw. An absent document has UNKNOWN PII:
+    # every derived field is NULL, the row is kept.
+    null_text = F.col("text").isNull()
+
+    def _q(col):
+        return F.when(null_text, F.lit(None)).otherwise(col)
+
     return d.select(
         "doc_id",
-        F.coalesce(F.size(F.regexp_extract_all(dirty, F.lit(email_re), F.lit(0))), F.lit(0))
+        _q(F.size(F.regexp_extract_all(dirty, F.lit(email_re), F.lit(0))))
         .cast("bigint").alias("n_emails"),
-        F.coalesce(F.size(F.regexp_extract_all(dirty, F.lit(phone_re), F.lit(0))), F.lit(0))
+        _q(F.size(F.regexp_extract_all(dirty, F.lit(phone_re), F.lit(0))))
         .cast("bigint").alias("n_phones"),
-        F.coalesce(F.size(F.regexp_extract_all(step2, F.lit(ip_re), F.lit(0))), F.lit(0))
+        _q(F.size(F.regexp_extract_all(step2, F.lit(ip_re), F.lit(0))))
         .cast("bigint").alias("n_ips"),
-        F.length(clean).cast("bigint").alias("clean_len"),
-        (F.instr(clean, "@") == 0).cast("int").alias("no_email_left"),
+        _q(F.length(clean)).cast("bigint").alias("clean_len"),
+        _q((F.instr(clean, "@") == 0).cast("int")).alias("no_email_left"),
     )
 
 

@@ -592,7 +592,10 @@ def windowed_counts_with_watermark(
         # bucket would carry on non-UTC hosts (createDataFrame interprets
         # naive timestamps in local time; pd.Timestamp.timestamp() in UTC).
         return _run_to_memory(stream, transform).filter(
-            F.col("event_type") != "__sentinel__"
+            # null-SAFE inequality: a plain != drops NULL event_type
+            # rows (NULL != x is NULL), silently diverging from the
+            # batch form, which groups them — nulls value gate find
+            ~F.col("event_type").eqNullSafe("__sentinel__")
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -193,3 +193,64 @@ def test_running_metric_decimal_prefix_exact(spark):
         for r in running_metric(df, "user_id", "event_id", "value").collect()
     }
     assert out[2] == 1000000000000.01 and out[3] == 1000000000000.03
+
+
+# --- null-content contracts (the --nulls value gate class) -------------
+
+
+def test_lang_id_null_text_is_null_not_arbitrary(spark):
+    """Pre-fix, NULL text made every marker count NULL and the struct
+    sort's winner was an ordering artifact — Spark said 'de', DuckDB's
+    CASE fell through to 'fr'. Unknown text has unknown language."""
+    from proactive_map_reduce_spark.operators.textstats import lang_id
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat"), (2, None)], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in lang_id(df).collect()}
+    assert out[1].pred_lang == "en" and out[1].marker_hits == 3
+    assert out[2].pred_lang is None and out[2].marker_hits is None
+
+
+def test_stream_sentinel_filter_keeps_null_event_type(spark):
+    """The windowed stream must equal the batch form on NULL event_type
+    rows: a plain != sentinel filter drops them (NULL != x is NULL) —
+    the null-safe predicate keeps the NULL group."""
+    import datetime as dt
+
+    from proactive_map_reduce_spark.streaming.proactive import (
+        windowed_counts_with_watermark,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 10, 30)
+    rows = [
+        (1, 1, "click", t0, 1.0),
+        (2, 1, None, t0 + dt.timedelta(minutes=1), 2.0),
+        (3, 2, "view", t0 + dt.timedelta(minutes=2), 3.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts timestamp, value double"
+    )
+    out = windowed_counts_with_watermark(spark, ev).collect()
+    types = {r.event_type for r in out}
+    assert None in types  # the NULL group survives the sentinel filter
+    assert "click" in types and "view" in types
+    assert sum(r.n_events for r in out) == 3  # nothing dropped
+
+
+def test_pii_redact_null_text_all_null(spark, tmp_path):
+    """Null text → every derived field NULL (the pre-fix mix claimed
+    '0 emails found' about text nobody saw)."""
+    from proactive_map_reduce_spark.queries.curation import q_pii_redact
+
+    docs = [(4, "en", "mail user.name@example.com now"), (5, "en", None)]
+    spark.createDataFrame(docs, "doc_id bigint, lang string, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    out = {r.doc_id: r for r in q_pii_redact(spark, str(tmp_path)).collect()}
+    # doc 4 (doc_id % 4 == 0) carries its own email PLUS the injected one
+    assert out[4].n_emails == 2 and out[4].no_email_left == 1
+    assert all(
+        getattr(out[5], c) is None
+        for c in ("n_emails", "n_phones", "n_ips", "clean_len", "no_email_left")
+    )

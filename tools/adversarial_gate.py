@@ -1,10 +1,11 @@
-"""Adversarial VALUE gate: the extreme fixture + the full oracle compare.
+"""Adversarial VALUE gates: dirty-data fixtures + the full oracle compare.
 
-The extreme execution sweep (``empty_sweep.py --extreme``) proves every
-query *survives* adversarial data; this gate proves the two engines
-still agree on the VALUES it produces. The distinction found real bugs
-the execution sweep structurally cannot see:
+The degenerate-input sweeps (``empty_sweep.py``) prove every query
+*survives* empty / nulled / extreme data; these gates prove the two
+engines still AGREE on the values it produces. The distinction found
+real bugs the execution sweeps structurally cannot see:
 
+extreme mode (default):
   * float-sum accumulation-order divergence only surfaces when a
     1e12-magnitude value lands in a compared group (four rollup/window
     queries diverged in their last printed decimal),
@@ -15,24 +16,33 @@ the execution sweep structurally cannot see:
     (q_multimodal_features' payload_len), and embedded newlines only
     break a CSV round-trip when the text actually contains them.
 
-Shape: materialize the ``empty_sweep._patch_extreme`` fixture as
-single-FILE parquets (DuckDB's view binding reads plain files, exactly
-like the driver's sf dirs), then run ``tools/compare_oracle.py`` over
-it — same comparator, same canonicalization, zero gate-specific
-tolerance: on well-formed AND adversarial data the engines must agree
-to the same %.6f canon.
+--nulls mode (the 20%-nulled-content fixture):
+  * NULL-comparison coercions: a sentinel ``!=`` filter silently
+    dropped NULL-event_type rows from the streaming window while the
+    batch form grouped them; DuckDB's ``least(NULL, 512)`` ignores the
+    null and "resized" a missing asset; CASE fall-throughs turned
+    unknown languages into a confident 'fr' and unknown scores into
+    0.0. Nine queries diverged; each now has an explicit, mirrored
+    null contract (quarantine-with-NULLs or documented drop).
 
-The fixture is content-addressed on the source dir's stat signature and
-cached under ``pmr_advfix_*`` (reused runs refresh the mtime liveness
-beacon; ``sources/retention.py`` ages out dead fingerprints).
+Shape: materialize the patched sf0.001 fixture as single-FILE parquets
+(DuckDB's view binding reads plain files, exactly like the driver's sf
+dirs), then run ``tools/compare_oracle.py`` over it — same comparator,
+same canonicalization, zero gate-specific tolerance.
 
-Usage: python tools/adversarial_gate.py [query ...]
+Fixtures are content-addressed on the source dir's stat signature and
+cached under ``pmr_advfix_*`` / ``pmr_nullfix_*`` (reuse refreshes the
+mtime liveness beacon; ``sources/retention.py`` ages out dead
+fingerprints).
+
+Usage: python tools/adversarial_gate.py [--nulls] [query ...]
 Exit: compare_oracle's exit code (non-zero on any failure).
 """
 
 from __future__ import annotations
 
 import glob
+import hashlib
 import os
 import shutil
 import subprocess
@@ -46,29 +56,39 @@ sys.path.insert(0, os.path.join(ROOT, "tools"))
 SF_SRC = "/root/testdata/sf0.001"
 
 
-def build_fixture() -> str:
-    """Materialize (or reuse) the extreme fixture as one parquet FILE per
+def build_fixture(nulls: bool) -> str:
+    """Materialize (or reuse) the patched fixture as one parquet FILE per
     table; returns the fixture dir."""
-    from empty_sweep import _patch_extreme
+    from empty_sweep import NULLABLE_CONTENT, _patch_extreme
 
     from proactive_map_reduce_spark.session import get_spark
     from proactive_map_reduce_spark.sources.tables import TABLES, stat_signature
 
-    import hashlib
-
     tag = hashlib.sha256(stat_signature(SF_SRC).encode()).hexdigest()[:12]
-    out = os.path.join(tempfile.gettempdir(), f"pmr_advfix_{tag}")
+    prefix = "pmr_nullfix" if nulls else "pmr_advfix"
+    out = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
     done = os.path.join(out, "_FIXTURE_COMPLETE")
     if os.path.exists(done):
         os.utime(out)  # liveness beacon: a reused cache never ages out
         print(f"reusing fixture {out}", flush=True)
         return out
 
+    from pyspark.sql import functions as F
+
     spark = get_spark("adversarial-gate-fixture")
-    stage = tempfile.mkdtemp(prefix="pmr_advfix_stage_")
+    stage = tempfile.mkdtemp(prefix=f"{prefix}_stage_")
     for t in TABLES:
         df = spark.read.parquet(f"{SF_SRC}/{t}.parquet")
-        df = _patch_extreme(df, t)
+        if nulls:
+            key = df.columns[0]  # first column is the table's id/key
+            gate = F.col(key).cast("bigint") % 5 == 0
+            for c in NULLABLE_CONTENT.get(t, []):
+                if c in df.columns:
+                    df = df.withColumn(
+                        c, F.when(gate, F.lit(None)).otherwise(F.col(c))
+                    )
+        else:
+            df = _patch_extreme(df, t)
         part_dir = os.path.join(stage, f"_{t}")
         df.coalesce(1).write.mode("overwrite").parquet(part_dir)
         part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
@@ -86,9 +106,12 @@ def build_fixture() -> str:
 
 
 def main() -> int:
-    fixture = build_fixture()
+    args = sys.argv[1:]
+    nulls = "--nulls" in args
+    args = [a for a in args if a != "--nulls"]
+    fixture = build_fixture(nulls)
     cmd = [sys.executable, os.path.join(ROOT, "tools", "compare_oracle.py"), fixture]
-    cmd += sys.argv[1:]
+    cmd += args
     return subprocess.call(cmd, cwd=ROOT)
 
 

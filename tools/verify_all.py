@@ -108,20 +108,22 @@ def main() -> int:
         summary["sweeps"] = sweeps
 
     if not skip_adversarial:
-        # the VALUE gate on the extreme fixture (tools/adversarial_gate.py)
-        # — the execution sweeps above prove survival; this proves the
-        # ENGINES STILL AGREE on adversarial data (found the round-5
-        # decimal-sum / NaN-quarantine / CSV-fidelity class)
-        t0 = time.time()
-        rc, out = _run([sys.executable, "tools/adversarial_gate.py"])
-        m = re.search(r"^(\d+) failures", out, re.M)
-        summary["adversarial_gate"] = {
-            "rc": rc,
-            "pass": len(re.findall(r"^PASS ", out, re.M)),
-            "failures": int(m.group(1)) if m else -1,
-            "sec": round(time.time() - t0, 1),
-        }
-        ok = ok and rc == 0
+        # the VALUE gates on the extreme and nulled fixtures
+        # (tools/adversarial_gate.py) — the execution sweeps above prove
+        # survival; these prove the ENGINES STILL AGREE on dirty data
+        # (found the round-5 decimal-sum / NaN-quarantine / CSV-fidelity
+        # class and the null-contract class)
+        for key, flags in (("adversarial_gate", []), ("nulls_gate", ["--nulls"])):
+            t0 = time.time()
+            rc, out = _run([sys.executable, "tools/adversarial_gate.py", *flags])
+            m = re.search(r"^(\d+) failures", out, re.M)
+            summary[key] = {
+                "rc": rc,
+                "pass": len(re.findall(r"^PASS ", out, re.M)),
+                "failures": int(m.group(1)) if m else -1,
+                "sec": round(time.time() - t0, 1),
+            }
+            ok = ok and rc == 0
 
     if not skip_tests:
         t0 = time.time()
