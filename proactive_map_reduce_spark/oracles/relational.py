@@ -201,6 +201,11 @@ SELECT event_type,
        CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+-- engine-mirror for EMPTY input: SQL-standard grouping sets emit the
+-- () grand-total row (count 0) over an empty relation, but Spark's
+-- Expand-based rollup keys every grouping set and yields no rows.
+-- count(*) >= 1 on every real group, so this drops ONLY that row.
+HAVING count(*) > 0
 """
 
 
@@ -301,6 +306,10 @@ SELECT event_type,
        CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY CUBE (event_type, CAST(dayofweek(ts) AS INT) + 1)
+-- engine-mirror for EMPTY input (see q_rollup_multi): Spark's
+-- Expand-based cube yields no rows where the standard emits the ()
+-- grand-total row; count(*) >= 1 on every real group
+HAVING count(*) > 0
 """
 
 

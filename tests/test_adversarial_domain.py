@@ -254,3 +254,27 @@ def test_pii_redact_null_text_all_null(spark, tmp_path):
         getattr(out[5], c) is None
         for c in ("n_emails", "n_phones", "n_ips", "clean_len", "no_email_left")
     )
+
+
+# --- empty-input contracts (the --empty value gate class) --------------
+
+
+def test_rollup_empty_input_no_grand_total_row(spark, tmp_path):
+    """SQL-standard grouping sets emit the () grand-total row over an
+    empty relation; Spark's Expand-based rollup yields none. The oracle
+    mirrors Spark via HAVING count(*) > 0 — this pins the engine side
+    (and the mirror's no-op-on-nonempty property is pinned by the
+    canonical gate)."""
+    import duckdb as _duck
+
+    from proactive_map_reduce_spark.queries.relational import q_rollup_multi
+
+    spark.createDataFrame(
+        [], "event_id bigint, user_id bigint, event_type string, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    assert q_rollup_multi(spark, str(tmp_path)).count() == 0
+    # and the standard really does differ — the mirror exists for a reason
+    std = _duck.sql(
+        "SELECT count(*) FROM (SELECT 1 FROM (SELECT 1 AS a WHERE false) GROUP BY ROLLUP(a))"
+    ).fetchone()[0]
+    assert std == 1

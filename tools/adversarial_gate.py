@@ -25,6 +25,13 @@ extreme mode (default):
     0.0. Nine queries diverged; each now has an explicit, mirrored
     null contract (quarantine-with-NULLs or documented drop).
 
+--empty mode (zero-row tables, exact schemas):
+  * grouping-set semantics: SQL-standard ROLLUP/CUBE emit the ()
+    grand-total row over an empty relation where Spark's Expand-based
+    implementation yields none — two oracles diverged by that one row
+    (now mirrored with ``HAVING count(*) > 0``, a no-op on any
+    non-empty input).
+
 Shape: materialize the patched sf0.001 fixture as single-FILE parquets
 (DuckDB's view binding reads plain files, exactly like the driver's sf
 dirs), then run ``tools/compare_oracle.py`` over it — same comparator,
@@ -35,7 +42,7 @@ cached under ``pmr_advfix_*`` / ``pmr_nullfix_*`` (reuse refreshes the
 mtime liveness beacon; ``sources/retention.py`` ages out dead
 fingerprints).
 
-Usage: python tools/adversarial_gate.py [--nulls] [query ...]
+Usage: python tools/adversarial_gate.py [--nulls|--empty] [query ...]
 Exit: compare_oracle's exit code (non-zero on any failure).
 """
 
@@ -56,7 +63,7 @@ sys.path.insert(0, os.path.join(ROOT, "tools"))
 SF_SRC = "/root/testdata/sf0.001"
 
 
-def build_fixture(nulls: bool) -> str:
+def build_fixture(mode: str) -> str:
     """Materialize (or reuse) the patched fixture as one parquet FILE per
     table; returns the fixture dir."""
     from empty_sweep import NULLABLE_CONTENT, _patch_extreme
@@ -65,7 +72,11 @@ def build_fixture(nulls: bool) -> str:
     from proactive_map_reduce_spark.sources.tables import TABLES, stat_signature
 
     tag = hashlib.sha256(stat_signature(SF_SRC).encode()).hexdigest()[:12]
-    prefix = "pmr_nullfix" if nulls else "pmr_advfix"
+    prefix = {
+        "extreme": "pmr_advfix",
+        "nulls": "pmr_nullfix",
+        "empty": "pmr_emptyfix",
+    }[mode]
     out = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
     done = os.path.join(out, "_FIXTURE_COMPLETE")
     if os.path.exists(done):
@@ -79,7 +90,7 @@ def build_fixture(nulls: bool) -> str:
     stage = tempfile.mkdtemp(prefix=f"{prefix}_stage_")
     for t in TABLES:
         df = spark.read.parquet(f"{SF_SRC}/{t}.parquet")
-        if nulls:
+        if mode == "nulls":
             key = df.columns[0]  # first column is the table's id/key
             gate = F.col(key).cast("bigint") % 5 == 0
             for c in NULLABLE_CONTENT.get(t, []):
@@ -87,6 +98,8 @@ def build_fixture(nulls: bool) -> str:
                     df = df.withColumn(
                         c, F.when(gate, F.lit(None)).otherwise(F.col(c))
                     )
+        elif mode == "empty":
+            df = df.limit(0)
         else:
             df = _patch_extreme(df, t)
         part_dir = os.path.join(stage, f"_{t}")
@@ -107,9 +120,13 @@ def build_fixture(nulls: bool) -> str:
 
 def main() -> int:
     args = sys.argv[1:]
-    nulls = "--nulls" in args
-    args = [a for a in args if a != "--nulls"]
-    fixture = build_fixture(nulls)
+    mode = "extreme"
+    if "--nulls" in args:
+        mode = "nulls"
+    if "--empty" in args:
+        mode = "empty"
+    args = [a for a in args if a not in ("--nulls", "--empty")]
+    fixture = build_fixture(mode)
     cmd = [sys.executable, os.path.join(ROOT, "tools", "compare_oracle.py"), fixture]
     cmd += args
     return subprocess.call(cmd, cwd=ROOT)

@@ -113,7 +113,11 @@ def main() -> int:
         # survival; these prove the ENGINES STILL AGREE on dirty data
         # (found the round-5 decimal-sum / NaN-quarantine / CSV-fidelity
         # class and the null-contract class)
-        for key, flags in (("adversarial_gate", []), ("nulls_gate", ["--nulls"])):
+        for key, flags in (
+            ("adversarial_gate", []),
+            ("nulls_gate", ["--nulls"]),
+            ("empty_gate", ["--empty"]),
+        ):
             t0 = time.time()
             rc, out = _run([sys.executable, "tools/adversarial_gate.py", *flags])
             m = re.search(r"^(\d+) failures", out, re.M)
