@@ -37,17 +37,12 @@ _REWRITTEN = {
     "q_dedup_clusters": 4,        # consumes the capped pair set
     "q_curation_pipeline": 4,     # embeds the capped minhash stage
     "q_corpus_mix": 4,            # oracle moved to TRY_CAST
-    "q_sketch_stats": 4,          # two-level KMV + ceil quantile bin bound
-    "q_similarity_topk": 4,       # r3/r4 parameterized-literal + codegen work
-    "q_stream_window_late": 4,    # sentinel filtered by event_type (tz-safe)
     "q_first_line_answer": 4,     # leading-\n strip matches oracle ltrim
     "q_decode_detok": 4,          # shares the first-line extraction path
     "q_bleu": 4,                  # empty-token drop + one-row-per-gold-doc
-    "q_rouge": 4,                 # same token convention in LCS + lens
     # reference-parity pass: normalized-answer tokenization for the
     # F1/accuracy family, int() top-k with tail-excluded rank pool
     "q_flagship": 4,
-    "q_set_f1": 4,
     "q_subset_accuracy": 4,
     "q_best_of_answers": 4,
     "q_token_counter_overlap": 4,
@@ -56,11 +51,7 @@ _REWRITTEN = {
     "q_mean_over_files": 4,
     "q_topk_importance": 4,
     # oracle determinism fixes (session cumsum order, asof tie-break)
-    "q_session_window": 4,
     "q_asof_join": 4,
-    # rounding-boundary fixes found by the sf0.1 deep check
-    "q_window_tumbling": 4,   # avg quotient dropped (sum/count exact)
-    "q_resample_ffill": 4,    # boundary-stable round(sum,2)/count mean
     # deterministic-display pass (second sf0.1 deep-gate find): exact
     # int64 half-up rounding / exact fixed-point accumulation replaces
     # engine-divergent float round() and order-dependent float sums
@@ -71,14 +62,12 @@ _REWRITTEN = {
     "q_quality_topn_per_lang": 4,
     "q_event_interarrival": 4,
     "q_sentence_dedup": 4,
-    "q_repetition_signals": 4,
     "q_vocab_oov": 4,
     "q_salted_join": 4,
     "q_promo_revenue": 4,
     "q_ship_priority": 4,
     "q_local_supplier_volume": 4,
     "q_top_revenue": 4,  # r1-green but changed — must precede unchanged r1 rows
-    "q_timing_arith": 4,  # same
     "q_pricing_summary": 4,
     "q_region_revenue": 4,
     "q_grid_sweep": 4,
@@ -95,14 +84,9 @@ _REWRITTEN = {
     "q_bm25_search": 4,
     "q_hybrid_search": 4,
     "q_unigram_lm_score": 4,
-    # curation/similarity review pass: CR-safe oracle whitespace classes,
-    # zero-vector quantize guard, exact-unit centroid accumulation
+    # curation/similarity review pass: CR-safe oracle whitespace classes
     "q_html_strip": 4,
-    "q_quantize_embeddings": 4,
-    "q_embedding_centroids": 4,
-    # relational/reference review pass: exact-int z-score window state,
-    # null-text corpus round-trip mirror
-    "q_event_anomaly": 4,
+    # relational/reference review pass: null-text corpus round-trip mirror
     "q_scan_text_corpus": 4,
     # round-5 ANSI-robustness pass (the --extreme sweep): zero-norm
     # cosine guard, clamped IVF fixed-point, winsorized z-score cents,

@@ -109,6 +109,21 @@ def bleu_score(pred: str, gold: str, max_order: int = 4) -> float:
     return bp * geo_mean
 
 
+# ROUGE-L scoring window: LCS is O(n·m) with no subquadratic shortcut,
+# so an uncapped scorer lets ONE pathological document own the stage —
+# a single 15k-token doc is ~2.3e8 DP cells in the Python UDF and a
+# ~2.3e8-row recursive CTE in the oracle (observed: the adversarial
+# mega-doc stalled both for tens of minutes). Scoring the first
+# LCS_MAX_TOKENS tokens of each side is the truncate-before-score
+# convention the reference pipeline itself applies to model inputs
+# (P5 middle-drop truncation); 2048 is 20× the largest canonical
+# document (100 tokens, measured tri-scale), so canonical values are
+# untouched, and the worst per-doc cost is bounded at 2048² ≈ 4e6
+# cells regardless of corpus content. Mirrored in the q_rouge oracle.
+# (Defined ahead of rouge_l/lcs_udf, which read it — ADVICE r5.)
+LCS_MAX_TOKENS = 2048
+
+
 def _lcs_len(a: list[str], b: list[str]) -> int:
     if not a or not b:
         return 0
@@ -280,20 +295,6 @@ def bleu_table(
 @F.pandas_udf(T.DoubleType())
 def rouge_l_udf(pred: pd.Series, gold: pd.Series) -> pd.Series:
     return pd.Series([round(rouge_l(p or "", g or ""), 6) for p, g in zip(pred, gold)])
-
-
-# ROUGE-L scoring window: LCS is O(n·m) with no subquadratic shortcut,
-# so an uncapped scorer lets ONE pathological document own the stage —
-# a single 15k-token doc is ~2.3e8 DP cells in the Python UDF and a
-# ~2.3e8-row recursive CTE in the oracle (observed: the adversarial
-# mega-doc stalled both for tens of minutes). Scoring the first
-# LCS_MAX_TOKENS tokens of each side is the truncate-before-score
-# convention the reference pipeline itself applies to model inputs
-# (P5 middle-drop truncation); 2048 is 20× the largest canonical
-# document (100 tokens, measured tri-scale), so canonical values are
-# untouched, and the worst per-doc cost is bounded at 2048² ≈ 4e6
-# cells regardless of corpus content. Mirrored in the q_rouge oracle.
-LCS_MAX_TOKENS = 2048
 
 
 @F.pandas_udf(T.LongType())

@@ -64,7 +64,11 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             pass  # static conf on this build — builder path sets it instead
     # Tempdir retention (once per process): ephemeral pmr_* artifacts
     # whose lifetime must outlast their query call age out here instead
-    # of accumulating forever (sources/retention.py).
+    # of accumulating forever (sources/retention.py). Cross-process TTL
+    # hazard: another session's artifact idle past the TTL (no mtime
+    # anywhere in its tree within PMR_TMP_TTL_SEC, default 6h) is swept
+    # even if that session still holds a lazy DataFrame over it — raise
+    # PMR_TMP_TTL_SEC in environments running sessions longer than that.
     from .sources.retention import sweep_once
 
     sweep_once()

@@ -85,6 +85,14 @@ def gc_stale_materializations(
         try:
             age = now - os.stat(path).st_mtime
         except OSError:
+            # Transient stat failure on a LISTED dir: treat it as live.
+            # Falling through without registering the tag would let the
+            # catalog-cleanup pass below drop pmr_*_b_<tag> tables whose
+            # backing dir still exists, failing any concurrently bound
+            # plan (ADVICE r5). Worst case of the conservative choice is
+            # one extra GC cycle of retention.
+            if "_stage_" not in nm:
+                live_dirs.add(tag)
             continue
         if tag == live_tag or age <= max_age_sec:
             if "_stage_" not in nm:

@@ -12,10 +12,14 @@ unbounded-growth failure the bucketed materializations had before their
 sweep (``sources/bucketed.gc_stale_materializations``), generalized.
 
 Policy: age-based, exactly like a warehouse staging-area TTL. Anything
-``pmr_*`` in the tempdir idle past ``max_age_sec`` (default 6 h) is
-removed; content-addressed caches that are REUSED refresh their mtime on
-reuse (the liveness beacon — bucketed and the text-corpus cache do), so
-a live cache never ages out mid-round while a dead fingerprint always
+``pmr_*`` in the tempdir idle past ``max_age_sec`` (default 6 h,
+``PMR_TMP_TTL_SEC`` overrides) is removed; "idle" means NO entry in the
+artifact tree — the dir itself or anything nested — has a fresh mtime,
+so a nested touch (parquet commit, beacon refresh on a sub-cache)
+counts as liveness even when the parent dir mtime is stale.
+Content-addressed caches that are REUSED refresh their mtime on reuse
+(the liveness beacon — bucketed and the text-corpus cache do), so a
+live cache never ages out mid-round while a dead fingerprint always
 does. ``pmr_scale_*`` (the 10×/100× replicated fixtures) are exempt:
 they are deliberately reused across rounds and cost minutes to rebuild.
 
@@ -33,17 +37,50 @@ import tempfile
 import time
 
 KEEP_PREFIXES = ("pmr_scale_",)
-MAX_AGE_SEC = 6 * 3600.0
+# Cross-process TTL: a separate long-lived session whose lazily-read
+# artifact was CREATED >TTL ago (and never re-touched) is still exposed
+# to a sweep from a newly started process — no single-machine marker can
+# distinguish "abandoned" from "bound by a foreign process's lazy
+# DataFrame". Sessions that need longer retention raise it here.
+MAX_AGE_SEC = float(os.environ.get("PMR_TMP_TTL_SEC", 6 * 3600.0))
 
 _swept = False
 
 
+def _is_idle(path: str, now: float, max_age_sec: float) -> bool:
+    """True iff the entry AND everything nested under it is idle.
+
+    The top-level dir mtime alone is insufficient (ADVICE r5): a
+    multi-file artifact touched through a subpath — a parquet commit
+    inside ``<dir>/part-*``, a beacon refresh on a nested cache dir —
+    leaves the parent mtime stale, so a parent-only check could sweep an
+    artifact another process refreshed an hour ago. Walk and early-exit
+    on the first fresh entry; on any stat error assume LIVE (a sweep
+    that errs deletes someone's backing files; one that errs keeps a few
+    tempdirs ages them out next round)."""
+    try:
+        if now - os.stat(path).st_mtime <= max_age_sec:
+            return False
+    except OSError:
+        return False
+    for root, dirs, files in os.walk(path):
+        for nm in dirs + files:
+            try:
+                if now - os.stat(os.path.join(root, nm)).st_mtime <= max_age_sec:
+                    return False
+            except OSError:
+                return False
+    return True
+
+
 def sweep_tmp_artifacts(
-    max_age_sec: float = MAX_AGE_SEC,
+    max_age_sec: float | None = None,
     keep_prefixes: tuple[str, ...] = KEEP_PREFIXES,
     parent: str | None = None,
 ) -> list[str]:
     """Remove idle ``pmr_*`` tempdir artifacts; returns removed paths."""
+    if max_age_sec is None:
+        max_age_sec = MAX_AGE_SEC
     parent = parent or tempfile.gettempdir()
     now = time.time()
     removed: list[str] = []
@@ -57,10 +94,7 @@ def sweep_tmp_artifacts(
         ):
             continue
         p = os.path.join(parent, nm)
-        try:
-            if now - os.stat(p).st_mtime <= max_age_sec:
-                continue
-        except OSError:
+        if not _is_idle(p, now, max_age_sec):
             continue
         if os.path.isdir(p):
             shutil.rmtree(p, ignore_errors=True)

@@ -162,3 +162,68 @@ def test_tmp_retention_sweep(tmp_path):
     names = set(os.listdir(tmp))
     assert names == {"pmr_jsonl_fresh", "pmr_scale_10x", "other_dir"}
     assert len(removed) == 3
+
+
+def test_tmp_retention_nested_mtime_counts_as_live(tmp_path):
+    """ADVICE r5 (retention.py): liveness is the NEWEST mtime anywhere in
+    the artifact tree, not the top-level dir mtime — a stale parent dir
+    whose nested file was touched recently (parquet commit, sub-cache
+    beacon) must survive the sweep."""
+    import os
+    import time as _t
+
+    from proactive_map_reduce_spark.sources import retention
+
+    tmp = str(tmp_path)
+    old = _t.time() - 7 * 3600
+    # stale parent, fresh nested file → LIVE
+    live = os.path.join(tmp, "pmr_csv_nested_live", "sub")
+    os.makedirs(live)
+    with open(os.path.join(live, "part-0.csv"), "w") as f:
+        f.write("x")
+    os.utime(live, (old, old))
+    os.utime(os.path.dirname(live), (old, old))
+    # stale parent, stale nested file → swept
+    dead = os.path.join(tmp, "pmr_csv_nested_dead", "sub")
+    os.makedirs(dead)
+    deadfile = os.path.join(dead, "part-0.csv")
+    with open(deadfile, "w") as f:
+        f.write("x")
+    for p in (deadfile, dead, os.path.dirname(dead)):
+        os.utime(p, (old, old))
+    removed = retention.sweep_tmp_artifacts(parent=tmp)
+    assert set(os.listdir(tmp)) == {"pmr_csv_nested_live"}
+    assert removed == [os.path.join(tmp, "pmr_csv_nested_dead")]
+
+
+def test_gc_stat_failure_keeps_catalog_tables(spark, monkeypatch):
+    """ADVICE r5 (bucketed.py): a transient os.stat failure on a live
+    materialization dir must register its tag as live (conservative), so
+    the metastore-cleanup pass can't drop catalog tables whose backing
+    dir still exists."""
+    import os
+    import tempfile
+
+    tmp = tempfile.gettempdir()
+    tag, live = "cafecafe0000", "aaaabbbb0000"
+    path = os.path.join(tmp, f"pmr_bucketed_{tag}")
+    os.makedirs(path, exist_ok=True)
+    spark.sql(f"CREATE TABLE IF NOT EXISTS pmr_li_b_{tag} (x INT) USING parquet")
+    real_stat = os.stat
+
+    def flaky_stat(p, *a, **k):
+        if str(p) == path:
+            raise OSError("transient")
+        return real_stat(p, *a, **k)
+
+    monkeypatch.setattr(bucketed.os, "stat", flaky_stat)
+    try:
+        removed = bucketed.gc_stale_materializations(spark, tmp, live)
+        monkeypatch.undo()  # os.path.isdir below must see the real stat
+        assert path not in removed
+        assert os.path.isdir(path)
+        assert spark.catalog.tableExists(f"pmr_li_b_{tag}")
+    finally:
+        monkeypatch.undo()
+        __import__("shutil").rmtree(path, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS pmr_li_b_{tag}")

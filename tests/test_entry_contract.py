@@ -15,6 +15,30 @@ def test_oracle_keys_subset_of_queries():
     assert not missing, f"oracles without queries: {missing}"
 
 
+def test_rewritten_pin_map_has_no_duplicate_keys():
+    """Python dict literals silently last-win on duplicate keys, so a
+    stale earlier-round pin for the same query is invisible at runtime
+    but regresses the rewrite round if the later line is ever removed
+    (ADVICE r5). Walk the source AST and require each key once."""
+    import ast
+    import collections
+    import inspect
+
+    tree = ast.parse(inspect.getsource(entry))
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and any(
+            getattr(t, "id", None) == "_REWRITTEN" for t in node.targets
+        ):
+            keys = [ast.literal_eval(k) for k in node.value.keys]
+            dups = [k for k, c in collections.Counter(keys).items() if c > 1]
+            assert not dups, f"duplicate _REWRITTEN keys: {dups}"
+            assert set(keys) <= set(entry.REGISTRY), (
+                f"pins for unregistered queries: {set(keys) - set(entry.REGISTRY)}"
+            )
+            return
+    raise AssertionError("_REWRITTEN assignment not found in __spark_entry__")
+
+
 def test_entry_runs(spark):
     df = entry.entry(spark)
     assert len(df.columns) > 0
