@@ -268,6 +268,12 @@ SELECT doc_id, {_norm('text')} AS norm_text FROM documents
 """
 
 
+# Unicode FULL casing (what Python .lower() — the reference's
+# test_proactive.py:35-39 — and Spark's lower() both apply) maps
+# U+0130 'İ' to TWO codepoints: 'i' + U+0307 combining dot above.
+# DuckDB's lower() applies the simple 1:1 mapping ('İ' → 'i'), so the
+# oracle pre-expands the one multi-char full-lowercase mapping in
+# Unicode before lowering the first character (r6 unicode value gate).
 ORACLES["q_normalize_question"] = """
 WITH q0 AS (
   SELECT doc_id, array_to_string(string_split(text, ' ')[1:5], ' ') AS q FROM documents
@@ -275,7 +281,9 @@ WITH q0 AS (
 q1 AS (
   SELECT doc_id, CASE WHEN q LIKE '%?' THEN q ELSE q || '?' END AS q FROM q0
 )
-SELECT doc_id, lower(substr(q, 1, 1)) || substr(q, 2) AS question FROM q1
+SELECT doc_id,
+       lower(replace(substr(q, 1, 1), 'İ', 'i̇')) || substr(q, 2) AS question
+FROM q1
 """
 
 

@@ -278,3 +278,46 @@ def test_rollup_empty_input_no_grand_total_row(spark, tmp_path):
         "SELECT count(*) FROM (SELECT 1 FROM (SELECT 1 AS a WHERE false) GROUP BY ROLLUP(a))"
     ).fetchone()[0]
     assert std == 1
+
+
+# --- unicode/normalization contracts (the --unicode value gate class) ---
+
+
+def test_normalize_question_full_casing_matches_python_reference(spark):
+    """Unicode FULL casing: Python .lower() (the reference semantics,
+    test_proactive.py:35-39) maps U+0130 'İ' to 'i'+U+0307 (two
+    codepoints); Spark's lower() agrees; DuckDB's simple 1:1 mapping
+    yields plain 'i'. The oracle pre-expands the one multi-char
+    full-lowercase mapping so the engines agree (r6 unicode gate find)."""
+    from proactive_map_reduce_spark.functions.text import normalize_question
+
+    assert "İstanbul"[0].lower() == "i̇"  # the Python reference fact
+    row = (
+        spark.createDataFrame([("İstanbul STRASSE?",)], "q string")
+        .select(normalize_question(F.col("q")).alias("question"))
+        .collect()[0]
+    )
+    assert row.question == "i̇stanbul STRASSE?"
+    duck = duckdb.sql(
+        "SELECT lower(replace(substr(q, 1, 1), 'İ', 'i̇')) || substr(q, 2) AS question"
+        " FROM (SELECT 'İstanbul STRASSE?' AS q)"
+    ).fetchone()[0]
+    assert duck == row.question
+
+
+def test_unicode_strings_are_distinct_codepoint_sequences():
+    """The --unicode fixture's NFC and NFD variants must be different
+    byte strings (the no-implicit-normalization contract both engines
+    share): same visual text, distinct sha256/group keys."""
+    import sys
+    import unicodedata
+
+    sys.path.insert(0, "/root/repo/tools")
+    from empty_sweep import _UNI_STRINGS
+
+    nfc, nfd = _UNI_STRINGS[0], _UNI_STRINGS[1]
+    assert nfc != nfd
+    assert unicodedata.normalize("NFC", nfd) == nfc
+    # astral-plane string survives a parquet-free round trip at the
+    # codepoint level Python, Spark and DuckDB all count
+    assert len(_UNI_STRINGS[6].encode("utf-16-le")) > 2 * len(_UNI_STRINGS[6])

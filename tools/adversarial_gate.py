@@ -25,6 +25,14 @@ extreme mode (default):
     0.0. Nine queries diverged; each now has an explicit, mirrored
     null contract (quarantine-with-NULLs or documented drop).
 
+--unicode mode (the multilingual/normalization fixture):
+  * NFC vs NFD, ZWJ emoji, spaceless CJK, RTL + directional marks,
+    ZWSP/NBSP/ideographic whitespace, astral-plane codepoints and
+    case-mapping edges through documents.text and customer.c_name —
+    the byte-vs-char find (octet_length, r5) showed the corpus ops
+    were ASCII-biased; tokenize/split/case/dedup seams split exactly
+    on these classes when Java, RE2 and Python disagree.
+
 --empty mode (zero-row tables, exact schemas):
   * grouping-set semantics: SQL-standard ROLLUP/CUBE emit the ()
     grand-total row over an empty relation where Spark's Expand-based
@@ -42,7 +50,7 @@ cached under ``pmr_advfix_*`` / ``pmr_nullfix_*`` (reuse refreshes the
 mtime liveness beacon; ``sources/retention.py`` ages out dead
 fingerprints).
 
-Usage: python tools/adversarial_gate.py [--nulls|--empty] [query ...]
+Usage: python tools/adversarial_gate.py [--nulls|--empty|--unicode] [query ...]
 Exit: compare_oracle's exit code (non-zero on any failure).
 """
 
@@ -66,7 +74,7 @@ SF_SRC = "/root/testdata/sf0.001"
 def build_fixture(mode: str) -> str:
     """Materialize (or reuse) the patched fixture as one parquet FILE per
     table; returns the fixture dir."""
-    from empty_sweep import NULLABLE_CONTENT, _patch_extreme
+    from empty_sweep import NULLABLE_CONTENT, _patch_extreme, _patch_unicode
 
     from proactive_map_reduce_spark.session import get_spark
     from proactive_map_reduce_spark.sources.tables import TABLES, stat_signature
@@ -76,6 +84,7 @@ def build_fixture(mode: str) -> str:
         "extreme": "pmr_advfix",
         "nulls": "pmr_nullfix",
         "empty": "pmr_emptyfix",
+        "unicode": "pmr_unifix",
     }[mode]
     out = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
     done = os.path.join(out, "_FIXTURE_COMPLETE")
@@ -100,6 +109,8 @@ def build_fixture(mode: str) -> str:
                     )
         elif mode == "empty":
             df = df.limit(0)
+        elif mode == "unicode":
+            df = _patch_unicode(df, t)
         else:
             df = _patch_extreme(df, t)
         part_dir = os.path.join(stage, f"_{t}")
@@ -125,7 +136,9 @@ def main() -> int:
         mode = "nulls"
     if "--empty" in args:
         mode = "empty"
-    args = [a for a in args if a not in ("--nulls", "--empty")]
+    if "--unicode" in args:
+        mode = "unicode"
+    args = [a for a in args if a not in ("--nulls", "--empty", "--unicode")]
     fixture = build_fixture(mode)
     cmd = [sys.executable, os.path.join(ROOT, "tools", "compare_oracle.py"), fixture]
     cmd += args

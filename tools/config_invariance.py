@@ -1,0 +1,139 @@
+"""Runtime-config invariance probes (round-6 evidence tool).
+
+Row-order invariance (``tools/order_invariance.py``, 131/131 in r5)
+proved results don't depend on parquet physical order. Two more axes
+vary freely on a real cluster and are the same class of trap:
+
+- **parallelism / shuffle-partition count**: a 1000-executor cluster
+  re-plans every exchange with a different partition count than
+  local[32]'s 32. Any value that depends on how rows are sliced across
+  partitions — a float sum's reduction order, a LIMIT without a total
+  order, a per-partition rand seed — changes with it. The engine's
+  exact decimal/int64 accumulation work claims partition-count
+  independence; this makes the claim a measured artifact.
+- **process timezone**: the driver may run under any TZ. Spark pins
+  ``spark.sql.session.timeZone=UTC`` (session.py) but DuckDB's
+  ``timezone`` follows the system TZ, the JVM captures its default TZ
+  at launch, and Python's datetime repr is what the comparator hashes —
+  epoch-vs-local conversion drift is the classic cross-engine split
+  (the r4 tz-safe sentinel fix in q_stream_window_late was this class).
+
+Each probe re-runs the FULL cross-engine gate (``compare_oracle.py`` —
+same comparator, same canonicalization, zero probe-specific tolerance)
+in a subprocess whose environment carries the perturbation:
+
+  shuffle7   SPARK_GRAFT_CPUS=7  → local[7], 7 shuffle partitions
+             (coprime to 32: no partition boundary survives the remap)
+  local8     SPARK_GRAFT_CPUS=8  → local[8], 8 shuffle partitions
+             (power-of-two subdivision — the "easy" remap must also hold)
+  tz_newyork TZ=America/New_York → JVM, Python and DuckDB all see a
+             non-UTC system zone; Spark's session pin must make the
+             engines agree anyway
+
+Spark-vs-oracle agreement under a perturbed config implies value
+equality with the canonical run wherever the oracle itself is
+config-independent (the partition probes: DuckDB doesn't read Spark
+confs). The TZ probe is stronger than self-comparison: it checks the
+ENGINES still agree when the whole process moves zones, which is what
+the driver's hash actually needs.
+
+Usage: python tools/config_invariance.py [sf_dir] [--probes a,b] [--out FILE]
+Writes CONFIG_INVARIANCE.json at the repo root (one JSON line).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PROBES: dict[str, dict[str, str]] = {
+    "shuffle7": {"SPARK_GRAFT_CPUS": "7"},
+    "local8": {"SPARK_GRAFT_CPUS": "8"},
+    "tz_newyork": {"TZ": "America/New_York"},
+}
+
+
+def run_probe(name: str, env_overlay: dict[str, str], sf_dir: str) -> dict:
+    env = dict(os.environ)
+    env.update(env_overlay)
+    t0 = time.time()
+    print(f"\n=== probe {name}: {env_overlay} on {sf_dir}", flush=True)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(ROOT, "tools", "compare_oracle.py"), sf_dir],
+        cwd=ROOT,
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    lines: list[str] = []
+    assert proc.stdout is not None
+    for raw in proc.stdout:
+        # Spark's console progress bar emits \r-separated segments on the
+        # same physical line as the verdict that follows; split them out
+        # so ^PASS/^FAIL anchors (and the streaming filter) see clean lines.
+        for line in raw.replace("\r", "\n").splitlines(keepends=True):
+            if not line.endswith("\n"):
+                line += "\n"
+            if line.startswith(("PASS ", "FAIL ", "rows ")) or "failures" in line:
+                sys.stdout.write(line)
+            lines.append(line)
+    proc.wait()
+    out = "".join(lines)
+    m = re.search(r"^(\d+) failures", out, re.M)
+    failed = re.findall(r"^FAIL (\S+):", out, re.M)
+    return {
+        "env": env_overlay,
+        "rc": proc.returncode,
+        "pass": len(re.findall(r"^PASS ", out, re.M)),
+        "rows_only": len(re.findall(r"^rows ", out, re.M)),
+        "failures": int(m.group(1)) if m else -1,
+        "failed_queries": failed,
+        "sec": round(time.time() - t0, 1),
+    }
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.001"
+    probes = list(PROBES)
+    out_path = os.path.join(ROOT, "CONFIG_INVARIANCE.json")
+    for a in list(args):
+        if a.startswith("--probes="):
+            probes = a.split("=", 1)[1].split(",")
+        elif a.startswith("--out="):
+            out_path = a.split("=", 1)[1]
+        elif not a.startswith("--"):
+            sf_dir = a
+    unknown = set(probes) - set(PROBES)
+    if unknown:
+        print(f"unknown probes: {sorted(unknown)} (have {sorted(PROBES)})")
+        return 2
+
+    summary: dict = {
+        "metric": "config_invariance",
+        "sf_dir": sf_dir,
+        "started": time.strftime("%F %T"),
+        "probes": {},
+    }
+    ok = True
+    for name in probes:
+        res = run_probe(name, PROBES[name], sf_dir)
+        summary["probes"][name] = res
+        ok = ok and res["rc"] == 0 and res["failures"] == 0
+    summary["ok"] = ok
+    line = json.dumps(summary)
+    print("\n" + line)
+    with open(out_path, "w") as f:
+        f.write(line + "\n")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

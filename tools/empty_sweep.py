@@ -26,7 +26,15 @@ columns (n_chars) are re-derived so patched rows stay self-consistent.
 Every query must still execute and return its schema; VALUES are not
 checked (the oracle gate owns values on well-formed data).
 
-Usage: python tools/empty_sweep.py [--nulls|--extreme] [query ...]
+Unicode mode (--unicode): the sf0.001 rows with documents.text /
+customer.c_name patched to the multilingual divergence classes real
+corpora contain — NFC vs NFD of the same visual text, ZWJ-emoji and
+modifier sequences, spaceless CJK, RTL with directional marks, exotic
+whitespace/format controls (ZWSP/NBSP/ideographic/thin space), astral
+plane codepoints, and case-mapping edge cases (İ/ß/ǅ/ﬁ). Values are
+gated by tools/adversarial_gate.py --unicode.
+
+Usage: python tools/empty_sweep.py [--nulls|--extreme|--unicode] [query ...]
 Prints one line per query; exits non-zero on any failure.
 """
 
@@ -57,6 +65,67 @@ NULLABLE_CONTENT = {
 
 _MEGA_TEXT = ("lorem ipsum dolor sit amet consectetur " * 2500).strip()
 _WEIRD_TEXT = "héllo wörld 😀 日本語 текст vtab\ttab\nline two  double  space"
+
+# --unicode fixture strings: one per divergence class real multilingual
+# corpora contain. Raw codepoints are the contract — the engine must
+# treat NFC and NFD as the distinct byte strings they are (no implicit
+# normalization), and every length/token/case seam must agree with the
+# oracle on non-ASCII, astral-plane and format-control input.
+_UNI_STRINGS = [
+    # NFC vs NFD of the SAME visual text (\u00e9 vs e+combining U+0301):
+    # distinct bytes -> distinct sha256/minhash/group keys in BOTH engines
+    "caf\u00e9 r\u00e9sum\u00e9 na\u00efve touch\u00e9. and more words here",
+    "cafe\u0301 re\u0301sume\u0301 nai\u0308ve touche\u0301. and more words here",
+    # emoji: ZWJ family (7 codepoints, 1 grapheme), skin-tone modifier,
+    # regional-indicator pair — codepoint-length vs grapheme-length seams
+    "family \U0001f469\u200d\U0001f469\u200d\U0001f467\u200d\U0001f466 thumbs \U0001f44d\U0001f3fd flag \U0001f1ef\U0001f1f5 end.",
+    # CJK with no ASCII spaces + ideographic full stops: whitespace
+    # tokenizers must yield whole-run tokens identically
+    "\u65e5\u672c\u8a9e\u306e\u30c6\u30ad\u30b9\u30c8\u3067\u3059\u3002\u4e2d\u6587\u6587\u672c\u3002\ud55c\uad6d\uc5b4 \ud14d\uc2a4\ud2b8.",
+    # RTL Arabic + Hebrew with embedded LTR digits and an RLM mark
+    "\u0645\u0631\u062d\u0628\u0627 \u0628\u0627\u0644\u0639\u0627\u0644\u0645 abc 123 \u05e2\u05d1\u05e8\u05d9\u05ea\u200f end.",
+    # exotic whitespace/format controls: ZWSP, NBSP, ideographic space,
+    # thin space — Java/RE2/Python \\s classes differ exactly here
+    "zero\u200bwidth non\u00a0break ideo\u3000space thin\u2009space tab.",
+    # astral plane: math alphanumerics + CJK ext-B (surrogate pairs in
+    # UTF-16 engines; codepoint counts must still agree)
+    "math \U0001d518\U0001d52b\U0001d526\U0001d520\U0001d52c\U0001d521\U0001d522 ext \U00020000\U00020001 done.",
+    # case-mapping edge set: dotted capital I, sharp s, titlecase digraph,
+    # ligature — lower()/upper() must agree across engines
+    "\u0130stanbul STRASSE stra\u00dfe \u01c5ungla \ufb01ligree WORDS.",
+]
+
+
+def _patch_unicode(df, table):
+    """Multilingual/normalization value injection (--unicode fixture).
+
+    Scope: documents.text (the surface every tokenize/split/case/dedup
+    seam reads; n_chars re-derived so stored lengths stay consistent)
+    and customer.c_name (unicode through joins and display). Keys, ids
+    and numeric columns untouched — this fixture isolates TEXT handling."""
+    from pyspark.sql import functions as F
+
+    if table == "documents":
+        key = F.col("doc_id")
+        txt = F.col("text")
+        # residues 1,3,5,…,15 of doc_id % 19 → ~42% of docs carry one of
+        # the eight strings; the rest keep canonical text so mixed-input
+        # paths (joins, groupBys over lang) still see both populations
+        for i, s in enumerate(_UNI_STRINGS):
+            txt = F.when(key % 19 == 2 * i + 1, F.lit(s)).otherwise(txt)
+        return df.withColumn("text", txt).withColumn(
+            "n_chars", F.length("text").cast("bigint")
+        )
+    if table == "customer":
+        key = F.col("c_custkey")
+        name = (
+            F.when(key % 11 == 3, F.lit(_UNI_STRINGS[1]))  # the NFD form
+            .when(key % 11 == 7, F.lit("\u5ba2\u6237 \U0001f600 \u00dcn\u00efcode"))
+            .otherwise(F.col("c_name"))
+        )
+        return df.withColumn("c_name", name)
+    return df
+
 
 
 def _patch_extreme(df, table):
@@ -119,10 +188,11 @@ def _patch_extreme(df, table):
 
 
 def main() -> int:
-    flags = {"--nulls", "--extreme"}
+    flags = {"--nulls", "--extreme", "--unicode"}
     args = [a for a in sys.argv[1:] if a not in flags]
     nulls_mode = "--nulls" in sys.argv[1:]
     extreme_mode = "--extreme" in sys.argv[1:]
+    unicode_mode = "--unicode" in sys.argv[1:]
     # reject unknown names (same rule as compare_oracle.py): a typo must
     # not produce a vacuous exit-0 "0 failures" sweep
     from proactive_map_reduce_spark.queries import REGISTRY as _REG
@@ -139,12 +209,22 @@ def main() -> int:
     from proactive_map_reduce_spark.sources.tables import TABLES
 
     spark = get_spark("empty-sweep")
-    mode = "nulls_sf_" if nulls_mode else ("extreme_sf_" if extreme_mode else "empty_sf_")
+    mode = (
+        "nulls_sf_"
+        if nulls_mode
+        else "extreme_sf_"
+        if extreme_mode
+        else "unicode_sf_"
+        if unicode_mode
+        else "empty_sf_"
+    )
     tmp = tempfile.mkdtemp(prefix=mode)
     for t in TABLES:
         df = spark.read.parquet(f"{SF_SCHEMA_SRC}/{t}.parquet")
         if extreme_mode:
             df = _patch_extreme(df, t)
+        elif unicode_mode:
+            df = _patch_unicode(df, t)
         elif nulls_mode:
             key = df.columns[0]  # first column is the table's id/key
             gate = F.col(key).cast("bigint") % 5 == 0
