@@ -327,3 +327,39 @@ def test_stream_upsert_latest_per_key(spark):
         _sh.rmtree(root, ignore_errors=True)
         _sh.rmtree(ckpt, ignore_errors=True)
         _sh.rmtree(os.path.dirname(state), ignore_errors=True)
+
+
+def test_refeed_chain_deep_stage_depth_values_and_state(spark):
+    """The W2 v2 re-feed at reference-realistic depth (--num_steps 10+,
+    test_proactive.py:29-33): 12 stages × 30 docs. Every emitted
+    (acc_words_before, chain) must equal an independent driver-side fold
+    over the batch-mapped outputs in chunk order — the same recursion
+    the DuckDB oracle pins at depth 4, re-derived at depth 12 (the
+    artifact-scale soak lives in tools/soak_refeed.py)."""
+    import hashlib
+
+    from tests.conftest import SF0001
+
+    docs = (
+        spark.read.parquet(f"{SF0001}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(30)
+    )
+    chunks = chunking.partition_equal_arrays(docs, 12)
+    mapped = sorted(
+        mapstage.llm_map(chunks).select("doc_id", "chunk_id", "out_text").collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    expect, acc_state = {}, {}
+    for r in mapped:
+        acc, chain = acc_state.get(r.doc_id, (0, ""))
+        chain = hashlib.md5((chain + (r.out_text or "")).encode()).hexdigest()[:8]
+        expect[(r.doc_id, r.chunk_id)] = (acc, chain)
+        acc_state[r.doc_id] = (
+            acc + len([w for w in (r.out_text or "").split(" ") if w]),
+            chain,
+        )
+    got = stream_ops.refeed_chain(spark, chunks).collect()
+    assert len(got) == len(mapped)  # one row per existing chunk
+    for r in got:
+        assert (r.acc_words_before, r.chain) == expect[(r.doc_id, r.chunk_id)]

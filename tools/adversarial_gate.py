@@ -33,6 +33,12 @@ extreme mode (default):
     were ASCII-biased; tokenize/split/case/dedup seams split exactly
     on these classes when Java, RE2 and Python disagree.
 
+--skew mode (the hot-key / mass-duplicate fixture):
+  * one user owns 50% of events, one text 33% of the corpus, one
+    embedding 33% of the vectors — giant groups, mega-buckets, and
+    mass EXACT ties on every rank/top-k surface; any tie broken by
+    arrival accident instead of a total order diverges here.
+
 --empty mode (zero-row tables, exact schemas):
   * grouping-set semantics: SQL-standard ROLLUP/CUBE emit the ()
     grand-total row over an empty relation where Spark's Expand-based
@@ -50,7 +56,7 @@ cached under ``pmr_advfix_*`` / ``pmr_nullfix_*`` (reuse refreshes the
 mtime liveness beacon; ``sources/retention.py`` ages out dead
 fingerprints).
 
-Usage: python tools/adversarial_gate.py [--nulls|--empty|--unicode] [query ...]
+Usage: python tools/adversarial_gate.py [--nulls|--empty|--unicode|--skew] [query ...]
 Exit: compare_oracle's exit code (non-zero on any failure).
 """
 
@@ -74,7 +80,7 @@ SF_SRC = "/root/testdata/sf0.001"
 def build_fixture(mode: str) -> str:
     """Materialize (or reuse) the patched fixture as one parquet FILE per
     table; returns the fixture dir."""
-    from empty_sweep import NULLABLE_CONTENT, _patch_extreme, _patch_unicode
+    from empty_sweep import NULLABLE_CONTENT, _patch_extreme, _patch_skew, _patch_unicode
 
     from proactive_map_reduce_spark.session import get_spark
     from proactive_map_reduce_spark.sources.tables import TABLES, stat_signature
@@ -85,6 +91,7 @@ def build_fixture(mode: str) -> str:
         "nulls": "pmr_nullfix",
         "empty": "pmr_emptyfix",
         "unicode": "pmr_unifix",
+        "skew": "pmr_skewfix",
     }[mode]
     out = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
     done = os.path.join(out, "_FIXTURE_COMPLETE")
@@ -111,6 +118,8 @@ def build_fixture(mode: str) -> str:
             df = df.limit(0)
         elif mode == "unicode":
             df = _patch_unicode(df, t)
+        elif mode == "skew":
+            df = _patch_skew(df, t)
         else:
             df = _patch_extreme(df, t)
         part_dir = os.path.join(stage, f"_{t}")
@@ -138,7 +147,9 @@ def main() -> int:
         mode = "empty"
     if "--unicode" in args:
         mode = "unicode"
-    args = [a for a in args if a not in ("--nulls", "--empty", "--unicode")]
+    if "--skew" in args:
+        mode = "skew"
+    args = [a for a in args if a not in ("--nulls", "--empty", "--unicode", "--skew")]
     fixture = build_fixture(mode)
     cmd = [sys.executable, os.path.join(ROOT, "tools", "compare_oracle.py"), fixture]
     cmd += args

@@ -34,7 +34,7 @@ whitespace/format controls (ZWSP/NBSP/ideographic/thin space), astral
 plane codepoints, and case-mapping edge cases (İ/ß/ǅ/ﬁ). Values are
 gated by tools/adversarial_gate.py --unicode.
 
-Usage: python tools/empty_sweep.py [--nulls|--extreme|--unicode] [query ...]
+Usage: python tools/empty_sweep.py [--nulls|--extreme|--unicode|--skew] [query ...]
 Prints one line per query; exits non-zero on any failure.
 """
 
@@ -94,6 +94,58 @@ _UNI_STRINGS = [
     # ligature — lower()/upper() must agree across engines
     "\u0130stanbul STRASSE stra\u00dfe \u01c5ungla \ufb01ligree WORDS.",
 ]
+
+
+_SKEW_DUP_TEXT = (
+    "the quick brown fox jumps over the lazy dog and runs far away today"
+)
+
+
+def _patch_skew(df, table):
+    """Hot-key / mass-duplicate value injection (--skew fixture).
+
+    Skew is THE 100 TB hazard: one user owning half the events (a bot,
+    a load tester), one boilerplate text stamped on a third of the
+    corpus (a crawler error page), one embedding shared by a third of
+    the vectors (a default-init model output). Every windowed/sessional
+    aggregate then runs one giant group, every dedup path one giant
+    bucket, and every top-k a mass of EXACT score ties — the surfaces
+    where a missing total order or an uncapped pair expansion silently
+    diverges or blows up. Values must still match the oracle exactly."""
+    from pyspark.sql import functions as F
+
+    if table == "events":
+        # 50% of events collapse onto user 0: sessionization, windows,
+        # interarrival, anomaly z-scores and stream-stream joins all see
+        # one hot key carrying half the table
+        return df.withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 2 == 0, F.lit(0).cast("long")).otherwise(
+                F.col("user_id")
+            ),
+        )
+    if table == "documents":
+        # a third of the corpus is the SAME text: exact dedup collapses
+        # one giant group, minhash/LSH one mega-bucket, sentence dedup
+        # mass first-occurrence ties
+        txt = F.when(
+            F.col("doc_id") % 3 == 0, F.lit(_SKEW_DUP_TEXT)
+        ).otherwise(F.col("text"))
+        return df.withColumn("text", txt).withColumn(
+            "n_chars", F.length("text").cast("bigint")
+        )
+    if table == "embeddings":
+        # a third of the vectors are IDENTICAL: cosine scores tie exactly,
+        # so every top-k / threshold surface must break ties on a total
+        # order, and centroid/quantize paths see a degenerate mass point
+        shared = F.expr(
+            "transform(embedding, (x, i) -> cast(sin(cast(i as double) + 1.0d) as float))"
+        )
+        return df.withColumn(
+            "embedding",
+            F.when(F.col("vec_id") % 3 == 0, shared).otherwise(F.col("embedding")),
+        )
+    return df
 
 
 def _patch_unicode(df, table):
@@ -188,11 +240,12 @@ def _patch_extreme(df, table):
 
 
 def main() -> int:
-    flags = {"--nulls", "--extreme", "--unicode"}
+    flags = {"--nulls", "--extreme", "--unicode", "--skew"}
     args = [a for a in sys.argv[1:] if a not in flags]
     nulls_mode = "--nulls" in sys.argv[1:]
     extreme_mode = "--extreme" in sys.argv[1:]
     unicode_mode = "--unicode" in sys.argv[1:]
+    skew_mode = "--skew" in sys.argv[1:]
     # reject unknown names (same rule as compare_oracle.py): a typo must
     # not produce a vacuous exit-0 "0 failures" sweep
     from proactive_map_reduce_spark.queries import REGISTRY as _REG
@@ -216,6 +269,8 @@ def main() -> int:
         if extreme_mode
         else "unicode_sf_"
         if unicode_mode
+        else "skew_sf_"
+        if skew_mode
         else "empty_sf_"
     )
     tmp = tempfile.mkdtemp(prefix=mode)
@@ -225,6 +280,8 @@ def main() -> int:
             df = _patch_extreme(df, t)
         elif unicode_mode:
             df = _patch_unicode(df, t)
+        elif skew_mode:
+            df = _patch_skew(df, t)
         elif nulls_mode:
             key = df.columns[0]  # first column is the table's id/key
             gate = F.col(key).cast("bigint") % 5 == 0

@@ -9,9 +9,9 @@ phase can't poison another):
      finds were sf0.1-only),
   2. the three degenerate-input sweeps (tools/empty_sweep.py: empty
      tables, nulled content, adversarial extremes),
-  3. the four VALUE gates (tools/adversarial_gate.py: the full oracle
-     compare on the extreme / nulled / empty / unicode fixtures —
-     engines must AGREE, not merely survive),
+  3. the five VALUE gates (tools/adversarial_gate.py: the full oracle
+     compare on the extreme / nulled / empty / unicode / skew fixtures
+     — engines must AGREE, not merely survive),
   4. the test suite (pytest tests/ -q),
   5. the bench harness (bench.py).
 
@@ -118,6 +118,7 @@ def main() -> int:
             ("nulls_gate", ["--nulls"]),
             ("empty_gate", ["--empty"]),
             ("unicode_gate", ["--unicode"]),
+            ("skew_gate", ["--skew"]),
         ):
             t0 = time.time()
             rc, out = _run([sys.executable, "tools/adversarial_gate.py", *flags])
