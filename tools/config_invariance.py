@@ -37,8 +37,11 @@ confs). The TZ probe is stronger than self-comparison: it checks the
 ENGINES still agree when the whole process moves zones, which is what
 the driver's hash actually needs.
 
-Usage: python tools/config_invariance.py [sf_dir] [--probes a,b] [--out FILE]
-Writes CONFIG_INVARIANCE.json at the repo root (one JSON line).
+Usage: python tools/config_invariance.py [sf_dir] [--probes=a,b]
+       [--sfs=sf0.001,sf0.1] [--out=FILE] [--merge]
+--merge keeps prior probe rows in the artifact (incremental runs
+accumulate; "ok" is recomputed over the union). Writes
+CONFIG_INVARIANCE.json at the repo root (one JSON line).
 """
 
 from __future__ import annotations
@@ -56,6 +59,10 @@ PROBES: dict[str, dict[str, str]] = {
     "shuffle7": {"SPARK_GRAFT_CPUS": "7"},
     "local8": {"SPARK_GRAFT_CPUS": "8"},
     "tz_newyork": {"TZ": "America/New_York"},
+    # half-hour-offset zone: the classic window/bucket-boundary trap —
+    # any path that buckets in LOCAL time instead of the pinned session
+    # UTC shifts every tumbling/session boundary by :30 here
+    "tz_kolkata": {"TZ": "Asia/Kolkata"},
 }
 
 
@@ -101,16 +108,19 @@ def run_probe(name: str, env_overlay: dict[str, str], sf_dir: str) -> dict:
 
 def main() -> int:
     args = sys.argv[1:]
-    sf_dir = "/root/testdata/sf0.001"
+    sf_dirs = ["/root/testdata/sf0.001"]
     probes = list(PROBES)
     out_path = os.path.join(ROOT, "CONFIG_INVARIANCE.json")
+    merge = "--merge" in args
     for a in list(args):
         if a.startswith("--probes="):
             probes = a.split("=", 1)[1].split(",")
         elif a.startswith("--out="):
             out_path = a.split("=", 1)[1]
+        elif a.startswith("--sfs="):
+            sf_dirs = [f"/root/testdata/{s}" for s in a.split("=", 1)[1].split(",")]
         elif not a.startswith("--"):
-            sf_dir = a
+            sf_dirs = [a]
     unknown = set(probes) - set(PROBES)
     if unknown:
         print(f"unknown probes: {sorted(unknown)} (have {sorted(PROBES)})")
@@ -118,15 +128,25 @@ def main() -> int:
 
     summary: dict = {
         "metric": "config_invariance",
-        "sf_dir": sf_dir,
         "started": time.strftime("%F %T"),
         "probes": {},
     }
-    ok = True
-    for name in probes:
-        res = run_probe(name, PROBES[name], sf_dir)
-        summary["probes"][name] = res
-        ok = ok and res["rc"] == 0 and res["failures"] == 0
+    if merge and os.path.exists(out_path):
+        # keep earlier probe rows so incremental runs accumulate into one
+        # artifact; "ok" is recomputed over the union below
+        try:
+            with open(out_path) as f:
+                summary["probes"] = json.load(f).get("probes", {})
+        except Exception:
+            pass
+    for sf_dir in sf_dirs:
+        for name in probes:
+            res = run_probe(name, PROBES[name], sf_dir)
+            res["sf_dir"] = sf_dir
+            summary["probes"][f"{name}@{os.path.basename(sf_dir)}"] = res
+    ok = all(
+        r["rc"] == 0 and r["failures"] == 0 for r in summary["probes"].values()
+    )
     summary["ok"] = ok
     line = json.dumps(summary)
     print("\n" + line)
