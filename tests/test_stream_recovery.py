@@ -483,3 +483,103 @@ def test_write_ordered_tolerates_null_order_values(spark):
         assert got.count() == 3
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_refeed_chain_restart_preserves_chain_at_depth(spark, tmp_path):
+    """The W2 v2 re-feed chain survives a stop/restart from checkpoint at
+    stage depth 12: the rolling md5 chain is ORDER-SENSITIVE (any replay,
+    reorder, or lost stage changes every later value), so post-restart
+    emissions equal to the uninterrupted batch fold are the strongest
+    cheap witness of exactly-once state recovery mid-chain.
+
+    Deterministic restart: run 1 drains (availableNow) with the first 5
+    stage files; the remaining 7 are added and run 2 resumes from the
+    SAME checkpoint."""
+    import hashlib
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"alpha{i}" for i in range(24))),
+            (2, " ".join(f"beta{i}" for i in range(30))),
+            (3, " ".join(f"gamma{i}" for i in range(17))),
+        ],
+        "doc_id long, text string",
+    )
+    depth = 12
+    chunks = chunking.partition_equal_arrays(docs, depth)
+    src_root = stream_ops.write_stage_files(chunks)
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    ckpt = str(tmp_path / "ckpt")
+    files = sorted(f for f in os.listdir(src_root) if f.endswith(".parquet"))
+    assert len(files) == depth  # one stage file per chunk_id
+
+    # independent expectation: driver fold over the batch-mapped outputs
+    mapped = sorted(
+        mapstage.llm_map(chunks).select("doc_id", "chunk_id", "out_text").collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    expect, acc_state = {}, {}
+    for r in mapped:
+        acc, chain = acc_state.get(r.doc_id, (0, ""))
+        chain = hashlib.md5((chain + (r.out_text or "")).encode()).hexdigest()[:8]
+        expect[(r.doc_id, r.chunk_id)] = (acc, chain)
+        acc_state[r.doc_id] = (
+            acc + len([w for w in (r.out_text or "").split(" ") if w]),
+            chain,
+        )
+
+    def run():
+        got: list = []
+        stream = (
+            spark.readStream.schema(stream_ops.CHUNK_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(live)
+        )
+        out = mapstage.llm_map(stream).groupBy("doc_id").applyInPandasWithState(
+            stream_ops._refeed,
+            outputStructType=stream_ops._REFEED_OUT,
+            stateStructType="acc_words long, chain string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            out.writeStream.foreachBatch(lambda b, i: got.extend(b.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        # copy2, NOT copy: stage arrival order rides on the backdated
+        # mtimes write_stage_files stamps (the file source orders pending
+        # files by modification time) — plain copy resets them to "now"
+        # and the stages arrive in arbitrary order, which the
+        # order-SENSITIVE chain is built to expose
+        for f in files[:5]:
+            shutil.copy2(os.path.join(src_root, f), os.path.join(live, f))
+        r1 = run()
+        assert r1 and max(x["chunk_id"] for x in r1) == 4  # stopped mid-chain
+
+        for f in files[5:]:
+            shutil.copy2(os.path.join(src_root, f), os.path.join(live, f))
+        r2 = run()
+
+        # run 2 must emit ONLY the unseen stages (no replay of 0..4) ...
+        assert r2 and min(x["chunk_id"] for x in r2) == 5
+        # ... and every emission continues the pre-restart chain exactly:
+        # a chain computable only from restored (acc_words, chain) state
+        for x in r1 + r2:
+            assert (x["acc_words_before"], x["chain"]) == expect[
+                (x["doc_id"], x["chunk_id"])
+            ]
+        assert len(r1) + len(r2) == len(mapped)  # no loss, no duplication
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(src_root, ignore_errors=True)
