@@ -112,7 +112,14 @@ def _write_ordered(df: DataFrame, order_col: str, root: str) -> str:
 def write_stage_files(chunks_df: DataFrame, root: str | None = None) -> str:
     """Materialize chunk rows as parquet files arriving one stage
     (chunk_id) at a time — the simulated document stream. File k =
-    "chunk k arrives at time k". Single distributed write job."""
+    "chunk k arrives at time k". Single distributed write job.
+
+    Arrival order is carried by the backdated file MTIMES (the file
+    source orders pending files by modification time): anything that
+    relocates stage files — the restart tests seed a live dir from
+    these — must preserve timestamps (``shutil.copy2``, not ``copy``),
+    or stages arrive in arbitrary order and every order-sensitive
+    consumer (the re-feed chain) sees a different recursion."""
     root = root or tempfile.mkdtemp(prefix="pmr_stream_")
     return _write_ordered(
         chunks_df.select("doc_id", "chunk_id", "chunk_text"), "chunk_id", root
