@@ -39,6 +39,14 @@ extreme mode (default):
     mass EXACT ties on every rank/top-k surface; any tie broken by
     arrival accident instead of a total order diverges here.
 
+--gauntlet mode (all four dirty patchers composed):
+  * skew -> unicode -> extreme patches layered on the same tables, then
+    the 20% null-content gate on top — the INTERACTIONS none of the
+    single-axis gates can see (a null landing in a hot group, unicode
+    text inside the duplicate mega-cluster, a 1e12 value in a skewed
+    window). Later patchers win on overlapping residues; the union of
+    dirt is the point.
+
 --empty mode (zero-row tables, exact schemas):
   * grouping-set semantics: SQL-standard ROLLUP/CUBE emit the ()
     grand-total row over an empty relation where Spark's Expand-based
@@ -56,7 +64,8 @@ cached under ``pmr_advfix_*`` / ``pmr_nullfix_*`` (reuse refreshes the
 mtime liveness beacon; ``sources/retention.py`` ages out dead
 fingerprints).
 
-Usage: python tools/adversarial_gate.py [--nulls|--empty|--unicode|--skew] [query ...]
+Usage: python tools/adversarial_gate.py
+       [--nulls|--empty|--unicode|--skew|--gauntlet] [query ...]
 Exit: compare_oracle's exit code (non-zero on any failure).
 """
 
@@ -92,6 +101,7 @@ def build_fixture(mode: str) -> str:
         "empty": "pmr_emptyfix",
         "unicode": "pmr_unifix",
         "skew": "pmr_skewfix",
+        "gauntlet": "pmr_gauntfix",
     }[mode]
     out = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
     done = os.path.join(out, "_FIXTURE_COMPLETE")
@@ -120,6 +130,15 @@ def build_fixture(mode: str) -> str:
             df = _patch_unicode(df, t)
         elif mode == "skew":
             df = _patch_skew(df, t)
+        elif mode == "gauntlet":
+            df = _patch_extreme(_patch_unicode(_patch_skew(df, t), t), t)
+            key = df.columns[0]
+            gate = F.col(key).cast("bigint") % 5 == 0
+            for c in NULLABLE_CONTENT.get(t, []):
+                if c in df.columns:
+                    df = df.withColumn(
+                        c, F.when(gate, F.lit(None)).otherwise(F.col(c))
+                    )
         else:
             df = _patch_extreme(df, t)
         part_dir = os.path.join(stage, f"_{t}")
@@ -149,7 +168,13 @@ def main() -> int:
         mode = "unicode"
     if "--skew" in args:
         mode = "skew"
-    args = [a for a in args if a not in ("--nulls", "--empty", "--unicode", "--skew")]
+    if "--gauntlet" in args:
+        mode = "gauntlet"
+    args = [
+        a
+        for a in args
+        if a not in ("--nulls", "--empty", "--unicode", "--skew", "--gauntlet")
+    ]
     fixture = build_fixture(mode)
     cmd = [sys.executable, os.path.join(ROOT, "tools", "compare_oracle.py"), fixture]
     cmd += args

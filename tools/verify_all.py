@@ -9,9 +9,10 @@ phase can't poison another):
      finds were sf0.1-only),
   2. the three degenerate-input sweeps (tools/empty_sweep.py: empty
      tables, nulled content, adversarial extremes),
-  3. the five VALUE gates (tools/adversarial_gate.py: the full oracle
+  3. the six VALUE gates (tools/adversarial_gate.py: the full oracle
      compare on the extreme / nulled / empty / unicode / skew fixtures
-     — engines must AGREE, not merely survive),
+     plus the composed gauntlet — engines must AGREE, not merely
+     survive),
   4. the test suite (pytest tests/ -q),
   5. the bench harness (bench.py).
 
@@ -119,6 +120,7 @@ def main() -> int:
             ("empty_gate", ["--empty"]),
             ("unicode_gate", ["--unicode"]),
             ("skew_gate", ["--skew"]),
+            ("gauntlet_gate", ["--gauntlet"]),
         ):
             t0 = time.time()
             rc, out = _run([sys.executable, "tools/adversarial_gate.py", *flags])
