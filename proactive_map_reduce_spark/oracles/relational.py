@@ -400,6 +400,11 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
 FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
 """
 
+# The hot-key-parallel chunked form computes the IDENTICAL gap set
+# (slicing only partitions each user's ordered sequence; boundary gaps
+# are reconstructed exactly), so it shares the plain form's oracle.
+ORACLES["q_event_interarrival_chunked"] = ORACLES["q_event_interarrival"]
+
 
 # The maintained incremental view must equal the full recompute.
 ORACLES["q_incremental_rollup"] = """

@@ -628,6 +628,72 @@ def q_event_interarrival(spark, sf_dir):
     )
 
 
+def q_event_interarrival_chunked(spark, sf_dir):
+    """Hot-key-parallel form of q_event_interarrival (round-6 verdict
+    item): the plain form's per-user window serializes ALL of a user's
+    events into one task, so a 50%-hot user bounds the stage at
+    O(hot-key rows) regardless of cluster size (measured 2.9× at 10×,
+    SKEW_SCALE.json). Interarrival gaps are computable over OVERLAPPING
+    per-user time slices carrying one row of boundary state, which
+    re-parallelizes the pathological user:
+
+      1. slice = ts div SLICE_US (any ts-monotone assignment yields the
+         identical gap set — slicing merely partitions the ordered
+         sequence, so slice width is a pure parallelism knob);
+      2. intra-slice gaps via a (user_id, slice) window — the hot user's
+         serial unit shrinks from its full history to one slice;
+      3. boundary gaps from a per-(user, slice) first/last aggregate —
+         lag over slices on that TINY table (rows = non-empty slices,
+         not events; empty slices vanish so lag lands on the previous
+         non-empty slice) reconstructs each cross-slice gap exactly;
+      4. union + per-user aggregate (map-side partials keep the final
+         exchange small).
+
+    Same exact-int64 gap algebra as the plain form, hence the SAME
+    oracle; the equality of the two plans is also pinned by a direct
+    Spark-vs-Spark test (tests/test_robustness.py). 100 TB: the serial
+    floor drops from O(max user history) to O(events per user-slice) +
+    O(slices) — both bounded by construction.
+    """
+    SLICE_US = 6 * 3600 * 1_000_000  # 6 h; parallelism knob, not semantics
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.unix_micros("ts").alias("us"),
+    )
+    ev = ev.withColumn("slice", F.expr(f"us div {SLICE_US}"))
+    w_intra = Window.partitionBy("user_id", "slice").orderBy("ts", "event_id")
+    intra = (
+        ev.withColumn("gap_us", F.col("us") - F.lag("us").over(w_intra))
+        .filter(F.col("gap_us").isNotNull())
+        .select("user_id", "gap_us")
+    )
+    # gap values depend on ts alone (event_id only breaks ordering ties
+    # among EQUAL ts), so min/max(us) are the exact slice endpoints
+    per_slice = ev.groupBy("user_id", "slice").agg(
+        F.min("us").alias("first_us"), F.max("us").alias("last_us")
+    )
+    w_slices = Window.partitionBy("user_id").orderBy("slice")
+    boundary = (
+        per_slice.withColumn(
+            "gap_us", F.col("first_us") - F.lag("last_us").over(w_slices)
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .select("user_id", "gap_us")
+    )
+    gaps = intra.unionByName(boundary)
+    return gaps.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        # identical IEEE op sequence as the plain form (see its comment)
+        (F.sum("gap_us") / F.count("*") / F.lit(1e6)).alias("mean_gap_s"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        F.sum(F.when(F.col("gap_us") < 60_000_000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bursts"),
+    )
+
+
 def q_incremental_rollup(spark, sf_dir):
     """§2.13 partial recomputation as a query surface: a per-user rollup
     initialized on the pre-split events, then maintained by merging ONLY

@@ -29,7 +29,12 @@ _RUNTIME_CONFS = {
     # to 200 shuffle partitions — size to the machine instead; AQE
     # coalesces further when data is small.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
-    "spark.sql.adaptive.enabled": "true",
+    # SPARK_GRAFT_AQE=false is the config-invariance probe hook: AQE
+    # rewrites plan shapes at runtime (partition coalescing, skew-join
+    # splitting, join demotion), so proving the full gate passes with it
+    # OFF pins result hashes as AQE-independent — the last
+    # planner-nondeterminism axis after row order / partition count / TZ.
+    "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_AQE", "true"),
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     # Don't coalesce small shuffles below 64 KB partitions: CPU-heavy
     # Python/regex stages need parallelism even when shuffle bytes are
@@ -99,6 +104,22 @@ def get_spark(app_name: str = "proactive_map_reduce_spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Pin the JVM default locale: Spark's non-ASCII lower()/upper()
+        # path delegates to java.lang.String.toLowerCase(Locale.getDefault()),
+        # and under a Turkish-locale JVM 'I'→'ı' / 'İ'→'i' — which would
+        # break the pinned engine-agreement contract for the İ full-casing
+        # oracle mirror (oracles/reference_ops.py). Locale is a JVM-launch
+        # property, not a runtime conf, so it rides on extraJavaOptions;
+        # tools/config_invariance.py probes a tr_TR.UTF-8 environment to
+        # prove the pin holds.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Duser.language=en -Duser.country=US",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-Duser.language=en -Duser.country=US",
+        )
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)

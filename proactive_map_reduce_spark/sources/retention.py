@@ -55,22 +55,42 @@ def _is_idle(path: str, now: float, max_age_sec: float) -> bool:
     inside ``<dir>/part-*``, a beacon refresh on a nested cache dir —
     leaves the parent mtime stale, so a parent-only check could sweep an
     artifact another process refreshed an hour ago. Walk and early-exit
-    on the first fresh entry; on any stat error assume LIVE (a sweep
-    that errs deletes someone's backing files; one that errs keeps a few
-    tempdirs ages them out next round)."""
+    on the first fresh entry; on any stat/walk error assume LIVE (a
+    sweep that errs deletes someone's backing files; one that errs keeps
+    a few tempdirs, and transient errors resolve by the next round).
+
+    lstat, not stat (ADVICE r6): stat FOLLOWS symlinks, so one broken
+    symlink inside a dead artifact raised on every sweep and made the
+    dir permanently unsweepable — the opposite of "ages out next round".
+    The link's own mtime is the right liveness signal anyway. The
+    remaining lstat-error class is a delete race mid-walk; treating it
+    LIVE self-heals. os.walk's default onerror silently SKIPS unreadable
+    subdirs (which would under-count liveness and could sweep a live
+    artifact); the explicit callback marks the artifact live instead,
+    honoring the stated assume-LIVE policy."""
+    live = False
+
+    def _on_walk_error(_err: OSError) -> None:
+        nonlocal live
+        live = True
+
     try:
-        if now - os.stat(path).st_mtime <= max_age_sec:
+        if now - os.lstat(path).st_mtime <= max_age_sec:
             return False
     except OSError:
         return False
-    for root, dirs, files in os.walk(path):
+    if not os.path.isdir(path):
+        return True  # plain file (or dangling top-level link): own mtime rules
+    for root, dirs, files in os.walk(path, onerror=_on_walk_error):
+        if live:
+            return False
         for nm in dirs + files:
             try:
-                if now - os.stat(os.path.join(root, nm)).st_mtime <= max_age_sec:
+                if now - os.lstat(os.path.join(root, nm)).st_mtime <= max_age_sec:
                     return False
             except OSError:
                 return False
-    return True
+    return not live
 
 
 def sweep_tmp_artifacts(

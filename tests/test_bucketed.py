@@ -227,3 +227,69 @@ def test_gc_stat_failure_keeps_catalog_tables(spark, monkeypatch):
         monkeypatch.undo()
         __import__("shutil").rmtree(path, ignore_errors=True)
         spark.sql(f"DROP TABLE IF EXISTS pmr_li_b_{tag}")
+
+
+def test_tmp_retention_broken_symlink_is_sweepable(tmp_path):
+    """ADVICE r6 (retention.py): a broken symlink inside a dead pmr_*
+    artifact must not make it permanently unsweepable. os.stat follows
+    symlinks (raises on a dangling target, forever); os.lstat stats the
+    link itself — the link's own mtime is the liveness signal."""
+    import os
+    import time as _t
+
+    from proactive_map_reduce_spark.sources import retention
+
+    tmp = str(tmp_path)
+    old = _t.time() - 7 * 3600
+    dead = os.path.join(tmp, "pmr_link_dead")
+    os.makedirs(dead)
+    link = os.path.join(dead, "dangling")
+    os.symlink(os.path.join(tmp, "no_such_target"), link)
+    os.utime(link, (old, old), follow_symlinks=False)
+    os.utime(dead, (old, old))
+    # a FRESH dangling symlink keeps its artifact live (same lstat path)
+    live = os.path.join(tmp, "pmr_link_live")
+    os.makedirs(live)
+    os.symlink(os.path.join(tmp, "no_such_target"), os.path.join(live, "dangling"))
+    os.utime(live, (old, old))
+    removed = retention.sweep_tmp_artifacts(parent=tmp)
+    assert removed == [dead]
+    assert set(os.listdir(tmp)) == {"pmr_link_live"}
+
+
+def test_tmp_retention_unreadable_subdir_marks_live(tmp_path, monkeypatch):
+    """ADVICE r6 (retention.py): os.walk's default onerror silently SKIPS
+    unreadable subdirs — which under-counts liveness and could sweep an
+    artifact whose only fresh file hides in the unreadable branch. The
+    explicit onerror callback must mark the artifact LIVE instead."""
+    import os
+    import time as _t
+
+    from proactive_map_reduce_spark.sources import retention
+
+    tmp = str(tmp_path)
+    old = _t.time() - 7 * 3600
+    art = os.path.join(tmp, "pmr_unreadable")
+    sub = os.path.join(art, "sub")
+    os.makedirs(sub)
+    for p in (sub, art):
+        os.utime(p, (old, old))
+    real_listdir = os.listdir
+
+    def flaky_listdir(p, *a, **k):
+        if str(p) == sub:
+            raise PermissionError(13, "denied", str(p))
+        return real_listdir(p, *a, **k)
+
+    # os.walk resolves listdir via os.scandir; patch scandir instead
+    real_scandir = os.scandir
+
+    def flaky_scandir(p="."):
+        if str(p) == sub:
+            raise PermissionError(13, "denied", str(p))
+        return real_scandir(p)
+
+    monkeypatch.setattr(retention.os, "scandir", flaky_scandir, raising=True)
+    removed = retention.sweep_tmp_artifacts(parent=tmp)
+    assert removed == []
+    assert os.path.isdir(art)

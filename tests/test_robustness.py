@@ -281,3 +281,101 @@ def test_text_corpus_roundtrip_null_and_empty_docs_match_oracle(spark, tmp_path)
         tuple(r) for r in REGISTRY["q_scan_text_corpus"](spark, sf).collect()
     )
     assert got2 == [(7, 10, 2)]
+
+
+def test_jvm_locale_pinned_under_turkish_env():
+    """ADVICE r6 (session.py): Spark's non-ASCII lower()/upper() delegates
+    to java.lang.String.toLowerCase(Locale.getDefault()); under a Turkish
+    JVM locale 'I'→'ı' and 'İ'→'i' (no combining dot), breaking the İ
+    full-casing engine-agreement contract in oracles/reference_ops.py.
+    get_spark pins -Duser.language=en -Duser.country=US on the builder;
+    this launches a FRESH JVM under a Turkish locale env (the path a
+    foreign deployment would take) and asserts both the pinned default
+    locale and the casing contract survive."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "from proactive_map_reduce_spark.session import get_spark\n"
+        "s = get_spark('locale-pin-test')\n"
+        "r = s.sql(\"select lower('\\u0130') a, lower('I') b\").collect()[0]\n"
+        "loc = s._jvm.java.util.Locale.getDefault().toString()\n"
+        "print('LOCALE=' + loc)\n"
+        "print('LOWER_IDOT=' + ','.join(hex(ord(c)) for c in r.a))\n"
+        "print('LOWER_I=' + ','.join(hex(ord(c)) for c in r.b))\n"
+        "s.stop()\n"
+    )
+    env = dict(os.environ)
+    env.update({"LANG": "tr_TR.UTF-8", "LC_ALL": "tr_TR.UTF-8",
+                "SPARK_GRAFT_CPUS": "2"})
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=root,
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "LOCALE=en_US" in out.stdout
+    # full casing: 'İ' → 'i' + COMBINING DOT ABOVE; ASCII 'I' → plain 'i'
+    assert "LOWER_IDOT=0x69,0x307" in out.stdout
+    assert "LOWER_I=0x69" in out.stdout
+
+
+def test_interarrival_chunked_equals_plain(spark, tmp_path):
+    """The hot-key-parallel chunked interarrival plan must produce the
+    IDENTICAL result set as the single-window plain form — including on
+    a fixture built to stress every chunking edge: events exactly ON a
+    slice boundary, equal-ts ties (ordering falls to event_id; gap 0),
+    a user whose consecutive events straddle several EMPTY slices (lag
+    must land on the previous non-empty slice), a single-event user (no
+    gaps), and a hot user owning most rows."""
+    import datetime as dt
+
+    from proactive_map_reduce_spark.queries.relational import (
+        q_event_interarrival,
+        q_event_interarrival_chunked,
+    )
+
+    SLICE_US = 6 * 3600 * 1_000_000
+    base = dt.datetime(2024, 1, 1)
+    us = lambda n: base + dt.timedelta(microseconds=n)
+    rows = []
+    eid = 0
+
+    def ev(uid, t):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, t, uid, "t", 1.0, "{}"))
+
+    # hot user 1: many events, some inside one slice, some on exact
+    # slice boundaries, a pair of equal-ts ties
+    for k in range(50):
+        ev(1, us(k * 1_000_000))            # 1 s apart inside slice 0
+    ev(1, us(SLICE_US))                      # exactly on the boundary
+    ev(1, us(SLICE_US))                      # equal-ts tie (gap 0)
+    ev(1, us(SLICE_US + 59_000_000))         # burst-threshold-adjacent
+    ev(1, us(SLICE_US + 61_000_000))         # just over 60 s
+    # user 2: events straddling three empty slices
+    ev(2, us(0))
+    ev(2, us(4 * SLICE_US + 7))
+    ev(2, us(9 * SLICE_US))
+    # user 3: single event → zero gaps → absent from both outputs
+    ev(3, us(123))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string"
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    plain = {r.user_id: r.asDict() for r in q_event_interarrival(spark, sf).collect()}
+    chunk = {r.user_id: r.asDict() for r in
+             q_event_interarrival_chunked(spark, sf).collect()}
+    assert plain == chunk
+    assert set(plain) == {1, 2}
+    assert plain[1]["n_gaps"] == 53
+    assert plain[2]["n_gaps"] == 2
+    # real fixture too: full-row equality across the two plans
+    sf_real = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, q_event_interarrival(spark, sf_real).collect()))
+    b = sorted(map(tuple, q_event_interarrival_chunked(spark, sf_real).collect()))
+    assert a == b

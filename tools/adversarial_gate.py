@@ -94,7 +94,20 @@ def build_fixture(mode: str) -> str:
     from proactive_map_reduce_spark.session import get_spark
     from proactive_map_reduce_spark.sources.tables import TABLES, stat_signature
 
-    tag = hashlib.sha256(stat_signature(SF_SRC).encode()).hexdigest()[:12]
+    # The tag covers BOTH the source data (stat signature) and the
+    # patcher CODE (source bytes of this file + empty_sweep.py, where
+    # _patch_* / NULLABLE_CONTENT / the gauntlet composition live):
+    # editing a patcher must invalidate its cached fixture, or a
+    # "131/131" gate pass would attest to a stale fixture.
+    import empty_sweep as _es
+
+    code = b""
+    for mod_file in (os.path.abspath(__file__), _es.__file__):
+        with open(mod_file, "rb") as f:
+            code += f.read()
+    tag = hashlib.sha256(
+        stat_signature(SF_SRC).encode() + hashlib.sha256(code).digest()
+    ).hexdigest()[:12]
     prefix = {
         "extreme": "pmr_advfix",
         "nulls": "pmr_nullfix",

@@ -29,6 +29,11 @@ in a subprocess whose environment carries the perturbation:
   tz_newyork TZ=America/New_York → JVM, Python and DuckDB all see a
              non-UTC system zone; Spark's session pin must make the
              engines agree anyway
+  locale_turkish LANG/LC_ALL=tr_TR.UTF-8 → the JVM's default locale
+             follows the OS env; the builder's -Duser.language=en pin
+             must keep lower('İ')/lower('I') on the pinned contract
+  aqe_off    SPARK_GRAFT_AQE=false → adaptive execution disabled; hashes
+             must not depend on AQE's runtime plan rewrites
 
 Spark-vs-oracle agreement under a perturbed config implies value
 equality with the canonical run wherever the oracle itself is
@@ -63,6 +68,18 @@ PROBES: dict[str, dict[str, str]] = {
     # any path that buckets in LOCAL time instead of the pinned session
     # UTC shifts every tumbling/session boundary by :30 here
     "tz_kolkata": {"TZ": "Asia/Kolkata"},
+    # Turkish-locale environment (ADVICE r6): the JVM derives its default
+    # locale from LANG/LC_ALL at launch, and Java's toLowerCase under
+    # tr_TR maps 'I'→'ı' / 'İ'→'i' — which would break the İ full-casing
+    # engine-agreement contract (oracles/reference_ops.py). session.py
+    # pins -Duser.language=en on the builder; this probe proves the pin
+    # holds when the whole process moves to a Turkish locale.
+    "locale_turkish": {"LANG": "tr_TR.UTF-8", "LC_ALL": "tr_TR.UTF-8"},
+    # AQE disabled: adaptive execution rewrites physical plans at runtime
+    # (shuffle coalescing, skew-join splits, join-strategy demotion).
+    # Hash equality with AQE off closes the last planner-nondeterminism
+    # axis — results must not depend on which physical strategy ran.
+    "aqe_off": {"SPARK_GRAFT_AQE": "false"},
 }
 
 
