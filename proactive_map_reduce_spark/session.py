@@ -35,6 +35,15 @@ _RUNTIME_CONFS = {
     # OFF pins result hashes as AQE-independent — the last
     # planner-nondeterminism axis after row order / partition count / TZ.
     "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_AQE", "true"),
+    # SPARK_GRAFT_MAX_PARTITION_BYTES is the split-invariance probe hook
+    # (tools/split_invariance.py): shrinking it forces row-group-level
+    # input splits on the multi-file fixture, exercising the
+    # split-boundary axis a real cluster always perturbs. Default: Spark's
+    # 128m (sized so sf0.1-class partitions fit executor memory; at
+    # 100 TB the same default yields ~800k splits — the desired shape).
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"
+    ),
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     # Don't coalesce small shuffles below 64 KB partitions: CPU-heavy
     # Python/regex stages need parallelism even when shuffle bytes are

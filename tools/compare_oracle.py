@@ -51,8 +51,14 @@ def main() -> int:
         # guard like bench.py: DuckDB binds views at CREATE time, so one
         # missing table parquet would abort the whole gate before any
         # query ran (queries on the missing table then FAIL individually)
-        if os.path.exists(f"{sf_dir}/{t}.parquet"):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            # multi-file table (the split-invariance fixture): Spark reads
+            # the directory natively; DuckDB needs the part-file glob
+            # (which also skips Spark's _SUCCESS marker)
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     failures = []

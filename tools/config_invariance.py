@@ -83,13 +83,19 @@ PROBES: dict[str, dict[str, str]] = {
 }
 
 
-def run_probe(name: str, env_overlay: dict[str, str], sf_dir: str) -> dict:
+def run_probe(
+    name: str,
+    env_overlay: dict[str, str],
+    sf_dir: str,
+    extra_args: list[str] | None = None,
+) -> dict:
     env = dict(os.environ)
     env.update(env_overlay)
     t0 = time.time()
     print(f"\n=== probe {name}: {env_overlay} on {sf_dir}", flush=True)
     proc = subprocess.Popen(
-        [sys.executable, os.path.join(ROOT, "tools", "compare_oracle.py"), sf_dir],
+        [sys.executable, os.path.join(ROOT, "tools", "compare_oracle.py"), sf_dir]
+        + (extra_args or []),
         cwd=ROOT,
         env=env,
         stdout=subprocess.PIPE,

@@ -1,0 +1,129 @@
+"""One-off full oracle gate at sf1-equivalent scale (round-7 verdict item).
+
+Both r4 deep finds (boundary-rounding drift in displayed decimals,
+engine-divergent float round()) were INVISIBLE below sf0.1 — the defect
+class grows with group cardinality and value magnitude. This probe is
+the cheapest remaining test of that class: a ~6M-row lineitem / ~10M-row
+events fixture (sf0.1 replicated 10×, the driver generator's own sf1 row
+counts) pushed through the FULL cross-engine gate — same comparator,
+zero gate-specific tolerance.
+
+Fixture (``/tmp/pmr_scale_sf1`` — the retention-exempt pmr_scale_ family):
+
+- big tables replicated 10× with per-replica id offsets (the
+  tools/scale_smoke.py scheme — join/dedup semantics stay
+  non-degenerate); documents text is perturbed per replica (and n_chars
+  kept consistent) so the dedup surfaces see near- not all-duplicates;
+- events.ts is written as TIMESTAMP_NTZ: the driver fixture stores
+  INT64(TIMESTAMP(NANOS)) which DuckDB reads as plain TIMESTAMP and
+  Spark converts via the nanosAsLong DIV-1000 path (sources/tables.py) —
+  NTZ micros is the same value domain on both engines, so the gate
+  compares values, not encodings;
+- each big table lands as a DIRECTORY of part files (multi-split layout,
+  like tools/split_invariance.py — compare_oracle binds the part glob
+  for DuckDB), i.e. the scale probe also runs on cluster-shaped file
+  layout rather than one artisanal file per table.
+
+Usage: python tools/sf1_gate.py [query ...]
+Writes SF1_GATE.json at the repo root on full runs; exit non-zero on
+any failure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tools"))
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/tmp/pmr_scale_sf1"
+REPLICAS = 10
+# id column + per-replica stride (strictly above each column's sf0.1 max)
+OFFSETS = {
+    "documents": ("doc_id", 1_000_000),
+    "lineitem": ("l_orderkey", 10_000_000),
+    "orders": ("o_orderkey", 10_000_000),
+    "events": ("event_id", 10_000_000),
+    "embeddings": ("vec_id", 1_000_000),
+}
+SMALL = ["region", "nation", "customer", "supplier", "part"]
+
+
+def build() -> str:
+    if os.path.exists(os.path.join(OUT, "_FIXTURE_COMPLETE")):
+        os.utime(OUT)
+        print(f"reusing fixture {OUT}", flush=True)
+        return OUT
+
+    from pyspark.sql import functions as F
+
+    from proactive_map_reduce_spark.session import get_spark
+    from proactive_map_reduce_spark.sources.tables import load_table
+
+    spark = get_spark("sf1-gate-fixture")
+    stage = OUT + ".stage"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    for t in SMALL:
+        # byte-identical copy: preserves the generator's exact parquet
+        # typing for both engines
+        shutil.copyfile(f"{BASE}/{t}.parquet", f"{stage}/{t}.parquet")
+    for t, (idc, stride) in OFFSETS.items():
+        df = load_table(spark, BASE, t)  # events: nanos → timestamp micros
+        df = df.withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1)))
+        ).withColumn(idc, F.col(idc) + F.col("__r").cast("long") * stride)
+        if t == "documents":
+            suffix = F.concat(F.lit(" replica"), F.col("__r"))
+            df = df.withColumn(
+                "n_chars", F.col("n_chars") + F.length(suffix)
+            ).withColumn("text", F.concat(F.col("text"), suffix))
+        if t == "events":
+            # NTZ write: wall-clock-preserving under the UTC session pin,
+            # read back by load_table's timestamp_ntz branch; DuckDB sees
+            # plain TIMESTAMP exactly like the driver's nanos encoding
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        df.drop("__r").repartition(16).write.mode("overwrite").parquet(
+            f"{stage}/{t}.parquet"
+        )
+    spark.stop()
+    open(os.path.join(stage, "_FIXTURE_COMPLETE"), "w").close()
+    try:
+        os.rename(stage, OUT)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)
+    print(f"built fixture {OUT}", flush=True)
+    return OUT
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    fixture = build()
+    from config_invariance import run_probe
+
+    res = run_probe("sf1", {}, fixture, extra_args=args)
+    res["sf_dir"] = fixture
+    summary = {
+        "metric": "sf1_gate",
+        "started": time.strftime("%F %T"),
+        "replicas": REPLICAS,
+        "base": BASE,
+        "probe": res,
+        "ok": res["rc"] == 0 and res["failures"] == 0,
+    }
+    line = json.dumps(summary)
+    print("\n" + line)
+    if not args:  # partial runs don't overwrite the round artifact
+        with open(os.path.join(ROOT, "SF1_GATE.json"), "w") as f:
+            f.write(line + "\n")
+    return 0 if summary["ok"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
