@@ -664,14 +664,16 @@ def q_event_interarrival_chunked(spark, sf_dir):
     )
     ev = ev.withColumn("slice", F.expr(f"us div {SLICE_US}"))
     w_intra = Window.partitionBy("user_id", "slice").orderBy("ts", "event_id")
-    intra = (
-        ev.withColumn("gap_us", F.col("us") - F.lag("us").over(w_intra))
-        .filter(F.col("gap_us").isNotNull())
-        .select("user_id", "gap_us")
-    )
+    gapped = ev.withColumn("gap_us", F.col("us") - F.lag("us").over(w_intra))
+    intra = gapped.filter(F.col("gap_us").isNotNull()).select("user_id", "gap_us")
     # gap values depend on ts alone (event_id only breaks ordering ties
-    # among EQUAL ts), so min/max(us) are the exact slice endpoints
-    per_slice = ev.groupBy("user_id", "slice").agg(
+    # among EQUAL ts), so min/max(us) are the exact slice endpoints.
+    # Plan shape (.explain-verified): Catalyst prunes the unused window
+    # from this branch and plans a map-side partial aggregate under its
+    # exchange, so the FULL event table crosses the wire exactly once
+    # (the intra-window exchange); the per-slice and final exchanges
+    # carry only per-(user, slice) / per-user partial rows.
+    per_slice = gapped.groupBy("user_id", "slice").agg(
         F.min("us").alias("first_us"), F.max("us").alias("last_us")
     )
     w_slices = Window.partitionBy("user_id").orderBy("slice")

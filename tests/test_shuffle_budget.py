@@ -65,6 +65,10 @@ BUDGETS = {
     # trailing-window z-score: the user_id window is the only exchange
     "q_event_anomaly": 1,
     "q_event_interarrival": 1,
+    # hot-key-parallel form: the full table crosses one (user_id, slice)
+    # window exchange; the other three move per-slice / per-user PARTIAL
+    # rows only (map-side aggregate under each — .explain-verified)
+    "q_event_interarrival_chunked": 4,
     "q_exact_match": 0,
     "q_except_docs": 1,
     "q_filter_empty": 0,
