@@ -628,7 +628,7 @@ def q_event_interarrival(spark, sf_dir):
     )
 
 
-def q_event_interarrival_chunked(spark, sf_dir):
+def q_event_interarrival_chunked(spark, sf_dir, slice_us=None):
     """Hot-key-parallel form of q_event_interarrival (round-6 verdict
     item): the plain form's per-user window serializes ALL of a user's
     events into one task, so a 50%-hot user bounds the stage at
@@ -655,8 +655,20 @@ def q_event_interarrival_chunked(spark, sf_dir):
     floor drops from O(max user history) to O(events per user-slice) +
     O(slices) — both bounded by construction.
     """
-    SLICE_US = 6 * 3600 * 1_000_000  # 6 h; parallelism knob, not semantics
-    ev = load_table(spark, sf_dir, "events").select(
+    return interarrival_chunked(load_table(spark, sf_dir, "events"), slice_us)
+
+
+def interarrival_chunked(events, slice_us=None):
+    """DataFrame-level body of q_event_interarrival_chunked (split out so
+    the slice-width-invariance property test can drive arbitrary inputs).
+
+    ``slice_us`` is a pure parallelism knob, not semantics — the property
+    test (tests/test_property_ops.py) sweeps it from 1 µs (every event
+    its own slice: ALL gaps are boundary gaps) through mid widths to one
+    wider than the data (one slice: degenerates to the plain plan) and
+    the result is identical at every width."""
+    SLICE_US = slice_us if slice_us is not None else 6 * 3600 * 1_000_000
+    ev = events.select(
         "user_id",
         "event_id",
         "ts",

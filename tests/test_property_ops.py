@@ -239,3 +239,75 @@ def test_histogram_quantiles_bracket_and_convention(spark, rows, bins):
         # smallest value whose bin is `hit`: lo + ceil(hit*width/bins)
         exp = lo + -((-hit * width) // bins)
         assert out[col] == exp, (p, rows, bins)
+
+
+# interarrival events: few users, tight microsecond range → duplicate
+# timestamps, events exactly on slice boundaries, empty slices between
+# consecutive events
+_ia_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),    # user_id
+        st.integers(0, 100),  # ts micros
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@SLOW
+@given(rows=_ia_rows)
+def test_interarrival_chunked_slice_width_invariance(spark, rows):
+    """The chunked interarrival decomposition must equal a pure-Python
+    fold over each user's (ts, event_id)-ordered history at EVERY slice
+    width: 1 µs (every event its own slice — all gaps cross boundaries,
+    the per-slice table is as big as the input), awkward mid widths (7,
+    13 µs: boundaries land mid-burst), and one wider than the whole data
+    range (a single slice — degenerates to the plain single-window
+    plan). Slice width is a parallelism knob; any width-dependence in
+    the values is a decomposition bug."""
+    import datetime as dt
+
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    from proactive_map_reduce_spark.queries.relational import interarrival_chunked
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i + 1, base + dt.timedelta(microseconds=t), u)
+        for i, (u, t) in enumerate(rows)
+    ]
+    schema = StructType(
+        [
+            StructField("event_id", LongType(), False),
+            StructField("ts", TimestampType(), False),
+            StructField("user_id", LongType(), False),
+        ]
+    )
+    df = spark.createDataFrame(data, schema)
+
+    # pure-Python model: per user, gaps over the (ts, event_id) order
+    epoch = dt.datetime(1970, 1, 1)
+    per_user: dict[int, list[tuple[int, int]]] = {}
+    for eid, ts, u in data:
+        us = round((ts - epoch).total_seconds() * 1e6)
+        per_user.setdefault(u, []).append((us, eid))
+    expect = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        gaps = [b[0] - a[0] for a, b in zip(evs, evs[1:])]
+        if not gaps:
+            continue
+        expect[u] = (
+            len(gaps),
+            # same IEEE op sequence as both engines' mean
+            sum(gaps) / len(gaps) / 1e6,
+            max(gaps),
+            sum(1 for g in gaps if g < 60_000_000),
+        )
+
+    for width in (1, 7, 13, 10**9):
+        got = {
+            r.user_id: (r.n_gaps, r.mean_gap_s, r.max_gap_us, r.n_bursts)
+            for r in interarrival_chunked(df, slice_us=width).collect()
+        }
+        assert got == expect, f"slice_us={width}"
