@@ -89,6 +89,70 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# Interactive-mode threshold: inputs under this many bytes (compressed,
+# on disk) take the small-query path in tune_for_input.
+INTERACTIVE_BYTES = int(os.environ.get("SPARK_GRAFT_INTERACTIVE_BYTES", 1 << 30))
+
+
+def input_bytes(path: str) -> int:
+    """Total on-disk bytes under ``path`` (a file or a fixture dir)."""
+    if os.path.isfile(path):
+        return os.stat(path).st_size
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.stat(os.path.join(root, f)).st_size
+            except OSError:
+                pass
+    return total
+
+
+def tune_for_input(spark: SparkSession, path_or_bytes) -> SparkSession:
+    """Size runtime execution confs to the INPUT, not just the machine.
+
+    Two regimes, split at ``INTERACTIVE_BYTES`` (1 GiB on-disk default,
+    ``SPARK_GRAFT_INTERACTIVE_BYTES`` overrides):
+
+    - **Large inputs** (the 100 TB design point): production defaults —
+      AQE on (runtime coalescing / skew splits / join demotion decided
+      from real shuffle stats), initial shuffle partitions = cores.
+      This branch restores the ``_RUNTIME_CONFS`` values, so calling
+      the helper is always safe.
+    - **Interactive inputs**: AQE's value is re-planning from runtime
+      statistics, and its cost is a scheduler round per stage — a pure
+      fixed latency when the right partition count is already decidable
+      from input size up front (measured on the sf0.1 headline set:
+      ~0.5-0.65 s of a ~6 s total is AQE re-planning + over-partitioned
+      shuffle waves). So: AQE off, shuffle partitions =
+      clamp(bytes // 2 MiB, 4, cores) — the same small-query fast path
+      every interactive warehouse engine implements.
+
+    Correctness is invariant to this switch BY MEASUREMENT, not hope:
+    the committed CONFIG_INVARIANCE.json probes re-run the full
+    cross-engine gate with AQE disabled (`aqe_off`), with perturbed
+    shuffle-partition counts (`shuffle7`, `local8`) and under permuted
+    row order (tools/order_invariance.py) — 131-132/131-132 green on
+    every axis, so the two regimes produce identical result hashes.
+    bench.py calls this once per run; the driver's own correctness
+    sessions keep production confs.
+    """
+    nbytes = (
+        path_or_bytes
+        if isinstance(path_or_bytes, int)
+        else input_bytes(str(path_or_bytes))
+    )
+    cores = default_parallelism()
+    if nbytes >= INTERACTIVE_BYTES:
+        spark.conf.set("spark.sql.adaptive.enabled", _RUNTIME_CONFS["spark.sql.adaptive.enabled"])
+        spark.conf.set("spark.sql.shuffle.partitions", str(cores))
+    else:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        parts = max(4, min(cores, nbytes // (2 << 20)))
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    return spark
+
+
 def get_spark(app_name: str = "proactive_map_reduce_spark") -> SparkSession:
     cpus = default_parallelism()
     # Python WORKERS must be able to import this package: the driver's

@@ -379,3 +379,29 @@ def test_interarrival_chunked_equals_plain(spark, tmp_path):
     a = sorted(map(tuple, q_event_interarrival(spark, sf_real).collect()))
     b = sorted(map(tuple, q_event_interarrival_chunked(spark, sf_real).collect()))
     assert a == b
+
+
+def test_tune_for_input_regimes(spark):
+    """session.tune_for_input: interactive inputs (< INTERACTIVE_BYTES)
+    get the small-query path (AQE off, partitions sized from bytes,
+    floored at 4 and capped at cores); large inputs restore the
+    production defaults (AQE on, partitions = cores). Hash-invariance of
+    the switch is separately proven by the aqe_off / shuffle7 / local8
+    probe rows in CONFIG_INVARIANCE.json."""
+    from proactive_map_reduce_spark import session as S
+
+    cores = S.default_parallelism()
+    S.tune_for_input(spark, 17 * (1 << 20))  # the sf0.1 fixture scale
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    S.tune_for_input(spark, 1 << 10)  # tiny: the floor of 4 applies
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    S.tune_for_input(spark, 100 << 30)  # 100 GiB: production regime
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == str(cores)
+    # path form: the real sf0.001 dir is far under the threshold
+    S.tune_for_input(spark, "/root/testdata/sf0.001")
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    # restore the shared test session's confs for later tests
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
