@@ -80,6 +80,11 @@ PROBES: dict[str, dict[str, str]] = {
     # Hash equality with AQE off closes the last planner-nondeterminism
     # axis — results must not depend on which physical strategy ran.
     "aqe_off": {"SPARK_GRAFT_AQE": "false"},
+    # The interactive regime COMPOSED (r7): session.tune_for_input picks
+    # AQE-off + small shuffle-partition counts for small inputs; this
+    # probe runs both perturbations together (coprime partitions so no
+    # boundary survives) — the exact config class bench.py executes.
+    "interactive7": {"SPARK_GRAFT_AQE": "false", "SPARK_GRAFT_CPUS": "7"},
 }
 
 

@@ -40,11 +40,16 @@ sys.path.insert(0, "/root/repo")
 
 BASE = "/root/testdata/sf0.1"
 
-# hot-key-sensitive queries: per-user windows + the salted two-phase agg
+# hot-key-sensitive queries: per-user windows + the salted two-phase agg.
+# r7 adds the chunked interarrival form so the hot-key-parallel template's
+# value is MEASURED against its plain sibling on the same fixture, not
+# just argued (identical output contract — the chunked factor should sit
+# below the plain form's serial-in-hot-key bound).
 QUERIES = [
     "q_sessionize",
     "q_window_tumbling",
     "q_event_interarrival",
+    "q_event_interarrival_chunked",
     "q_event_anomaly",
     "q_topn_per_group",
     "q_salted_agg",
