@@ -69,6 +69,16 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+#: The locale pin appended to driver/executor JVM options (see get_spark).
+LOCALE_PIN = "-Duser.language=en -Duser.country=US"
+
+
+def _java_options() -> str:
+    """Deployment JVM options (env) + the mandatory locale pin."""
+    base = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "").strip()
+    return (base + " " + LOCALE_PIN).strip()
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply engine confs to an externally-created session (the driver's)."""
     for k, v in _RUNTIME_CONFS.items():
@@ -184,15 +194,12 @@ def get_spark(app_name: str = "proactive_map_reduce_spark") -> SparkSession:
         # oracle mirror (oracles/reference_ops.py). Locale is a JVM-launch
         # property, not a runtime conf, so it rides on extraJavaOptions;
         # tools/config_invariance.py probes a tr_TR.UTF-8 environment to
-        # prove the pin holds.
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-Duser.language=en -Duser.country=US",
-        )
-        .config(
-            "spark.executor.extraJavaOptions",
-            "-Duser.language=en -Duser.country=US",
-        )
+        # prove the pin holds. Deployment-provided JVM options (GC flags,
+        # add-opens, agent jars) come first via SPARK_GRAFT_JAVA_OPTS so
+        # the pin APPENDS rather than clobbers (ADVICE r7) — last-wins
+        # for -D flags keeps the locale authoritative either way.
+        .config("spark.driver.extraJavaOptions", _java_options())
+        .config("spark.executor.extraJavaOptions", _java_options())
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)

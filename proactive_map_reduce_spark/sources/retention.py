@@ -79,8 +79,15 @@ def _is_idle(path: str, now: float, max_age_sec: float) -> bool:
             return False
     except OSError:
         return False
-    if not os.path.isdir(path):
-        return True  # plain file (or dangling top-level link): own mtime rules
+    if os.path.islink(path) or not os.path.isdir(path):
+        # Plain file, dangling link, OR a symlink to a directory: the
+        # entry's OWN lstat mtime rules (ADVICE r7). Without the islink
+        # branch, isdir/os.walk FOLLOW a top-level dir link and judge the
+        # TARGET's contents — but the sweep below removes only the link,
+        # so target-based liveness is the wrong question (and rmtree on a
+        # symlink raises internally, leaving the path falsely reported
+        # as removed).
+        return True
     for root, dirs, files in os.walk(path, onerror=_on_walk_error):
         if live:
             return False
@@ -116,7 +123,10 @@ def sweep_tmp_artifacts(
         p = os.path.join(parent, nm)
         if not _is_idle(p, now, max_age_sec):
             continue
-        if os.path.isdir(p):
+        # islink FIRST: rmtree(symlink) raises (swallowed by
+        # ignore_errors) and would leave the untouched path in `removed`;
+        # os.remove deletes the link itself, never the target.
+        if not os.path.islink(p) and os.path.isdir(p):
             shutil.rmtree(p, ignore_errors=True)
         else:
             try:

@@ -293,3 +293,36 @@ def test_tmp_retention_unreadable_subdir_marks_live(tmp_path, monkeypatch):
     removed = retention.sweep_tmp_artifacts(parent=tmp)
     assert removed == []
     assert os.path.isdir(art)
+
+
+def test_tmp_retention_toplevel_dir_symlink(tmp_path):
+    """ADVICE r7 (retention.py): a top-level pmr_* entry that is a
+    SYMLINK to a directory is judged by the link's own lstat mtime (not
+    a walk of the target) and removed with os.remove — the target
+    survives, the link is gone, and `removed` stays accurate. Before the
+    fix, rmtree on the symlink raised internally (swallowed), the link
+    stayed, and the path was still reported removed."""
+    import os
+    import time as _t
+
+    from proactive_map_reduce_spark.sources import retention
+
+    tmp = str(tmp_path)
+    old = _t.time() - 7 * 3600
+    # target OUTSIDE the swept parent, with a FRESH file inside: before
+    # the fix, the walk of the target would have judged the link live
+    target = os.path.join(tmp, "not_pmr_target")
+    os.makedirs(target)
+    with open(os.path.join(target, "fresh.txt"), "w") as f:
+        f.write("x")
+    dead_link = os.path.join(tmp, "pmr_dirlink_dead")
+    os.symlink(target, dead_link)
+    os.utime(dead_link, (old, old), follow_symlinks=False)
+    # a fresh dir link survives
+    live_link = os.path.join(tmp, "pmr_dirlink_live")
+    os.symlink(target, live_link)
+    removed = retention.sweep_tmp_artifacts(parent=tmp)
+    assert removed == [dead_link]
+    assert not os.path.lexists(dead_link)
+    assert os.path.lexists(live_link)
+    assert os.path.isfile(os.path.join(target, "fresh.txt"))  # target intact

@@ -393,7 +393,11 @@ def test_tune_for_input_regimes(spark):
     cores = S.default_parallelism()
     S.tune_for_input(spark, 17 * (1 << 20))  # the sf0.1 fixture scale
     assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
-    assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    # clamp(bytes // 2 MiB, 4, cores) — computed, not the literal '8',
+    # so SPARK_GRAFT_CPUS < 8 environments don't fail spuriously
+    # (ADVICE r7)
+    expect = max(4, min(cores, (17 * (1 << 20)) // (2 << 20)))
+    assert spark.conf.get("spark.sql.shuffle.partitions") == str(expect)
     S.tune_for_input(spark, 1 << 10)  # tiny: the floor of 4 applies
     assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
     S.tune_for_input(spark, 100 << 30)  # 100 GiB: production regime
@@ -405,3 +409,27 @@ def test_tune_for_input_regimes(spark):
     # restore the shared test session's confs for later tests
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+
+def test_java_options_append_env_base():
+    """ADVICE r7 (session.py): deployment-provided JVM options
+    (SPARK_GRAFT_JAVA_OPTS) are PRESERVED ahead of the locale pin rather
+    than clobbered; with no env the options are exactly the pin."""
+    import os
+
+    from proactive_map_reduce_spark import session as S
+
+    saved = os.environ.pop("SPARK_GRAFT_JAVA_OPTS", None)
+    try:
+        assert S._java_options() == S.LOCALE_PIN
+        os.environ["SPARK_GRAFT_JAVA_OPTS"] = "-XX:+UseG1GC -Xss4m"
+        opts = S._java_options()
+        assert opts == "-XX:+UseG1GC -Xss4m " + S.LOCALE_PIN
+        # last-wins for -D duplicates keeps the locale authoritative
+        os.environ["SPARK_GRAFT_JAVA_OPTS"] = "-Duser.language=tr"
+        assert S._java_options().endswith(S.LOCALE_PIN)
+    finally:
+        if saved is None:
+            os.environ.pop("SPARK_GRAFT_JAVA_OPTS", None)
+        else:
+            os.environ["SPARK_GRAFT_JAVA_OPTS"] = saved

@@ -8,7 +8,8 @@ events fixture (sf0.1 replicated 10×, the driver generator's own sf1 row
 counts) pushed through the FULL cross-engine gate — same comparator,
 zero gate-specific tolerance.
 
-Fixture (``/tmp/pmr_scale_sf1`` — the retention-exempt pmr_scale_ family):
+Fixture (``/tmp/pmr_scale_sf1_<tag>`` — the retention-exempt pmr_scale_
+family; tag = hash of base-data signature + this file's source bytes):
 
 - big tables replicated 10× with per-replica id offsets (the
   tools/scale_smoke.py scheme — join/dedup semantics stay
@@ -42,7 +43,6 @@ sys.path.insert(0, ROOT)
 sys.path.insert(0, os.path.join(ROOT, "tools"))
 
 BASE = "/root/testdata/sf0.1"
-OUT = "/tmp/pmr_scale_sf1"
 REPLICAS = 10
 # id column + per-replica stride (strictly above each column's sf0.1 max)
 OFFSETS = {
@@ -55,11 +55,34 @@ OFFSETS = {
 SMALL = ["region", "nation", "customer", "supplier", "part"]
 
 
+def fixture_path() -> str:
+    """Content-addressed fixture dir (ADVICE r7): the tag hashes the
+    BASE data's stat signature plus THIS FILE's source bytes, so editing
+    REPLICAS / OFFSETS / the perturbation logic (or the base data
+    changing between rounds) forces a rebuild instead of silently
+    attesting a pass against stale fixture semantics — the same
+    invalidation rule adversarial_gate.py and split_invariance.py apply.
+    The pmr_scale_ prefix keeps it retention-exempt."""
+    import hashlib
+
+    from proactive_map_reduce_spark.sources.tables import stat_signature
+
+    with open(os.path.abspath(__file__), "rb") as f:
+        code = f.read()
+    tag = hashlib.sha256(
+        stat_signature(BASE).encode() + hashlib.sha256(code).digest()
+    ).hexdigest()[:12]
+    return os.path.join("/tmp", f"pmr_scale_sf1_{tag}")
+
+
 def build() -> str:
-    if os.path.exists(os.path.join(OUT, "_FIXTURE_COMPLETE")):
-        os.utime(OUT)
-        print(f"reusing fixture {OUT}", flush=True)
-        return OUT
+    import tempfile
+
+    out = fixture_path()
+    if os.path.exists(os.path.join(out, "_FIXTURE_COMPLETE")):
+        os.utime(out)
+        print(f"reusing fixture {out}", flush=True)
+        return out
 
     from pyspark.sql import functions as F
 
@@ -67,9 +90,11 @@ def build() -> str:
     from proactive_map_reduce_spark.sources.tables import load_table
 
     spark = get_spark("sf1-gate-fixture")
-    stage = OUT + ".stage"
-    shutil.rmtree(stage, ignore_errors=True)
-    os.makedirs(stage)
+    # mkdtemp, not OUT+'.stage' (ADVICE r7): concurrent builders each
+    # get a private stage instead of rmtree-ing each other's; the loser
+    # of the final rename race discards its copy. pmr_sf1stage_ is NOT
+    # retention-exempt, so an abandoned stage ages out on TTL.
+    stage = tempfile.mkdtemp(prefix="pmr_sf1stage_")
     for t in SMALL:
         # byte-identical copy: preserves the generator's exact parquet
         # typing for both engines
@@ -95,11 +120,11 @@ def build() -> str:
     spark.stop()
     open(os.path.join(stage, "_FIXTURE_COMPLETE"), "w").close()
     try:
-        os.rename(stage, OUT)
-    except OSError:
+        os.rename(stage, out)
+    except OSError:  # lost a concurrent-builder race; the winner's is valid
         shutil.rmtree(stage, ignore_errors=True)
-    print(f"built fixture {OUT}", flush=True)
-    return OUT
+    print(f"built fixture {out}", flush=True)
+    return out
 
 
 # Queries excluded from the sf1 run, each with its measured reason.
