@@ -75,7 +75,7 @@ _REWRITTEN = {
     # round-4 review pass: integral-div rewrite of round_ratio /
     # rescale_units (all consumers above re-queue via their own entries)
     # and the exact-cents resample mean
-    "q_dedup_ngram_jaccard": 4,
+    # (q_dedup_ngram_jaccard's r4 pin superseded by its r8 entry below)
     # operators-review pass: null-content sentinel keys in exact dedup,
     # empty-token drop in the retrieval layer, null-excluded histogram
     # quantiles (all mirrored in the oracles)
@@ -133,6 +133,14 @@ _REWRITTEN = {
     "q_multimodal_resize": 5,
     "q_repetition_signals": 5,
     "q_set_f1": 5,
+    # round-8 scale pass: the blocked n-gram Jaccard baseline's candidate
+    # generation moved to the shared star-cap window (capped_block_pairs,
+    # K=64) — sf0.01 values are cap-invariant (max block 54 < 64) but the
+    # PLAN changed, so the driver should re-derive the row. The LSH-path
+    # queries delegate to the same extracted helper with expression-
+    # identical plans (pair-count-verified at sf0.01/sf0.1), so they are
+    # NOT pinned.
+    "q_dedup_ngram_jaccard": 8,
 }
 
 

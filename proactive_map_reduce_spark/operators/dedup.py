@@ -305,30 +305,43 @@ def lsh_candidate_pairs(
     pairs are skipped, which is the intended cap.
     """
     banded = band_rows(sig_df, n_hashes, bands, id_col)
-    # ONE ordered window pass, three expressions over the same exchange +
-    # sort (docs are unique per bucket, so id order is total and
-    # deterministic): row_number ranks members; first() with the default
-    # running frame is the bucket min id; the sliding collect_list frame
-    # carries each row's PRECEDING members capped at max_bucket − 1
-    # elements — per-row window state is bounded by K, never by the
-    # bucket, and WindowExec spills partitions to disk, so a mega-bucket
-    # cannot OOM a task.
-    w = Window.partitionBy("band_id", "band_hash").orderBy(id_col)
-    ranked = banded.select(
+    return capped_block_pairs(
+        banded, ["band_id", "band_hash"], id_col=id_col, max_block=max_bucket
+    )
+
+
+def capped_block_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    id_col: str = "doc_id",
+    max_block: int = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Star-capped i<j pair expansion within blocks — the shared core of
+    every candidate-generation path (LSH buckets, blocked baselines).
+
+    ONE ordered window pass, three expressions over the same exchange +
+    sort (ids are unique per block for every in-repo caller, so id order
+    is total and deterministic): row_number ranks members; first() with
+    the default running frame is the block min id; the sliding
+    collect_list frame carries each row's PRECEDING members capped at
+    max_block − 1 elements — per-row window state is bounded by K, never
+    by the block, and WindowExec spills partitions to disk, so a
+    mega-block cannot OOM a task. Members ranked ≤ K pair with every
+    earlier member (full i<j among the K smallest ids); members past K
+    emit ONE star link to the block min, keeping the block CONNECTED at
+    O(K² + B) pairs instead of O(B²)."""
+    w = Window.partitionBy(*block_cols).orderBy(id_col)
+    ranked = df.select(
         F.col(id_col),
         F.row_number().over(w).alias("rk"),
         F.first(id_col).over(w).alias("rep"),
         F.collect_list(id_col)
-        .over(w.rowsBetween(-(max_bucket - 1), -1))
+        .over(w.rowsBetween(-(max_block - 1), -1))
         .alias("preds"),
     )
-    # Members ranked ≤ K pair with every earlier member (the sliding frame
-    # holds exactly ranks 1..rk−1 for them) — full i<j expansion among the
-    # K smallest ids. Members past K emit ONE star link to the bucket min;
-    # rep < member always, so doc_a < doc_b holds everywhere.
     this_doc = F.col(id_col)
     pair_arr = F.when(
-        F.col("rk") <= max_bucket,
+        F.col("rk") <= max_block,
         F.transform(
             "preds",
             lambda x: F.struct(x.alias("doc_a"), this_doc.alias("doc_b")),

@@ -42,6 +42,7 @@ from ._base import (  # noqa: F401
 from ..operators.dedup import LSH_MAX_BUCKET as _K  # noqa: E402
 from ..queries._base import (  # noqa: E402
     CURATION_JACCARD_MIN as _J_MIN,
+    NGRAM_BLOCK_CAP as _NGRAM_K,
     CURATION_QUALITY_MIN as _Q_MIN,
     MINHASH_MIN_AGREEMENT as _MIN_AGREE,
     PACK_BUDGET as _PACK,
@@ -137,15 +138,30 @@ LEFT JOIN conf c ON c.new_id = d.doc_id
 """
 
 
+# Star-capped block expansion (mirrors dedup.capped_block_pairs with
+# K = NGRAM_BLOCK_CAP): full i<j among each block's K smallest ids, one
+# star link (block min, member) per member ranked past K.
 ORACLES["q_dedup_ngram_jaccard"] = f"""
 WITH {_SHINGLES},
 blocked AS (
   SELECT doc_id, lang, n_chars // 100 AS blk_bucket FROM documents
 ),
+branked AS (
+  SELECT doc_id, lang, blk_bucket,
+         row_number() OVER (PARTITION BY lang, blk_bucket ORDER BY doc_id) AS rk,
+         min(doc_id) OVER (PARTITION BY lang, blk_bucket) AS rep
+  FROM blocked
+),
 bpairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM blocked a JOIN blocked b
-    ON a.lang = b.lang AND a.blk_bucket = b.blk_bucket AND a.doc_id < b.doc_id
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM branked l JOIN branked r
+      ON l.lang = r.lang AND l.blk_bucket = r.blk_bucket
+     AND l.doc_id < r.doc_id
+     AND l.rk <= {_NGRAM_K} AND r.rk <= {_NGRAM_K}
+    UNION ALL
+    SELECT rep AS doc_a, doc_id AS doc_b FROM branked WHERE rk > {_NGRAM_K}
+  )
 ),
 {_jaccard_select('bpairs')}
 """

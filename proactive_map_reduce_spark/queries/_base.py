@@ -105,6 +105,18 @@ NEAR_DUP_COS = 0.4   # fixture embeddings are random (max cos ~0.48); at this
 MINHASH_MIN_AGREEMENT = 8  # confirmation gate: est-Jaccard >= 8/16 = 0.5
 
 
+# Star-cap for the blocked n-gram Jaccard BASELINE (q_dedup_ngram_jaccard):
+# full i<j expansion among the 64 smallest ids per (lang, length-bucket)
+# block, one star link per member beyond — O(K²+B) pairs per block instead
+# of O(B²). 64 (vs the LSH path's 256) because the baseline's blocks are
+# FEW and FAT (30 blocks, max 451 members at sf0.1 → ~4.5k at sf1; the
+# uncapped expansion measured 59.2M pairs at sf1), and each pair costs an
+# exact shingle-set intersection in BOTH engines. At sf0.01 the largest
+# block has 54 members, so the driver-gate values are cap-invariant; the
+# sf0.1 full gate exercises the cap on 26 oversized blocks.
+NGRAM_BLOCK_CAP = 64
+
+
 N_SALTS = 8
 
 

@@ -107,17 +107,21 @@ def q_dedup_incremental(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """n-gram Jaccard near-dup within (lang, length-bucket) blocks."""
+    """n-gram Jaccard near-dup within (lang, length-bucket) blocks.
+
+    Candidate generation is the star-capped block expansion
+    (`dedup.capped_block_pairs`, the same window core the LSH path uses):
+    full i<j among the NGRAM_BLOCK_CAP smallest ids per block, one star
+    link per member beyond. The r7-measured uncapped self-join grew
+    O(B²) per block — 588k pairs at sf0.1 → 59.2M at sf1 — which made
+    this baseline the repo's last quadratic plan; capped, pairs are
+    O(K²+B) per block and the query runs in the sf1 gate."""
     d = _docs(spark, sf_dir)
-    blocked = d.withColumn("blk_bucket", (F.col("n_chars") / 100).cast("bigint"))
-    a = blocked.select(
-        F.col("doc_id").alias("doc_a"), "lang", "blk_bucket"
+    blocked = d.select(
+        "doc_id", "lang", (F.col("n_chars") / 100).cast("bigint").alias("blk_bucket")
     )
-    b = blocked.select(
-        F.col("doc_id").alias("doc_b"), "lang", "blk_bucket"
-    )
-    pairs = a.join(b, ["lang", "blk_bucket"]).filter(F.col("doc_a") < F.col("doc_b")).select(
-        "doc_a", "doc_b"
+    pairs = dedup_ops.capped_block_pairs(
+        blocked, ["lang", "blk_bucket"], max_block=NGRAM_BLOCK_CAP
     )
     sets = dedup_ops.shingle_sets(chunking.split_words(d))
     return dedup_ops.jaccard_pairs(sets, pairs)

@@ -433,3 +433,52 @@ def test_java_options_append_env_base():
             os.environ.pop("SPARK_GRAFT_JAVA_OPTS", None)
         else:
             os.environ["SPARK_GRAFT_JAVA_OPTS"] = saved
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),          # doc_id
+            st.integers(min_value=0, max_value=2),           # block key
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=12, deadline=None)
+def test_capped_block_pairs_star_cap_properties(spark, rows, cap):
+    """capped_block_pairs (the shared star-cap core; r8 — also the
+    q_dedup_ngram_jaccard candidate generator): vs a pure-Python full
+    blocked expansion it (a) emits exactly the full i<j set among each
+    block's `cap` smallest ids plus one star link per member beyond,
+    (b) never invents pairs, (c) preserves connected components, and
+    (d) is bounded by K(K-1)/2 + (B-K) pairs per block."""
+    df = spark.createDataFrame(rows, "doc_id long, blk long")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.capped_block_pairs(df, ["blk"], max_block=cap).collect()
+    }
+    blocks: dict[int, list[int]] = {}
+    for d, blk in rows:
+        blocks.setdefault(blk, []).append(d)
+    full, expect, bound = set(), set(), 0
+    for ids in blocks.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                full.add((ids[i], ids[j]))
+        head = ids[:cap]
+        for i in range(len(head)):
+            for j in range(i + 1, len(head)):
+                expect.add((head[i], head[j]))
+        for d in ids[cap:]:
+            expect.add((ids[0], d))
+        k = min(len(ids), cap)
+        bound += k * (k - 1) // 2 + max(len(ids) - cap, 0)
+    assert got == expect
+    assert got <= full
+    assert len(got) <= bound
+    nodes = {d for d, _ in rows}
+    assert _components(got, nodes) == _components(full, nodes)

@@ -128,19 +128,12 @@ def build() -> str:
 
 
 # Queries excluded from the sf1 run, each with its measured reason.
-# q_dedup_ngram_jaccard is the deliberately-quadratic exact baseline
-# (blocked all-pairs Jaccard): its (lang, n_chars//100) blocks hold 10×
-# the members at 10× the docs, so candidate pairs grow ~100× — measured
-# 59,218,500 pairs on this fixture vs 588,348 at sf0.1, each costing a
-# shingle-set intersection, in BOTH engines (the oracle mirrors the
-# blocking). That is hours of compute for a baseline whose own docstring
-# routes scale to the capped-LSH pipeline (q_dedup_minhash_pairs — which
-# DOES run here, 106 s); the bound is documented in SCALING.md.
-EXCLUDE = {
-    "q_dedup_ngram_jaccard": "blocked all-pairs baseline: 59.2M candidate "
-    "pairs at sf1 (100x sf0.1) by quadratic design; scale path is the "
-    "capped LSH pipeline, which runs here",
-}
+# Empty since r8: q_dedup_ngram_jaccard — formerly excluded for its
+# uncapped blocked self-join (measured 59,218,500 candidate pairs on
+# this fixture vs 588,348 at sf0.1) — now routes candidate generation
+# through dedup.capped_block_pairs (K=64 star-cap per block), bounding
+# it to O(K²+B) pairs per block; the bound is recorded in SCALING.md.
+EXCLUDE: dict[str, str] = {}
 
 
 def main() -> int:
