@@ -34,7 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # has them green, then fall back to normal staleness ordering.
 _REWRITTEN = {
     "q_dedup_minhash_pairs": 4,   # LSH mega-bucket cap + doc_a<doc_b contract
-    "q_dedup_clusters": 4,        # consumes the capped pair set
+    # (q_dedup_clusters' r4 pin superseded by its r8 entry below)
     "q_curation_pipeline": 4,     # embeds the capped minhash stage
     "q_corpus_mix": 4,            # oracle moved to TRY_CAST
     "q_first_line_answer": 4,     # leading-\n strip matches oracle ltrim
@@ -141,6 +141,11 @@ _REWRITTEN = {
     # identical plans (pair-count-verified at sf0.01/sf0.1), so they are
     # NOT pinned.
     "q_dedup_ngram_jaccard": 8,
+    # round-8 scale pass: connected_components gained per-round
+    # localCheckpoint lineage truncation + a pointer-doubling shortcut
+    # join (O(log diameter) rounds) — identical min-label fixpoint
+    # (sf0.01/sf0.1 hash-green, path-graph convergence test), new plan.
+    "q_dedup_clusters": 8,
 }
 
 

@@ -320,3 +320,23 @@ def test_oracle_whitespace_classes_carry_cr():
         classes = re.findall(r"\[[^]]*\t[^]]*\]", ORACLES[q])
         assert classes, q
         assert all("\r" in c for c in classes), (q, classes)
+
+
+def test_connected_components_long_path_converges_logarithmically(spark):
+    """r8 pointer-doubling rewrite: a 120-node PATH graph (diameter 119)
+    must fully converge well under the old O(diameter) round bound —
+    max_iter=12 ≈ log2(120)+margin rounds. The fixpoint is unchanged:
+    every node labeled with the component min."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    edges = [(i, i + 1) for i in range(119)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # non-convergence warns → fail loudly
+        got = {
+            (r["doc_id"], r["cluster_rep"])
+            for r in dedup.connected_components(pairs, max_iter=12).collect()
+        }
+    assert got == {(i, 0) for i in range(120)}
