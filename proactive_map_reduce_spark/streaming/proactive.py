@@ -186,17 +186,98 @@ def _run_to_memory(stream_df: DataFrame, transform, shuffle_partitions: int = 2)
     return spark.createDataFrame(rows, schema)
 
 
-def stage_pipeline(spark: SparkSession, chunks_df: DataFrame) -> DataFrame:
+def _run_to_parquet(
+    stream_df: DataFrame,
+    transform,
+    out_dir: str | None = None,
+    shuffle_partitions: int = 2,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Durable production sink for the same bounded-stream runner (r7
+    verdict item): each micro-batch lands under ``out_dir/batch-<id>``
+    via ``foreachBatch`` with per-batch OVERWRITE.
+
+    Why this shape and not a plain append sink:
+
+    - **Executor-side writes, nothing on the driver** — the memory sink
+      collects every result row into driver memory, which is the right
+      tool for tests and a ceiling in production; here rows flow from
+      state-store tasks straight to parquet.
+    - **Idempotent replay**: after a crash, Structured Streaming re-runs
+      the last uncommitted batch with the SAME batch_id; a blind append
+      would duplicate the rows of a partially-written batch, while
+      overwrite of the per-batch directory converges to exactly-once at
+      the file level (the standard foreachBatch idempotence pattern).
+    - **Durable restart**: pass a persistent ``checkpoint_dir`` (plus the
+      same ``out_dir``) and a killed pipeline resumes from the state
+      store without loss — pinned by tests/test_stream_recovery.py.
+
+    Returns the read-back DataFrame over all batch directories (a real
+    distributed scan, not a local relation).
+    """
+    spark = stream_df.sparkSession
+    out_dir = out_dir or tempfile.mkdtemp(prefix="pmr_stream_out_")
+    os.makedirs(out_dir, exist_ok=True)  # an empty stream commits no batch
+    ckpt = checkpoint_dir or _ckpt_dir()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    out = transform(stream_df)
+    schema = out.schema
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch-{batch_id:09d}")
+        )
+
+    try:
+        q = (
+            out.writeStream.foreachBatch(_write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        if checkpoint_dir is None:  # caller-provided checkpoints persist
+            shutil.rmtree(ckpt, ignore_errors=True)
+    batches = sorted(
+        os.path.join(out_dir, d)
+        for d in os.listdir(out_dir)
+        if d.startswith("batch-")
+    )
+    if not batches:  # empty stream: no batch committed, schema still known
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*batches)
+
+
+def stage_pipeline(
+    spark: SparkSession,
+    chunks_df: DataFrame,
+    sink: str = "memory",
+    out_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """W1: run the black-box map stage over a staged chunk stream.
 
     Returns (doc_id, chunk_id, out_text, n_out_tokens) — value-identical to
     the batch `llm_map` plan, produced by genuine micro-batch execution.
+
+    ``sink="memory"`` (default) drains via the in-memory table — right
+    for tests and oracle checks; ``sink="parquet"`` is the durable
+    production mode (see ``_run_to_parquet``) — same values, pinned
+    equal by tests/test_streaming.py::test_stage_pipeline_sink_modes.
     """
+    runner = {
+        "memory": lambda s, t: _run_to_memory(s, t),
+        "parquet": lambda s, t: _run_to_parquet(
+            s, t, out_dir=out_dir, checkpoint_dir=checkpoint_dir
+        ),
+    }[sink]
     root = write_stage_files(chunks_df)
     try:
-        return _run_to_memory(
-            _chunk_stream(spark, root), lambda s: mapstage.llm_map(s)
-        )
+        return runner(_chunk_stream(spark, root), lambda s: mapstage.llm_map(s))
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -311,14 +392,32 @@ def _refeed(key, pdfs, state: GroupState):
     )
 
 
-def refeed_chain(spark: SparkSession, chunks_df: DataFrame, model_fn=None) -> DataFrame:
+def refeed_chain(
+    spark: SparkSession,
+    chunks_df: DataFrame,
+    model_fn=None,
+    sink: str = "memory",
+    out_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """W2 v2: the sequential re-feed loop as keyed streaming state.
 
     Stages arrive one micro-batch at a time; the per-doc state threads
     the accumulated output word count and the rolling output chain hash
     through every stage. Batch-equivalent oracle: a recursive fold over
     the mapped chunks in chunk order (DuckDB recursive CTE) — fully
-    hash-checked, unlike typical custom stateful ops."""
+    hash-checked, unlike typical custom stateful ops.
+
+    ``sink`` selects the memory drain (tests/oracles) or the durable
+    ``foreachBatch``→parquet mode (``_run_to_parquet``); both modes are
+    value-identical on the order-sensitive chain fixture
+    (tests/test_streaming.py::test_refeed_chain_sink_modes)."""
+    runner = {
+        "memory": lambda s, t: _run_to_memory(s, t),
+        "parquet": lambda s, t: _run_to_parquet(
+            s, t, out_dir=out_dir, checkpoint_dir=checkpoint_dir
+        ),
+    }[sink]
     root = write_stage_files(chunks_df)
 
     def transform(stream_df: DataFrame) -> DataFrame:
@@ -332,7 +431,7 @@ def refeed_chain(spark: SparkSession, chunks_df: DataFrame, model_fn=None) -> Da
         )
 
     try:
-        return _run_to_memory(_chunk_stream(spark, root), transform)
+        return runner(_chunk_stream(spark, root), transform)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -583,3 +583,93 @@ def test_refeed_chain_restart_preserves_chain_at_depth(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(src_root, ignore_errors=True)
+
+
+def test_durable_sink_restart_idempotent_no_dup_no_loss(spark, tmp_path):
+    """r8 durable-sink mode (_run_to_parquet): a staged refeed pipeline
+    killed after 5 of 12 stages and restarted from the SAME persistent
+    checkpoint + out_dir resumes without replaying committed batches; a
+    torn write of the next uncommitted batch (garbage pre-seeded in its
+    batch dir) is healed by the per-batch OVERWRITE. Final parquet state
+    equals the uninterrupted driver fold exactly — no dup, no loss."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"alpha{i}" for i in range(24))),
+            (2, " ".join(f"beta{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    depth = 12
+    chunks = chunking.partition_equal_arrays(docs, depth)
+    src_root = stream_ops.write_stage_files(chunks)
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    files = sorted(f for f in os.listdir(src_root) if f.endswith(".parquet"))
+
+    mapped = sorted(
+        mapstage.llm_map(chunks).select("doc_id", "chunk_id", "out_text").collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    expect, acc_state = {}, {}
+    for r in mapped:
+        acc, chain = acc_state.get(r.doc_id, (0, ""))
+        chain = hashlib.md5((chain + (r.out_text or "")).encode()).hexdigest()[:8]
+        expect[(r.doc_id, r.chunk_id)] = (acc, chain)
+        acc_state[r.doc_id] = (
+            acc + len([w for w in (r.out_text or "").split(" ") if w]),
+            chain,
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def transform(stream_df):
+        mapped_s = mapstage.llm_map(stream_df)
+        return mapped_s.groupBy("doc_id").applyInPandasWithState(
+            stream_ops._refeed,
+            outputStructType=stream_ops._REFEED_OUT,
+            stateStructType="acc_words long, chain string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def run():
+        stream = (
+            spark.readStream.schema(stream_ops.CHUNK_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(live)
+        )
+        return stream_ops._run_to_parquet(
+            stream, transform, out_dir=out_dir, checkpoint_dir=ckpt
+        )
+
+    try:
+        for f in files[:5]:  # copy2 preserves the arrival-order mtimes
+            shutil.copy2(os.path.join(src_root, f), os.path.join(live, f))
+        r1 = run().collect()
+        assert r1 and max(x["chunk_id"] for x in r1) == 4
+        committed = sorted(
+            d for d in os.listdir(out_dir) if d.startswith("batch-")
+        )
+        # simulate a torn write of the NEXT (uncommitted) batch: the
+        # restart must OVERWRITE this dir, not append next to it
+        next_id = int(committed[-1].split("-")[1]) + 1
+        torn = os.path.join(out_dir, f"batch-{next_id:09d}")
+        os.makedirs(torn)
+        with open(os.path.join(torn, "part-garbage.parquet"), "wb") as f:
+            f.write(b"torn write")
+
+        for f2 in files[5:]:
+            shutil.copy2(os.path.join(src_root, f2), os.path.join(live, f2))
+        final = run().collect()
+        got = {
+            (x["doc_id"], x["chunk_id"]): (x["acc_words_before"], x["chain"])
+            for x in final
+        }
+        assert got == expect  # exactly-once: every stage once, chain intact
+        assert not os.path.exists(os.path.join(torn, "part-garbage.parquet"))
+    finally:
+        shutil.rmtree(src_root, ignore_errors=True)

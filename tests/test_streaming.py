@@ -363,3 +363,54 @@ def test_refeed_chain_deep_stage_depth_values_and_state(spark):
     assert len(got) == len(mapped)  # one row per existing chunk
     for r in got:
         assert (r.acc_words_before, r.chain) == expect[(r.doc_id, r.chunk_id)]
+
+
+def test_stage_pipeline_sink_modes(spark, tmp_path):
+    """r8: the durable foreachBatch→parquet sink is value-identical to the
+    memory drain for W1, and its batch layout is per-batch directories
+    (the overwrite-idempotence unit)."""
+    chunks = _chunks(spark)
+    mem = stream_ops.stage_pipeline(spark, chunks, sink="memory")
+    out_dir = str(tmp_path / "out")
+    dur = stream_ops.stage_pipeline(spark, chunks, sink="parquet", out_dir=out_dir)
+    key = lambda r: (r["doc_id"], r["chunk_id"])
+    m = {key(r): (r["out_text"], r["n_out_tokens"]) for r in mem.collect()}
+    d = {key(r): (r["out_text"], r["n_out_tokens"]) for r in dur.collect()}
+    assert m == d and len(d) == 8
+    batches = [b for b in os.listdir(out_dir) if b.startswith("batch-")]
+    assert len(batches) >= 2  # one per micro-batch (maxFilesPerTrigger=1)
+
+
+def test_refeed_chain_sink_modes(spark, tmp_path):
+    """r8: durable vs memory sink on the ORDER-SENSITIVE refeed chain —
+    the strongest cheap equivalence witness (any replayed, duplicated, or
+    reordered stage changes every later chain hash)."""
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(20))),
+         (2, " ".join(f"v{i}" for i in range(12)))],
+        "doc_id long, text string",
+    )
+    chunks = chunking.partition_equal_arrays(docs, 5)
+    key = lambda r: (r["doc_id"], r["chunk_id"])
+    mem = {
+        key(r): (r["acc_words_before"], r["chain"])
+        for r in stream_ops.refeed_chain(spark, chunks).collect()
+    }
+    dur = {
+        key(r): (r["acc_words_before"], r["chain"])
+        for r in stream_ops.refeed_chain(
+            spark, chunks, sink="parquet", out_dir=str(tmp_path / "out")
+        ).collect()
+    }
+    assert mem == dur and len(dur) == 10
+
+
+def test_run_to_parquet_empty_stream_returns_schema(spark, tmp_path):
+    """Empty input: no committed batch dirs, but the returned DataFrame
+    still carries the transform's schema (0 rows, no read error)."""
+    empty = spark.createDataFrame([], "doc_id long, chunk_id int, chunk_text string")
+    out = stream_ops.stage_pipeline(
+        spark, empty, sink="parquet", out_dir=str(tmp_path / "out")
+    )
+    assert out.count() == 0
+    assert set(out.columns) >= {"doc_id", "chunk_id", "out_text"}
