@@ -48,7 +48,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DEFAULT_QUERIES = ["q_similarity_topk", "q_simhash"]
+# r8 (verdict item 5): decompose ALL bench headline queries, not just the
+# two originally-contested ones — the sched-floor vs compute split is the
+# evidence that the small-query ratios are fixed overhead, not plan
+# defects, and that claim should be measured for every headline row.
+from bench import HEADLINE as DEFAULT_QUERIES  # noqa: E402
+
 REPS = 10
 
 
