@@ -470,6 +470,11 @@ def jaccard_pairs(
     )
 
 
+#: Introspection for the latest connected_components call (round count,
+#: per-round wall seconds) — read by tools/ profiling, never by queries.
+CC_STATS: dict = {}
+
+
 def connected_components(
     pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 50
 ) -> DataFrame:
@@ -507,6 +512,9 @@ def connected_components(
     - Convergence action: the changed-label count doubles as the eager
       materialization point of the round's checkpoint.
     """
+    import time as _time
+
+    t0 = _time.time()
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -519,8 +527,11 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint()
     )
+    CC_STATS.clear()
+    CC_STATS.update(rounds=0, setup_sec=round(_time.time() - t0, 2), round_secs=[])
     try:
         for _ in range(max_iter):
+            t_round = _time.time()
             neighbor_min = (
                 edges.join(labels, edges.src == labels.node)
                 .groupBy(F.col("dst").alias("node"))
@@ -549,6 +560,8 @@ def connected_components(
             )
             changed = new_labels.filter(F.col("_changed")).count()
             labels = new_labels.drop("_changed")
+            CC_STATS["rounds"] += 1
+            CC_STATS["round_secs"].append(round(_time.time() - t_round, 2))
             if changed == 0:
                 break
         else:
