@@ -72,6 +72,7 @@ def main() -> int:
             srows = sorted(
                 tuple(canon(r[c]) for c in scols) for r in sdf.collect()
             )
+            t_spark = time.time() - t0
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
@@ -84,10 +85,12 @@ def main() -> int:
         if name not in oracles:
             print(f"rows {name}: {len(srows)} rows (no oracle — rows-only) [{time.time()-t0:.1f}s]")
             continue
+        t1 = time.time()
         try:
             res = con.execute(oracles[name])
             dcols_raw = [d[0] for d in res.description]
             drows_raw = res.fetchall()
+            t_duck = time.time() - t1
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             failures.append(name)
@@ -110,7 +113,10 @@ def main() -> int:
             print(f"  duck : {drows[bad]}")
             failures.append(name)
             continue
-        print(f"PASS {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+        print(
+            f"PASS {name}: {len(srows)} rows [{time.time()-t0:.1f}s"
+            f" spark={t_spark:.1f} duck={t_duck:.1f}]"
+        )
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()
