@@ -114,6 +114,9 @@ def main() -> None:
         from proactive_map_reduce_spark.oracles import ORACLES
 
         con = duckdb.connect()
+        from proactive_map_reduce_spark.sources.tables import duck_tune
+
+        duck_tune(con)  # bounded pool + disk spill next to the JVM (r8)
         for t in [
             "region", "nation", "customer", "supplier", "part", "orders",
             "lineitem", "events", "documents", "embeddings",

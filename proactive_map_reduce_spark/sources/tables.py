@@ -108,3 +108,27 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
     """Register each fixture table as a temp view for spark.sql() use."""
     for name in names or TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def duck_tune(con) -> None:
+    """Bound DuckDB's buffer pool when it co-tenants with a Spark JVM.
+
+    DuckDB's default memory_limit is 80% of PHYSICAL RAM; in the gate
+    process it shares an address space with a 16 GiB JVM (plus python
+    workers), and a large materialized CTE early in a 132-query sweep
+    raises the pool high-water that glibc never returns to the OS —
+    measured r8: sporadic "Out of Memory Error: failed to allocate
+    16 KB" on LATER queries after the clusters oracle ran at sf1. A
+    bounded limit makes DuckDB SPILL to its temp dir instead of racing
+    the JVM for the machine."""
+    import os as _os
+
+    # 48GB: big enough that the heaviest oracle (the materialized LSH
+    # pipeline feeding the recursive clusters CTE at sf1) stays in
+    # memory (measured 49 s vs 272 s spilling at 24GB), small enough
+    # that pool + JVM + workers never race the 125 GiB host.
+    lim = _os.environ.get("SPARK_GRAFT_DUCK_MEM", "48GB")
+    tmp = _os.path.join(_os.environ.get("TMPDIR", "/tmp"), "pmr_duck_spill")
+    _os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET memory_limit='{lim}'")
+    con.execute(f"SET temp_directory='{tmp}'")

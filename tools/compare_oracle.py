@@ -43,10 +43,11 @@ def main() -> int:
 
     import __spark_entry__ as entry
     from proactive_map_reduce_spark.session import get_spark
-    from proactive_map_reduce_spark.sources.tables import TABLES
+    from proactive_map_reduce_spark.sources.tables import TABLES, duck_tune
 
     spark = get_spark("oracle-compare")
     con = duckdb.connect()
+    duck_tune(con)  # bounded pool + disk spill next to the 16g JVM (r8)
     for t in TABLES:
         # guard like bench.py: DuckDB binds views at CREATE time, so one
         # missing table parquet would abort the whole gate before any

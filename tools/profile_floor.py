@@ -84,6 +84,9 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     con = duckdb.connect()
+    from proactive_map_reduce_spark.sources.tables import duck_tune
+
+    duck_tune(con)  # bounded pool + disk spill next to the JVM (r8)
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
