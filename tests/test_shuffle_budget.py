@@ -58,7 +58,12 @@ BUDGETS = {
     # time, all keyed on uniform hash/id columns
     "q_dedup_incremental": 8,
     "q_dedup_minhash_pairs": 5,
-    "q_dedup_ngram_jaccard": 2,
+    # r8 star-cap rewrite: +2 exchanges vs the old blocked self-join —
+    # the (lang, blk_bucket) window sort that ranks block members and
+    # the pair-distinct after expansion. Two bounded exchanges bought
+    # the O(K²+B) candidate bound (59.2M → 108,560 pairs at sf1); the
+    # old 2-exchange plan was the repo's last uncapped quadratic.
+    "q_dedup_ngram_jaccard": 4,
     "q_doc_fingerprint": 0,
     "q_embed_documents": 0,
     "q_embedding_centroids": 2,
