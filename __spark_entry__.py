@@ -146,6 +146,13 @@ _REWRITTEN = {
     # join (O(log diameter) rounds) — identical min-label fixpoint
     # (sf0.01/sf0.1 hash-green, path-graph convergence test), new plan.
     "q_dedup_clusters": 8,
+    # round-9 scale pass: stateful_accumulate's default mode moved from
+    # per-key applyInPandasWithState to the batched relational
+    # foreachBatch accumulator (O(batches) Python constant instead of
+    # O(keys × batches) — the r8-measured 207.6 s sf1 long pole). Values
+    # identical (mode-equivalence test + full update-stream compare);
+    # the PLAN changed, so the driver should re-derive the row.
+    "q_stateful_accumulate": 9,
 }
 
 

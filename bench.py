@@ -114,24 +114,10 @@ def main() -> None:
         from proactive_map_reduce_spark.oracles import ORACLES
 
         con = duckdb.connect()
-        from proactive_map_reduce_spark.sources.tables import duck_tune
+        from proactive_map_reduce_spark.sources.tables import duck_tune, duck_views
 
         duck_tune(con)  # bounded pool + disk spill next to the JVM (r8)
-        for t in [
-            "region", "nation", "customer", "supplier", "part", "orders",
-            "lineitem", "events", "documents", "embeddings",
-        ]:
-            p = f"{sf_dir}/{t}.parquet"
-            if os.path.isdir(p):
-                # multi-file table (the sf1 scale fixture): DuckDB needs
-                # the part glob (also skips Spark's _SUCCESS marker)
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
-                )
-            elif os.path.exists(p):
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
-                )
+        duck_views(con, sf_dir)  # single-file OR directory-per-table layout
     except Exception as e:  # surface a broken oracle setup, don't mask it
         duck_error = f"{type(e).__name__}: {e}"
         con = None

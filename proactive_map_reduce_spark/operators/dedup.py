@@ -527,6 +527,7 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint()
     )
+    prev_ckpt = labels  # previous round's checkpointed frame, freed below
     CC_STATS.clear()
     CC_STATS.update(rounds=0, setup_sec=round(_time.time() - t0, 2), round_secs=[])
     try:
@@ -560,6 +561,18 @@ def connected_components(
             )
             changed = new_labels.filter(F.col("_changed")).count()
             labels = new_labels.drop("_changed")
+            # Release the PRIOR round's checkpoint blocks now that this
+            # round's are materialized (the count above): without an
+            # explicit unpersist every round's blocks linger until the
+            # driver GC + ContextCleaner notice, so executor storage
+            # grows linearly in rounds on large graphs (ADVICE r8). The
+            # checkpointed plan is a LogicalRDD leaf; its rdd() is the
+            # persisted handle.
+            try:
+                prev_ckpt._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            except Exception:
+                pass  # storage release is best-effort, never correctness
+            prev_ckpt = new_labels
             CC_STATS["rounds"] += 1
             CC_STATS["round_secs"].append(round(_time.time() - t_round, 2))
             if changed == 0:

@@ -24,9 +24,13 @@ def q_stage_pipeline(spark, sf_dir):
 
 
 def q_stateful_accumulate(spark, sf_dir):
-    """W2: cross-stage accumulator state via applyInPandasWithState keyed
-    by doc_id (the total_res_toks analog, test_proactive.py:327-328). The
-    final update per doc equals batch incremental_concat (same oracle)."""
+    """W2: cross-stage accumulator over staged micro-batch arrival (the
+    total_res_toks analog, test_proactive.py:327-328). The final update
+    per doc equals batch incremental_concat (same oracle). Default mode
+    is the batched relational foreachBatch accumulator (r9 — per-BATCH
+    Python constant; the per-key applyInPandasWithState reference path
+    measured 207.6 s vs 4.0 s DuckDB at sf1); both modes emit identical
+    rows (tests/test_streaming.py::test_stateful_accumulate_mode_equivalence)."""
     updates = stream_ops.stateful_accumulate(spark, _chunks(spark, sf_dir))
     return stream_ops.final_accumulation(updates).select(
         "doc_id", "final_text", "n_chunks"

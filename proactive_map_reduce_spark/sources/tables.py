@@ -123,12 +123,47 @@ def duck_tune(con) -> None:
     the JVM for the machine."""
     import os as _os
 
-    # 48GB: big enough that the heaviest oracle (the materialized LSH
-    # pipeline feeding the recursive clusters CTE at sf1) stays in
-    # memory (measured 49 s vs 272 s spilling at 24GB), small enough
-    # that pool + JVM + workers never race the 125 GiB host.
-    lim = _os.environ.get("SPARK_GRAFT_DUCK_MEM", "48GB")
+    # Default: min(48GB, 40% of physical RAM). 48GB is sized for the
+    # 125 GiB gate host — big enough that the heaviest oracle (the
+    # materialized LSH pipeline feeding the recursive clusters CTE at
+    # sf1) stays in memory (measured 49 s vs 272 s spilling at 24GB),
+    # small enough that pool + JVM + workers never race the machine. On
+    # smaller hosts a flat 48GB would RAISE DuckDB's own 80%-of-RAM
+    # default — the opposite of bounding (ADVICE r8) — so clamp to a
+    # fraction of detected RAM; SPARK_GRAFT_DUCK_MEM stays the override.
+    lim = _os.environ.get("SPARK_GRAFT_DUCK_MEM")
+    if lim is None:
+        try:
+            ram = _os.sysconf("SC_PHYS_PAGES") * _os.sysconf("SC_PAGE_SIZE")
+            lim = f"{min(48, max(1, int(ram * 0.4 / 2**30)))}GB"
+        except (ValueError, OSError):
+            lim = "48GB"
     tmp = _os.path.join(_os.environ.get("TMPDIR", "/tmp"), "pmr_duck_spill")
     _os.makedirs(tmp, exist_ok=True)
     con.execute(f"SET memory_limit='{lim}'")
     con.execute(f"SET temp_directory='{tmp}'")
+
+
+def duck_views(con, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register each fixture table as a DuckDB view over its parquet.
+
+    ONE registration loop for every tool that opens DuckDB next to the
+    JVM (bench.py, tools/profile_floor.py, tools/bench_sf1.py via
+    bench) — a table may be a single file (driver fixtures) or a
+    DIRECTORY of part files (the sf1 scale fixture, split-invariance
+    replicas); the directory form needs the part glob, which also skips
+    Spark's _SUCCESS marker. profile_floor previously lacked the isdir
+    branch and silently lost its DuckDB baselines on directory fixtures
+    (ADVICE r8)."""
+    import os as _os
+
+    for t in names or TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if _os.path.isdir(p):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+            )
+        elif _os.path.exists(p):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )

@@ -186,6 +186,47 @@ def _run_to_memory(stream_df: DataFrame, transform, shuffle_partitions: int = 2)
     return spark.createDataFrame(rows, schema)
 
 
+def _last_committed_batch(ckpt: str) -> int:
+    """Highest batch id the checkpoint has COMMITTED (-1 when fresh).
+    Structured Streaming's commit log is one file per completed batch,
+    named by the batch id, under ``<checkpoint>/commits``."""
+    ids = []
+    try:
+        for nm in os.listdir(os.path.join(ckpt, "commits")):
+            try:
+                ids.append(int(nm))
+            except ValueError:
+                pass  # .crc / temp files
+    except OSError:
+        pass
+    return max(ids, default=-1)
+
+
+def _guard_stale_batches(out_dir: str, last_committed: int) -> None:
+    """Shed batch dirs the checkpoint never committed (ADVICE r8).
+
+    A FRESH checkpoint restarts batch ids at 0, so any pre-existing
+    batch dir is foreign data that the per-batch overwrite would
+    silently merge into the read-back — refuse it. A RESUMED checkpoint
+    may legitimately sit next to one uncommitted (torn) batch dir above
+    its high-water mark; the replay rewrites it, so deleting is safe."""
+    stale = [
+        d
+        for d in os.listdir(out_dir)
+        if d.startswith("batch-") and int(d.split("-", 1)[1]) > last_committed
+    ]
+    if stale and last_committed < 0:
+        raise ValueError(
+            f"out_dir {out_dir!r} already holds batch dirs "
+            f"{sorted(stale)[:3]}... but the checkpoint is fresh (batch "
+            "ids restart at 0): stale batches would be silently merged "
+            "into the result. Use an empty out_dir, or resume with the "
+            "original checkpoint_dir."
+        )
+    for d in stale:
+        shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+
+
 def _run_to_parquet(
     stream_df: DataFrame,
     transform,
@@ -219,6 +260,11 @@ def _run_to_parquet(
     out_dir = out_dir or tempfile.mkdtemp(prefix="pmr_stream_out_")
     os.makedirs(out_dir, exist_ok=True)  # an empty stream commits no batch
     ckpt = checkpoint_dir or _ckpt_dir()
+    # Reusing an out_dir with a FRESH checkpoint restarts batch ids at 0:
+    # stale higher-numbered batch dirs from an earlier run would survive
+    # the per-batch overwrite and be silently folded into the read-back
+    # (duplicate/foreign rows — ADVICE r8).
+    _guard_stale_batches(out_dir, _last_committed_batch(ckpt))
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     out = transform(stream_df)
@@ -312,36 +358,173 @@ def _accumulate(key, pdfs, state: GroupState):
     )
 
 
-def stateful_accumulate(
-    spark: SparkSession, chunks_df: DataFrame, model_fn=None
+def _accumulate_batched_runner(
+    stream_df: DataFrame,
+    model_fn=None,
+    out_dir: str | None = None,
+    state_dir: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """W2: cross-stage accumulator via applyInPandasWithState.
+    """Batched (relational) W2 accumulator: ``foreachBatch`` against a
+    per-batch parquet state table instead of per-KEY Python state.
+
+    Why this exists (r8 verdict, the last scale-killer-shaped cost):
+    ``applyInPandasWithState`` pays a pandas-group round-trip PER KEY PER
+    MICRO-BATCH — measured 207.6 s vs DuckDB's 4.0 s at sf1 (50k docs ×
+    4 stages = 200k Python state calls), a cost in O(keys × batches)
+    that no data-volume term amortizes. This runner keeps the exact
+    emission contract (one running-accumulation row per doc per
+    micro-batch the doc appears in, chunk-ordered) but computes each
+    batch's emissions as ONE relational job:
+
+    - the batch's mapped rows land under ``state_dir/batch-<id>`` (raw
+      (doc_id, chunk_id, out_text) — per-batch OVERWRITE, so a replayed
+      batch converges instead of duplicating, same idempotence shape as
+      ``_run_to_parquet``);
+    - the running accumulation for every doc touched by the batch is a
+      scan of the state dirs ≤ id, a semi-join on the batch's keys, and
+      one groupBy with ``array_sort(collect_list(struct(chunk_id,
+      out_text)))`` → ``array_join`` — all JVM-side, whole-stage
+      codegen, zero per-key Python;
+    - emissions land under ``out_dir/batch-<id>`` (overwrite), read back
+      as one distributed scan.
+
+    Cost per batch is O(state rows touched) data work — the same asymptote
+    as the state-store path's I/O — with a per-BATCH constant instead of a
+    per-KEY one. Restart-safe: same checkpoint + same dirs resumes from
+    the committed high-water mark (pinned by
+    tests/test_stream_recovery.py::test_stateful_accumulate_batched_restart).
+    """
+    spark = stream_df.sparkSession
+    out_dir = out_dir or tempfile.mkdtemp(prefix="pmr_stream_out_")
+    state_dir = state_dir or tempfile.mkdtemp(prefix="pmr_stream_out_")
+    os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(state_dir, exist_ok=True)
+    ckpt = checkpoint_dir or _ckpt_dir()
+    last = _last_committed_batch(ckpt)
+    for d in (out_dir, state_dir):
+        _guard_stale_batches(d, last)
+
+    raw_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("chunk_id", T.IntegerType()),
+            T.StructField("out_text", T.StringType()),
+        ]
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        bdir = os.path.join(state_dir, f"batch-{batch_id:09d}")
+        batch_df.select("doc_id", "chunk_id", "out_text").write.mode(
+            "overwrite"
+        ).parquet(bdir)
+        state_dirs = [
+            os.path.join(state_dir, d)
+            for d in sorted(os.listdir(state_dir))
+            if d.startswith("batch-") and int(d.split("-", 1)[1]) <= batch_id
+        ]
+        allr = spark.read.schema(raw_schema).parquet(*state_dirs)
+        keys = spark.read.schema(raw_schema).parquet(bdir).select("doc_id").distinct()
+        emit = (
+            allr.join(keys, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_id", "out_text"))
+                ).alias("ps")
+            )
+            .select(
+                "doc_id",
+                F.size("ps").cast("int").alias("n_chunks_seen"),
+                F.array_join(F.col("ps").getField("out_text"), " ").alias(
+                    "acc_text"
+                ),
+            )
+        )
+        emit.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch-{batch_id:09d}")
+        )
+
+    mapped = mapstage.llm_map(stream_df, model_fn=model_fn)
+    try:
+        q = (
+            mapped.writeStream.foreachBatch(_merge)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if checkpoint_dir is None:
+            shutil.rmtree(ckpt, ignore_errors=True)
+    batches = sorted(
+        os.path.join(out_dir, d)
+        for d in os.listdir(out_dir)
+        if d.startswith("batch-")
+    )
+    if not batches:
+        return spark.createDataFrame([], _ACC_OUT)
+    return spark.read.schema(_ACC_OUT).parquet(*batches)
+
+
+def stateful_accumulate(
+    spark: SparkSession,
+    chunks_df: DataFrame,
+    model_fn=None,
+    mode: str = "batched",
+    out_dir: str | None = None,
+    state_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """W2: cross-stage accumulator over staged micro-batch arrival.
 
     Each micro-batch emits the running per-doc accumulation; the final
     update (n_chunks_seen == total chunks) equals batch incremental_concat.
     ``model_fn`` is the same black-box map seam as the batch path — the
     pipeline's streaming mode MUST run the caller's model, not silently
     fall back to the stand-in.
+
+    ``mode`` selects the state implementation; both emit identical rows
+    (pinned by tests/test_streaming.py::test_stateful_accumulate_mode_equivalence):
+
+    - ``"batched"`` (default): relational accumulation in ``foreachBatch``
+      against a per-batch parquet state table — per-BATCH constant cost,
+      the scale path (see ``_accumulate_batched_runner``; cut the sf1
+      gate row from ~208 s to single-digit seconds).
+    - ``"state"``: ``applyInPandasWithState`` keyed by doc_id — the
+      semantic reference for the per-key state-store contract (restart
+      recovery via the state store itself,
+      tests/test_stream_recovery.py::test_stateful_accumulate_restart_restores_state);
+      per-KEY Python cost, O(keys × batches) — keep off hot paths.
     """
     root = write_stage_files(chunks_df)
-    state_schema = T.StructType(
-        [
-            T.StructField("chunk_ids", T.ArrayType(T.IntegerType())),
-            T.StructField("texts", T.ArrayType(T.StringType())),
-        ]
-    )
-
-    def transform(stream_df: DataFrame) -> DataFrame:
-        mapped = mapstage.llm_map(stream_df, model_fn=model_fn)
-        return mapped.groupBy("doc_id").applyInPandasWithState(
-            _accumulate,
-            outputStructType=_ACC_OUT,
-            stateStructType=state_schema,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+    try:
+        if mode == "batched":
+            return _accumulate_batched_runner(
+                _chunk_stream(spark, root),
+                model_fn=model_fn,
+                out_dir=out_dir,
+                state_dir=state_dir,
+                checkpoint_dir=checkpoint_dir,
+            )
+        state_schema = T.StructType(
+            [
+                T.StructField("chunk_ids", T.ArrayType(T.IntegerType())),
+                T.StructField("texts", T.ArrayType(T.StringType())),
+            ]
         )
 
-    try:
+        def transform(stream_df: DataFrame) -> DataFrame:
+            mapped = mapstage.llm_map(stream_df, model_fn=model_fn)
+            return mapped.groupBy("doc_id").applyInPandasWithState(
+                _accumulate,
+                outputStructType=_ACC_OUT,
+                stateStructType=state_schema,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+
         return _run_to_memory(_chunk_stream(spark, root), transform)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -340,3 +340,21 @@ def test_connected_components_long_path_converges_logarithmically(spark):
             for r in dedup.connected_components(pairs, max_iter=12).collect()
         }
     assert got == {(i, 0) for i in range(120)}
+
+
+def test_connected_components_releases_round_storage(spark):
+    """Each CC round localCheckpoints its labels; without an explicit
+    unpersist the blocks of EVERY round linger until driver GC notices,
+    growing executor storage linearly in rounds (ADVICE r8). After a
+    multi-round run, at most the FINAL round's checkpoint may remain
+    persisted — prior rounds must have been released eagerly."""
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    edges = [(i, i + 1) for i in range(119)]  # path graph → several rounds
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    dedup.connected_components(pairs, max_iter=12).collect()
+    assert dedup.CC_STATS["rounds"] >= 3  # the loop actually iterated
+    after = len(sc._jsc.sc().getRDDStorageInfo())
+    # allowance: the final round's checkpoint (+ the initial one if the
+    # loop exited on round 1) — NOT one block per round
+    assert after - before <= 2, (before, after, dedup.CC_STATS)

@@ -673,3 +673,99 @@ def test_durable_sink_restart_idempotent_no_dup_no_loss(spark, tmp_path):
         assert not os.path.exists(os.path.join(torn, "part-garbage.parquet"))
     finally:
         shutil.rmtree(src_root, ignore_errors=True)
+
+
+def test_stateful_accumulate_batched_restart_restores_state(spark, tmp_path):
+    """The batched relational accumulator (r9 default) survives a
+    stop/restart from its checkpoint + state/out dirs: post-restart
+    emissions carry chunks seen only BEFORE the stop (possible only if
+    the parquet state table supplied them), and the final per-doc
+    accumulation equals the batch answer — the same recovery contract
+    the per-key state-store path proves above."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    chunks = chunking.partition_equal(chunking.split_words(docs), 4)
+    src_root = stream_ops.write_stage_files(chunks)
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    state_dir = str(tmp_path / "state")
+    files = sorted(f for f in os.listdir(src_root) if f.endswith(".parquet"))
+    assert len(files) == 4
+
+    def run():
+        stream = (
+            spark.readStream.schema(stream_ops.CHUNK_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(live)
+        )
+        return stream_ops._accumulate_batched_runner(
+            stream, out_dir=out_dir, state_dir=state_dir, checkpoint_dir=ckpt
+        )
+
+    try:
+        for f in files[:2]:  # copy2 preserves the arrival-order mtimes
+            shutil.copy2(os.path.join(src_root, f), os.path.join(live, f))
+        r1 = run().collect()
+        assert r1 and max(x["n_chunks_seen"] for x in r1) == 2
+
+        for f in files[2:]:
+            shutil.copy2(os.path.join(src_root, f), os.path.join(live, f))
+        r2 = run().collect()
+        # the read-back unions ALL batches (pre- and post-restart);
+        # post-restart emissions are the n_chunks_seen >= 3 rows and
+        # must already contain the pre-restart chunks
+        final = {
+            x["doc_id"]: x["acc_text"] for x in r2 if x["n_chunks_seen"] == 4
+        }
+        batch = {
+            r["doc_id"]: r["acc"]
+            for r in mapstage.llm_map(chunks)
+            .groupBy("doc_id")
+            .agg(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_id", "out_text"))
+                    ).getField("out_text"),
+                    " ",
+                ).alias("acc")
+            )
+            .collect()
+        }
+        assert final == batch
+        # exactly-once across the restart: one emission per (doc, stage)
+        per_doc = {}
+        for x in r2:
+            per_doc.setdefault(x["doc_id"], []).append(x["n_chunks_seen"])
+        assert all(sorted(v) == [1, 2, 3, 4] for v in per_doc.values())
+    finally:
+        shutil.rmtree(src_root, ignore_errors=True)
+
+
+def test_durable_sink_fresh_checkpoint_refuses_stale_out_dir(spark, tmp_path):
+    """Reusing an out_dir that already holds batch dirs with a FRESH
+    checkpoint must raise, not silently merge the stale batches into the
+    read-back (batch ids restart at 0, so the overwrite never touches
+    higher-numbered leftovers — ADVICE r8)."""
+    import pytest
+
+    out_dir = str(tmp_path / "out")
+    stale = os.path.join(out_dir, "batch-000000007")
+    os.makedirs(stale)
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    chunks = chunking.partition_equal(chunking.split_words(docs), 2)
+    src_root = stream_ops.write_stage_files(chunks)
+    try:
+        stream = (
+            spark.readStream.schema(stream_ops.CHUNK_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_root)
+        )
+        with pytest.raises(ValueError, match="fresh"):
+            stream_ops._run_to_parquet(stream, lambda s: s, out_dir=out_dir)
+        assert os.path.isdir(stale)  # refused, not deleted
+    finally:
+        shutil.rmtree(src_root, ignore_errors=True)

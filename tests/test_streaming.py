@@ -56,6 +56,30 @@ def test_stateful_accumulate_emits_running_updates(spark):
         assert r["seen"] == [1, 2, 3, 4], r
 
 
+def test_stateful_accumulate_mode_equivalence(spark):
+    """The batched relational accumulator (default since r9 — per-BATCH
+    constant) and the per-key applyInPandasWithState reference path emit
+    IDENTICAL update streams: same rows, same running prefixes, same
+    chunk ordering. Docs have differing chunk counts so short docs stop
+    appearing in later micro-batches — the batched path's semi-join on
+    the batch's keys must reproduce exactly the per-key path's
+    "only keys present in the batch emit" contract."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),            # 4 stages of 2
+            (2, "one two three"),              # fewer words → fewer stages
+            (3, "x y z w v u t s r q p o"),    # more words
+        ],
+        "doc_id long, text string",
+    )
+    chunks = chunking.partition_equal(chunking.split_words(docs), 4)
+    batched = stream_ops.stateful_accumulate(spark, chunks, mode="batched")
+    state = stream_ops.stateful_accumulate(spark, chunks, mode="state")
+    b = sorted(map(tuple, batched.collect()))
+    s = sorted(map(tuple, state.collect()))
+    assert b == s and b
+
+
 def test_watermark_drops_late_event(spark):
     """An event arriving after the watermark passed its window is dropped."""
     base = datetime.datetime(2024, 1, 1, 0, 30)

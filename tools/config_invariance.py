@@ -93,7 +93,16 @@ def run_probe(
     env_overlay: dict[str, str],
     sf_dir: str,
     extra_args: list[str] | None = None,
+    timings: bool = False,
 ) -> dict:
+    """Run the full cross-engine gate under ``env_overlay``.
+
+    ``timings=True`` additionally returns a per-query ``query_secs`` map
+    parsed from the gate's PASS/rows lines (r9 verdict item: the sf1
+    gate's total hid its distribution — the r8 long pole was only found
+    by re-timing a query by hand; per-query seconds belong in the
+    committed artifact). Off by default so the 8-probe invariance
+    artifact doesn't carry 8×132 timing rows it doesn't need."""
     env = dict(os.environ)
     env.update(env_overlay)
     t0 = time.time()
@@ -123,7 +132,7 @@ def run_probe(
     out = "".join(lines)
     m = re.search(r"^(\d+) failures", out, re.M)
     failed = re.findall(r"^FAIL (\S+):", out, re.M)
-    return {
+    res = {
         "env": env_overlay,
         "rc": proc.returncode,
         "pass": len(re.findall(r"^PASS ", out, re.M)),
@@ -132,6 +141,20 @@ def run_probe(
         "failed_queries": failed,
         "sec": round(time.time() - t0, 1),
     }
+    if timings:
+        secs: dict[str, dict[str, float]] = {}
+        for q, tot, sp, du in re.findall(
+            r"^PASS (\S+): .*\[([\d.]+)s spark=([\d.]+) duck=([\d.]+)\]",
+            out,
+            re.M,
+        ):
+            secs[q] = {
+                "total": float(tot), "spark": float(sp), "duck": float(du)
+            }
+        for q, tot in re.findall(r"^rows (\S+): .*\[([\d.]+)s\]", out, re.M):
+            secs[q] = {"total": float(tot)}
+        res["query_secs"] = secs
+    return res
 
 
 def main() -> int:

@@ -70,7 +70,6 @@ def main() -> None:
     from proactive_map_reduce_spark.oracles import ORACLES
     from proactive_map_reduce_spark.queries import REGISTRY
     from proactive_map_reduce_spark.session import get_spark, tune_for_input
-    from proactive_map_reduce_spark.sources.tables import TABLES
 
     spark = get_spark("profile-floor")
     spark.sparkContext.setLogLevel("ERROR")
@@ -84,13 +83,14 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     con = duckdb.connect()
-    from proactive_map_reduce_spark.sources.tables import duck_tune
+    from proactive_map_reduce_spark.sources.tables import duck_tune, duck_views
 
     duck_tune(con)  # bounded pool + disk spill next to the JVM (r8)
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    # shared registration loop: handles directory-per-table fixtures (the
+    # sf1 scale fixture) via the part glob — previously this tool only
+    # had the single-file branch and silently lost every duckdb_sec
+    # baseline when pointed at sf1 (ADVICE r8)
+    duck_views(con, sf_dir)
 
     # Warmups mirror bench.py: JVM/codegen + Python worker fork, then one
     # small-sf pass per profiled plan so whole-stage codegen compiles

@@ -93,8 +93,14 @@ def build() -> str:
     # mkdtemp, not OUT+'.stage' (ADVICE r7): concurrent builders each
     # get a private stage instead of rmtree-ing each other's; the loser
     # of the final rename race discards its copy. pmr_sf1stage_ is NOT
-    # retention-exempt, so an abandoned stage ages out on TTL.
-    stage = tempfile.mkdtemp(prefix="pmr_sf1stage_")
+    # retention-exempt, so an abandoned stage ages out on TTL. The stage
+    # lives on the SAME filesystem as the target (ADVICE r8): a default
+    # mkdtemp honors TMPDIR, and a cross-device stage makes the final
+    # os.rename raise EXDEV on every build — which the race-loser branch
+    # would misread as a lost race, discarding the fresh fixture.
+    stage = tempfile.mkdtemp(
+        prefix="pmr_sf1stage_", dir=os.path.dirname(out)
+    )
     for t in SMALL:
         # byte-identical copy: preserves the generator's exact parquet
         # typing for both engines
@@ -121,7 +127,13 @@ def build() -> str:
     open(os.path.join(stage, "_FIXTURE_COMPLETE"), "w").close()
     try:
         os.rename(stage, out)
-    except OSError:  # lost a concurrent-builder race; the winner's is valid
+    except OSError:
+        # only a lost concurrent-builder race is swallowable — and only
+        # when the winner's COMPLETE fixture actually exists. Anything
+        # else (EXDEV, permissions) must surface, not silently return a
+        # path that does not exist (ADVICE r8).
+        if not os.path.exists(os.path.join(out, "_FIXTURE_COMPLETE")):
+            raise
         shutil.rmtree(stage, ignore_errors=True)
     print(f"built fixture {out}", flush=True)
     return out
@@ -146,8 +158,16 @@ def main() -> int:
         from proactive_map_reduce_spark.queries import REGISTRY
 
         args = sorted(n for n in REGISTRY if n not in EXCLUDE)
-    res = run_probe("sf1", {}, fixture, extra_args=args)
+    # timings=True: the committed artifact carries a per-query seconds
+    # map (r9 verdict item) — the r8 long pole (q_stateful_accumulate,
+    # 207.6 s) was invisible in the gate total until re-timed by hand.
+    res = run_probe("sf1", {}, fixture, extra_args=args, timings=True)
     res["sf_dir"] = fixture
+    long_poles = sorted(
+        res.get("query_secs", {}).items(),
+        key=lambda kv: kv[1]["total"],
+        reverse=True,
+    )[:10]
     summary = {
         "metric": "sf1_gate",
         "started": time.strftime("%F %T"),
@@ -155,6 +175,7 @@ def main() -> int:
         "base": BASE,
         "queries_run": len(args),
         "excluded": EXCLUDE,
+        "long_poles_sec": {q: t for q, t in long_poles},
         "probe": res,
         "ok": res["rc"] == 0 and res["failures"] == 0,
     }
