@@ -153,6 +153,12 @@ _REWRITTEN = {
     # identical (mode-equivalence test + full update-stream compare);
     # the PLAN changed, so the driver should re-derive the row.
     "q_stateful_accumulate": 9,
+    # round-9 scale pass: the refeed chain's default mode likewise moved
+    # to the batched relational runner — its md5-chain fold is one JVM
+    # higher-order aggregate() expression (196.4 s → single-digit s at
+    # sf1). Values identical (mode-equivalence + arrival-order fold
+    # tests); the PLAN changed, so the driver should re-derive the row.
+    "q_stream_refeed_chain": 9,
 }
 
 

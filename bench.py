@@ -161,12 +161,18 @@ def main() -> None:
     if duck_timings:
         duck_total = round(sum(duck_timings.values()), 3)
 
+    from proactive_map_reduce_spark.session import LAST_TUNE
+
     out = {
         "metric": "headline_queries_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # which tune_for_input branch fired (production = AQE on,
+        # partitions = cores; interactive = AQE off, input-sized
+        # partitions) — previously implicit in the artifact
+        "regime": dict(LAST_TUNE),
     }
     # `is not None`: a (theoretical) 0.0 total is a result, not an absence
     if duck_total is not None:

@@ -82,7 +82,11 @@ def q_stream_refeed_chain(spark, sf_dir):
     accumulated-output word count each stage saw plus a rolling md5
     chain over the stage outputs (order-sensitive: any reorder, replay
     or loss changes every later value). Fully hash-checked against a
-    DuckDB recursive-CTE fold — the batch-equivalent of the recursion."""
+    DuckDB recursive-CTE fold — the batch-equivalent of the recursion.
+    Default mode is the batched relational runner with the fold as one
+    JVM higher-order expression (r9 — the per-key applyInPandasWithState
+    reference path measured 196.4 s vs DuckDB 25.0 s at sf1); both modes
+    emit identical rows (test_refeed_chain_mode_equivalence)."""
     return stream_ops.refeed_chain(spark, _chunks(spark, sf_dir)).select(
         "doc_id", "chunk_id", "acc_words_before", "chain"
     )

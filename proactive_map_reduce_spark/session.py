@@ -118,6 +118,11 @@ def input_bytes(path: str) -> int:
     return total
 
 
+#: What the most recent tune_for_input call decided (regime, input
+#: bytes, shuffle partitions) — read by bench artifacts, never by queries.
+LAST_TUNE: dict = {}
+
+
 def tune_for_input(spark: SparkSession, path_or_bytes) -> SparkSession:
     """Size runtime execution confs to the INPUT, not just the machine.
 
@@ -156,10 +161,19 @@ def tune_for_input(spark: SparkSession, path_or_bytes) -> SparkSession:
     if nbytes >= INTERACTIVE_BYTES:
         spark.conf.set("spark.sql.adaptive.enabled", _RUNTIME_CONFS["spark.sql.adaptive.enabled"])
         spark.conf.set("spark.sql.shuffle.partitions", str(cores))
+        regime, parts = "production", cores
     else:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         parts = max(4, min(cores, nbytes // (2 << 20)))
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        regime = "interactive"
+    # Which branch fired was previously implicit in the artifacts that
+    # cite this helper (r8 verdict polish item): record it for callers
+    # (bench.py embeds it in its JSON line).
+    LAST_TUNE.clear()
+    LAST_TUNE.update(
+        regime=regime, input_bytes=int(nbytes), shuffle_partitions=int(parts)
+    )
     return spark
 
 

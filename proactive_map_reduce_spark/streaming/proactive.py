@@ -12,10 +12,15 @@ under a streaming source:
   micro-batch from a file source (`maxFilesPerTrigger=1`); each batch runs
   the same black-box map stage (`operators.mapstage.llm_map`). Semantics
   are identical to the batch plan, so the result stays oracle-checkable.
-- **W2 `stateful_accumulate`**: `applyInPandasWithState` keyed by doc_id
-  holds the cross-stage accumulator (the `total_res_toks` analog,
-  `test_proactive.py:327-328`); every update emits the running prefix and
-  the final per-doc row equals the batch `incremental_concat`.
+- **W2 `stateful_accumulate` / `refeed_chain`**: cross-stage keyed state
+  (the `total_res_toks` analog, `test_proactive.py:327-328`; the v2
+  re-feed recursion, `test_proactive_2.py:228-233`); every update emits
+  the running prefix and the final per-doc row equals the batch
+  `incremental_concat`. Two interchangeable state implementations: the
+  per-key `applyInPandasWithState` reference, and the default batched
+  relational `foreachBatch` runner (`_batched_state_runner`) whose
+  Python cost is per-BATCH, not per-key — the r8/r9 sf1 measurements
+  put the per-key constant at 200-210 s for 50k keys × 4 stages.
 - **Watermarked windows** (engine capability beyond the reference): event
   rows carry event-time; a `withWatermark` + tumbling window aggregation
   drops data later than the lateness bound — deterministic here because
@@ -358,42 +363,55 @@ def _accumulate(key, pdfs, state: GroupState):
     )
 
 
-def _accumulate_batched_runner(
+#: Raw mapped rows as persisted by the batched runners' state table —
+#: batch_id makes the arrival sequence replayable (the refeed fold is
+#: order-sensitive in ARRIVAL order, not chunk order).
+_RAW_STATE = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_id", T.IntegerType()),
+        T.StructField("out_text", T.StringType()),
+        T.StructField("batch_id", T.IntegerType()),
+    ]
+)
+
+
+def _batched_state_runner(
     stream_df: DataFrame,
+    emit_fn,
+    out_schema: T.StructType,
     model_fn=None,
     out_dir: str | None = None,
     state_dir: str | None = None,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """Batched (relational) W2 accumulator: ``foreachBatch`` against a
-    per-batch parquet state table instead of per-KEY Python state.
+    """Batched (relational) keyed-state runner: ``foreachBatch`` against
+    a per-batch parquet state table instead of per-KEY Python state.
 
-    Why this exists (r8 verdict, the last scale-killer-shaped cost):
+    Why this exists (r8/r9 verdicts, the last scale-killer-shaped cost):
     ``applyInPandasWithState`` pays a pandas-group round-trip PER KEY PER
-    MICRO-BATCH — measured 207.6 s vs DuckDB's 4.0 s at sf1 (50k docs ×
-    4 stages = 200k Python state calls), a cost in O(keys × batches)
+    MICRO-BATCH — measured at sf1: 207.6 s for the W2 accumulator and
+    196.4 s for the refeed chain vs single-digit DuckDB (50k docs × 4
+    stages = 200k Python state calls each), a cost in O(keys × batches)
     that no data-volume term amortizes. This runner keeps the exact
-    emission contract (one running-accumulation row per doc per
-    micro-batch the doc appears in, chunk-ordered) but computes each
-    batch's emissions as ONE relational job:
+    per-key emission contracts but computes each batch's emissions as
+    ONE relational job:
 
     - the batch's mapped rows land under ``state_dir/batch-<id>`` (raw
-      (doc_id, chunk_id, out_text) — per-batch OVERWRITE, so a replayed
-      batch converges instead of duplicating, same idempotence shape as
-      ``_run_to_parquet``);
-    - the running accumulation for every doc touched by the batch is a
-      scan of the state dirs ≤ id, a semi-join on the batch's keys, and
-      one groupBy with ``array_sort(collect_list(struct(chunk_id,
-      out_text)))`` → ``array_join`` — all JVM-side, whole-stage
-      codegen, zero per-key Python;
-    - emissions land under ``out_dir/batch-<id>`` (overwrite), read back
-      as one distributed scan.
+      (doc_id, chunk_id, out_text, batch_id) — per-batch OVERWRITE, so
+      a replayed batch converges instead of duplicating, the same
+      idempotence shape as ``_run_to_parquet``);
+    - ``emit_fn(all_rows, batch_keys, batch_id)`` derives the batch's
+      emissions from the scan of state dirs ≤ id — entirely JVM-side
+      (groupBy + array/higher-order expressions), zero per-key Python;
+    - emissions land under ``out_dir/batch-<id>`` (overwrite), read
+      back as one distributed scan.
 
-    Cost per batch is O(state rows touched) data work — the same asymptote
-    as the state-store path's I/O — with a per-BATCH constant instead of a
-    per-KEY one. Restart-safe: same checkpoint + same dirs resumes from
-    the committed high-water mark (pinned by
-    tests/test_stream_recovery.py::test_stateful_accumulate_batched_restart).
+    Cost per batch is O(state rows touched) data work — the same
+    asymptote as the state-store path's I/O — with a per-BATCH constant
+    instead of a per-KEY one. Restart-safe: same checkpoint + same dirs
+    resumes from the committed high-water mark (pinned by the batched
+    restart tests in tests/test_stream_recovery.py).
     """
     spark = stream_df.sparkSession
     out_dir = out_dir or tempfile.mkdtemp(prefix="pmr_stream_out_")
@@ -405,43 +423,22 @@ def _accumulate_batched_runner(
     for d in (out_dir, state_dir):
         _guard_stale_batches(d, last)
 
-    raw_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("chunk_id", T.IntegerType()),
-            T.StructField("out_text", T.StringType()),
-        ]
-    )
-
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         bdir = os.path.join(state_dir, f"batch-{batch_id:09d}")
-        batch_df.select("doc_id", "chunk_id", "out_text").write.mode(
-            "overwrite"
-        ).parquet(bdir)
+        batch_df.select(
+            "doc_id", "chunk_id", "out_text",
+            F.lit(batch_id).cast("int").alias("batch_id"),
+        ).write.mode("overwrite").parquet(bdir)
         state_dirs = [
             os.path.join(state_dir, d)
             for d in sorted(os.listdir(state_dir))
             if d.startswith("batch-") and int(d.split("-", 1)[1]) <= batch_id
         ]
-        allr = spark.read.schema(raw_schema).parquet(*state_dirs)
-        keys = spark.read.schema(raw_schema).parquet(bdir).select("doc_id").distinct()
-        emit = (
-            allr.join(keys, "doc_id", "left_semi")
-            .groupBy("doc_id")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("chunk_id", "out_text"))
-                ).alias("ps")
-            )
-            .select(
-                "doc_id",
-                F.size("ps").cast("int").alias("n_chunks_seen"),
-                F.array_join(F.col("ps").getField("out_text"), " ").alias(
-                    "acc_text"
-                ),
-            )
+        allr = spark.read.schema(_RAW_STATE).parquet(*state_dirs)
+        keys = (
+            spark.read.schema(_RAW_STATE).parquet(bdir).select("doc_id").distinct()
         )
-        emit.write.mode("overwrite").parquet(
+        emit_fn(allr, keys, batch_id).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch-{batch_id:09d}")
         )
 
@@ -464,8 +461,46 @@ def _accumulate_batched_runner(
         if d.startswith("batch-")
     )
     if not batches:
-        return spark.createDataFrame([], _ACC_OUT)
-    return spark.read.schema(_ACC_OUT).parquet(*batches)
+        return spark.createDataFrame([], out_schema)
+    return spark.read.schema(out_schema).parquet(*batches)
+
+
+def _accumulate_batched_runner(
+    stream_df: DataFrame,
+    model_fn=None,
+    out_dir: str | None = None,
+    state_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Batched W2 accumulator emission: for every doc touched by the
+    batch, the running accumulation is a semi-join on the batch's keys
+    plus one groupBy with ``array_sort(collect_list(struct(chunk_id,
+    out_text)))`` → ``array_join`` — value-identical to ``_accumulate``
+    (tests/test_streaming.py::test_stateful_accumulate_mode_equivalence)."""
+
+    def emit(allr: DataFrame, keys: DataFrame, batch_id: int) -> DataFrame:
+        return (
+            allr.join(keys, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_id", "out_text"))
+                ).alias("ps")
+            )
+            .select(
+                "doc_id",
+                F.size("ps").cast("int").alias("n_chunks_seen"),
+                F.array_join(F.col("ps").getField("out_text"), " ").alias(
+                    "acc_text"
+                ),
+            )
+        )
+
+    return _batched_state_runner(
+        stream_df, emit, _ACC_OUT,
+        model_fn=model_fn, out_dir=out_dir, state_dir=state_dir,
+        checkpoint_dir=checkpoint_dir,
+    )
 
 
 def stateful_accumulate(
@@ -575,6 +610,75 @@ def _refeed(key, pdfs, state: GroupState):
     )
 
 
+# The refeed fold as ONE higher-order expression (r9): replay the doc's
+# rows in arrival order — (batch_id, chunk_id), exactly _refeed's fold
+# order (per-batch sort_values("chunk_id") across sequential batches) —
+# threading (chain, acc_words) and collecting one emission per row.
+# md5/split/filter/substring are all JVM expressions, so the fold costs
+# zero Python; coalesce(out_text,'') mirrors _refeed's `(r or "")`.
+_REFEED_FOLD = """
+    aggregate(
+      xs,
+      struct(cast('' as string) as chain, cast(0 as bigint) as acc,
+             cast(array() as
+                  array<struct<chunk_id:int,acc_words_before:bigint,
+                               chain:string,batch_id:int>>) as ems),
+      (s, x) -> named_struct(
+         'chain', substring(md5(concat(s.chain, coalesce(x.out_text, ''))), 1, 8),
+         'acc', s.acc + size(filter(split(coalesce(x.out_text, ''), ' '),
+                                    w -> w != '')),
+         'ems', array_append(s.ems, named_struct(
+                'chunk_id', x.chunk_id,
+                'acc_words_before', s.acc,
+                'chain', substring(md5(concat(s.chain, coalesce(x.out_text, ''))),
+                                   1, 8),
+                'batch_id', x.batch_id))),
+      s -> s.ems
+    )"""
+
+
+def _refeed_batched_runner(
+    stream_df: DataFrame,
+    model_fn=None,
+    out_dir: str | None = None,
+    state_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Batched refeed emission: re-fold each touched doc's full arrival
+    sequence from the raw state rows (deterministic, so replay-idempotent)
+    and keep only the CURRENT batch's rows. The fold is the
+    ``_REFEED_FOLD`` higher-order expression — value-identical to the
+    per-key ``_refeed`` state function
+    (tests/test_streaming.py::test_refeed_chain_mode_equivalence),
+    including under multi-stage recovery batches (arrival order is
+    (batch_id, chunk_id), not global chunk order)."""
+
+    def emit(allr: DataFrame, keys: DataFrame, batch_id: int) -> DataFrame:
+        return (
+            allr.join(keys, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("batch_id", "chunk_id", "out_text"))
+                ).alias("xs")
+            )
+            .select("doc_id", F.explode(F.expr(_REFEED_FOLD)).alias("e"))
+            .filter(F.col("e.batch_id") == batch_id)
+            .select(
+                "doc_id",
+                F.col("e.chunk_id").alias("chunk_id"),
+                F.col("e.acc_words_before").alias("acc_words_before"),
+                F.col("e.chain").alias("chain"),
+            )
+        )
+
+    return _batched_state_runner(
+        stream_df, emit, _REFEED_OUT,
+        model_fn=model_fn, out_dir=out_dir, state_dir=state_dir,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+
 def refeed_chain(
     spark: SparkSession,
     chunks_df: DataFrame,
@@ -582,6 +686,8 @@ def refeed_chain(
     sink: str = "memory",
     out_dir: str | None = None,
     checkpoint_dir: str | None = None,
+    mode: str = "batched",
+    state_dir: str | None = None,
 ) -> DataFrame:
     """W2 v2: the sequential re-feed loop as keyed streaming state.
 
@@ -591,29 +697,47 @@ def refeed_chain(
     the mapped chunks in chunk order (DuckDB recursive CTE) — fully
     hash-checked, unlike typical custom stateful ops.
 
-    ``sink`` selects the memory drain (tests/oracles) or the durable
-    ``foreachBatch``→parquet mode (``_run_to_parquet``); both modes are
-    value-identical on the order-sensitive chain fixture
-    (tests/test_streaming.py::test_refeed_chain_sink_modes)."""
-    runner = {
-        "memory": lambda s, t: _run_to_memory(s, t),
-        "parquet": lambda s, t: _run_to_parquet(
-            s, t, out_dir=out_dir, checkpoint_dir=checkpoint_dir
-        ),
-    }[sink]
+    ``mode`` selects the state implementation (both emit identical rows,
+    tests/test_streaming.py::test_refeed_chain_mode_equivalence):
+
+    - ``"batched"`` (default): the relational foreachBatch runner with
+      the fold as one JVM higher-order expression — per-BATCH constant
+      cost, durable by construction (per-batch parquet overwrite). The
+      per-key path measured 196.4 s vs DuckDB 25.0 s at sf1 (the same
+      O(keys × batches) Python constant as the W2 accumulator).
+    - ``"state"``: ``applyInPandasWithState`` keyed by doc_id — the
+      per-key state-store reference. ``sink`` then selects the memory
+      drain or the durable ``foreachBatch``→parquet mode
+      (``_run_to_parquet``); both sinks are value-identical on the
+      order-sensitive chain fixture
+      (tests/test_streaming.py::test_refeed_chain_sink_modes)."""
     root = write_stage_files(chunks_df)
-
-    def transform(stream_df: DataFrame) -> DataFrame:
-        mapped = mapstage.llm_map(stream_df, model_fn=model_fn)
-        return mapped.groupBy("doc_id").applyInPandasWithState(
-            _refeed,
-            outputStructType=_REFEED_OUT,
-            stateStructType="acc_words long, chain string",
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
-
     try:
+        if mode == "batched":
+            return _refeed_batched_runner(
+                _chunk_stream(spark, root),
+                model_fn=model_fn,
+                out_dir=out_dir,
+                state_dir=state_dir,
+                checkpoint_dir=checkpoint_dir,
+            )
+        runner = {
+            "memory": lambda s, t: _run_to_memory(s, t),
+            "parquet": lambda s, t: _run_to_parquet(
+                s, t, out_dir=out_dir, checkpoint_dir=checkpoint_dir
+            ),
+        }[sink]
+
+        def transform(stream_df: DataFrame) -> DataFrame:
+            mapped = mapstage.llm_map(stream_df, model_fn=model_fn)
+            return mapped.groupBy("doc_id").applyInPandasWithState(
+                _refeed,
+                outputStructType=_REFEED_OUT,
+                stateStructType="acc_words long, chain string",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+
         return runner(_chunk_stream(spark, root), transform)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -423,10 +423,87 @@ def test_refeed_chain_sink_modes(spark, tmp_path):
     dur = {
         key(r): (r["acc_words_before"], r["chain"])
         for r in stream_ops.refeed_chain(
-            spark, chunks, sink="parquet", out_dir=str(tmp_path / "out")
+            spark, chunks, sink="parquet", out_dir=str(tmp_path / "out"),
+            mode="state",
         ).collect()
     }
     assert mem == dur and len(dur) == 10
+
+
+def test_refeed_chain_mode_equivalence(spark):
+    """The batched relational refeed (default since r9 — the fold is one
+    JVM higher-order expression) and the per-key applyInPandasWithState
+    reference emit IDENTICAL rows on the order-sensitive chain fixture:
+    any divergence in fold order, word counting, or null handling
+    changes every later chain hash."""
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(20))),
+            (2, " ".join(f"v{i}" for i in range(12))),
+            (3, "solo"),  # short doc: absent from later micro-batches
+        ],
+        "doc_id long, text string",
+    )
+    chunks = chunking.partition_equal_arrays(docs, 5)
+    b = sorted(
+        map(tuple, stream_ops.refeed_chain(spark, chunks, mode="batched").collect())
+    )
+    s = sorted(
+        map(tuple, stream_ops.refeed_chain(spark, chunks, mode="state").collect())
+    )
+    assert b == s and b
+
+
+def test_refeed_batched_multi_stage_batch_folds_in_arrival_order(spark, tmp_path):
+    """A micro-batch carrying SEVERAL stages of one doc (the recovery
+    coalescing case) must fold in (batch_id, chunk_id) order — per-batch
+    chunk order across sequential batches, exactly _refeed's contract.
+    Feed a layout where file 0 = chunks {0,1} and file 1 = chunk {2} and
+    compare against the driver-side sequential fold."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y z w u v")], "doc_id long, text string"
+    )
+    chunks = chunking.partition_equal(chunking.split_words(docs), 3)
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    base = 1_700_000_000
+    first = chunks.filter(F.col("chunk_id") <= 1)
+    second = chunks.filter(F.col("chunk_id") == 2)
+    for k, part in enumerate((first, second)):
+        d = str(tmp_path / f"stage{k}")
+        part.select("doc_id", "chunk_id", "chunk_text").coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                dst = os.path.join(live, f"stage-{k}-{f}")
+                os.rename(os.path.join(d, f), dst)
+                os.utime(dst, (base + k, base + k))
+
+    stream = (
+        spark.readStream.schema(stream_ops.CHUNK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(live)
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["acc_words_before"], r["chain"])
+        for r in stream_ops._refeed_batched_runner(stream).collect()
+    }
+
+    mapped = sorted(
+        mapstage.llm_map(chunks).select("doc_id", "chunk_id", "out_text").collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    expect, st = {}, {}
+    for r in mapped:
+        acc, chain = st.get(r.doc_id, (0, ""))
+        chain = hashlib.md5((chain + (r.out_text or "")).encode()).hexdigest()[:8]
+        expect[(r.doc_id, r.chunk_id)] = (acc, chain)
+        st[r.doc_id] = (
+            acc + len([w for w in (r.out_text or "").split(" ") if w]),
+            chain,
+        )
+    assert got == expect
 
 
 def test_run_to_parquet_empty_stream_returns_schema(spark, tmp_path):
