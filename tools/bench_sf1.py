@@ -5,9 +5,17 @@ sf0.1, where a fixed ~0.35-0.4 s scheduling/JVM floor dominates most
 queries — the flattering regime for DuckDB (zero scheduling overhead)
 and the unflattering one for Spark. This probe runs the SAME bench.py
 (same interleaving, warmups, noop sink, best-of-reps discipline) against
-the sf1 fixture, where compute dominates and `tune_for_input`'s ≥1 GiB
-production regime (AQE on, partitions = cores) — its actual design
-point — is the active branch.
+the sf1 fixture, where compute dominates.
+
+Regime note (r9 correction, caught by the bench artifact's new `regime`
+field): the sf1 fixture is ~164 MB on disk — UNDER the 1 GiB
+`INTERACTIVE_BYTES` split — so `tune_for_input` picks the INTERACTIVE
+branch here, contrary to the r8 prose that claimed the production branch
+was active. Both regimes are therefore measured explicitly: the default
+run, and a second run with `SPARK_GRAFT_INTERACTIVE_BYTES=1` forcing the
+production branch (AQE on, partitions = cores — the 100 TB design
+point). Hash equality across the branches is separately proven by
+CONFIG_INVARIANCE.json; this artifact records what each COSTS at sf1.
 
 Reps default to 4 (override SPARK_GRAFT_BENCH_REPS): at 10× data each
 rep is seconds of real compute, so the JIT plateau arrives in 2-3 passes
@@ -31,14 +39,7 @@ sys.path.insert(0, ROOT)
 sys.path.insert(0, os.path.join(ROOT, "tools"))
 
 
-def main() -> int:
-    from sf1_gate import REPLICAS, build
-
-    fixture = build()  # content-addressed; reuses the gate's fixture
-    env = dict(os.environ)
-    env["SPARK_GRAFT_SF_DIR"] = fixture
-    env.setdefault("SPARK_GRAFT_BENCH_REPS", "4")
-    t0 = time.time()
+def _run_bench(env: dict) -> dict | None:
     proc = subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
         env=env,
@@ -52,8 +53,29 @@ def main() -> int:
     if proc.returncode != 0 or line is None:
         print(proc.stdout[-4000:])
         print(f"bench failed rc={proc.returncode}")
+        return None
+    return json.loads(line)
+
+
+def main() -> int:
+    from sf1_gate import REPLICAS, build
+
+    fixture = build()  # content-addressed; reuses the gate's fixture
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = fixture
+    env.setdefault("SPARK_GRAFT_BENCH_REPS", "4")
+    t0 = time.time()
+    bench = _run_bench(env)
+    if bench is None:
         return 1
-    bench = json.loads(line)
+    # second pass: force the production branch (AQE on, partitions =
+    # cores) — the fixture is under the 1 GiB interactive split, so the
+    # default pass above measures the interactive regime (see module
+    # docstring; the regime each pass actually ran is in its own
+    # `regime` field).
+    prod_env = dict(env)
+    prod_env["SPARK_GRAFT_INTERACTIVE_BYTES"] = "1"
+    bench_prod = _run_bench(prod_env)
     out = {
         "metric": "sf1_headline_queries_wall_clock",
         "started": time.strftime("%F %T"),
@@ -62,6 +84,7 @@ def main() -> int:
         "reps": int(env["SPARK_GRAFT_BENCH_REPS"]),
         "harness_sec": round(time.time() - t0, 1),
         "bench": bench,
+        "bench_production_regime": bench_prod,
     }
     print(json.dumps(out))
     with open(os.path.join(ROOT, "BENCH_SF1.json"), "w") as f:
