@@ -311,3 +311,69 @@ def test_interarrival_chunked_slice_width_invariance(spark, rows):
             for r in interarrival_chunked(df, slice_us=width).collect()
         }
         assert got == expect, f"slice_us={width}"
+
+
+# --- r9: the JVM refeed fold vs the Python reference fold ---------------
+
+_fold_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),                    # doc_id
+        st.integers(0, 3),                    # batch_id
+        st.integers(0, 7),                    # chunk_id
+        st.one_of(                            # out_text incl. the traps:
+            st.none(),                        # None → coalesce('')
+            st.just(""),                      # empty → counts 0 words
+            st.just("a  b"),                  # double space → empty token
+            st.text(
+                alphabet="ab é☃ ", min_size=0, max_size=12
+            ),                                # unicode + spaces
+        ),
+    ),
+    min_size=0,
+    max_size=24,
+)
+
+
+@SLOW
+@given(rows=_fold_rows)
+def test_refeed_fold_expression_matches_python_fold(spark, rows):
+    """streaming/proactive._REFEED_FOLD (the JVM aggregate() the batched
+    refeed runner folds with) must reproduce the per-key _refeed state
+    function's arithmetic EXACTLY for arbitrary inputs: md5-chain over
+    utf-8, word counts that drop empty tokens, None→'' coalescing, and
+    (batch_id, chunk_id) fold order. Any divergence changes every later
+    chain hash, so one surviving example is a complete witness."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from proactive_map_reduce_spark.streaming.proactive import _REFEED_FOLD
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, batch_id int, chunk_id int, out_text string"
+    )
+    got = sorted(
+        map(
+            tuple,
+            df.groupBy("doc_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("batch_id", "chunk_id", "out_text"))
+                ).alias("xs")
+            )
+            .select("doc_id", F.explode(F.expr(_REFEED_FOLD)).alias("e"))
+            .select(
+                "doc_id", "e.chunk_id", "e.acc_words_before", "e.chain",
+                "e.batch_id",
+            )
+            .collect(),
+        )
+    )
+    expect = []
+    state: dict = {}
+    for d, b, c, t in sorted(rows, key=lambda r: (r[0], r[1], r[2], r[3] or "")):
+        acc, chain = state.get(d, (0, ""))
+        chain = hashlib.md5((chain + (t or "")).encode("utf-8")).hexdigest()[:8]
+        expect.append((d, c, acc, chain, b))
+        state[d] = (acc + len([w for w in (t or "").split(" ") if w]), chain)
+    assert got == sorted(expect)
