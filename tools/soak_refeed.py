@@ -101,6 +101,24 @@ def run_config(spark, sf_dir: str, n_docs: int, depth: int) -> dict:
         shutil.rmtree(root, ignore_errors=True)
     wall = round(time.time() - t0, 1)
 
+    # --- the batched relational runner (r9 default mode) on the SAME
+    # staged arrival: value-checked against the same driver fold, so the
+    # depth soak pins BOTH state implementations (the per-key path above
+    # additionally evidences the state-store metrics; the batched path
+    # has no state store — its state is the per-batch parquet table).
+    root2 = sp.write_stage_files(chunks)
+    t0b = time.time()
+    try:
+        brows = sp._refeed_batched_runner(sp._chunk_stream(spark, root2)).collect()
+    finally:
+        shutil.rmtree(root2, ignore_errors=True)
+    batched_sec = round(time.time() - t0b, 1)
+    batched_mismatches = sum(
+        1
+        for r in brows
+        if expect.get((r.doc_id, r.chunk_id)) != (r.acc_words_before, r.chain)
+    )
+
     # --- value check ----------------------------------------------------
     mismatches = 0
     for r in rows:
@@ -129,6 +147,9 @@ def run_config(spark, sf_dir: str, n_docs: int, depth: int) -> dict:
         "state_bytes_final": state_bytes[-1] if state_bytes else None,
         "state_bytes_max": max(state_bytes) if state_bytes else None,
         "sec": wall,
+        "batched_rows_out": len(brows),
+        "batched_value_mismatches": batched_mismatches,
+        "batched_sec": batched_sec,
     }
 
 
@@ -161,6 +182,8 @@ def main() -> int:
     for r in runs:
         ok &= r["rows_out"] == r["rows_expected"]
         ok &= r["value_mismatches"] == 0
+        ok &= r["batched_rows_out"] == r["rows_expected"]
+        ok &= r["batched_value_mismatches"] == 0
         # the plateau contract: state rows == key count, at EVERY depth
         ok &= r["state_rows_final"] == r["n_docs"]
         ok &= r["state_rows_max"] == r["n_docs"]
