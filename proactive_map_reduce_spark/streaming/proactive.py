@@ -35,7 +35,9 @@ the natural partition key.
 
 from __future__ import annotations
 
+import json
 import os
+import re
 import shutil
 import tempfile
 import time
@@ -48,6 +50,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators import mapstage
+from . import upsert as up
 
 CHUNK_SCHEMA = T.StructType(
     [
@@ -207,6 +210,28 @@ def _last_committed_batch(ckpt: str) -> int:
     return max(ids, default=-1)
 
 
+#: Strict batch-dir name (ADVICE r9): a foreign entry like ``batch-old``
+#: in a user-supplied dir must be ignored by listings, not crash the
+#: guard's int() parse.
+_BATCH_DIR_RE = re.compile(r"batch-(\d+)")
+
+
+def _batch_dirs(root: str) -> list[tuple[int, str]]:
+    """Sorted ``(batch_id, path)`` for every strictly-named ``batch-<id>``
+    entry under ``root`` (missing root → empty; non-matching names
+    skipped rather than raising — ADVICE r9)."""
+    out = []
+    try:
+        names = os.listdir(root)
+    except OSError:
+        return out
+    for d in names:
+        m = _BATCH_DIR_RE.fullmatch(d)
+        if m:
+            out.append((int(m.group(1)), os.path.join(root, d)))
+    return sorted(out)
+
+
 def _guard_stale_batches(out_dir: str, last_committed: int) -> None:
     """Shed batch dirs the checkpoint never committed (ADVICE r8).
 
@@ -216,9 +241,9 @@ def _guard_stale_batches(out_dir: str, last_committed: int) -> None:
     may legitimately sit next to one uncommitted (torn) batch dir above
     its high-water mark; the replay rewrites it, so deleting is safe."""
     stale = [
-        d
-        for d in os.listdir(out_dir)
-        if d.startswith("batch-") and int(d.split("-", 1)[1]) > last_committed
+        os.path.basename(p)
+        for i, p in _batch_dirs(out_dir)
+        if i > last_committed
     ]
     if stale and last_committed < 0:
         raise ValueError(
@@ -230,6 +255,27 @@ def _guard_stale_batches(out_dir: str, last_committed: int) -> None:
         )
     for d in stale:
         shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+
+
+def _guard_resume_outputs(out_dir: str, last_committed: int) -> None:
+    """The converse of :func:`_guard_stale_batches` (ADVICE r9): a
+    RESUMED checkpoint (``last_committed >= 0``) replays only batches
+    above its high-water mark, so every committed batch's output dir
+    must already exist under ``out_dir`` — a fresh/missing out_dir here
+    means the committed batches' emissions are gone and the read-back
+    would silently return a partial result. Refuse loudly instead."""
+    if last_committed < 0:
+        return
+    have = {i for i, _ in _batch_dirs(out_dir)}
+    missing = [i for i in range(last_committed + 1) if i not in have]
+    if missing:
+        raise ValueError(
+            f"checkpoint has committed batches 0..{last_committed} but "
+            f"out_dir {out_dir!r} is missing batch dirs {missing[:5]}"
+            f"{'...' if len(missing) > 5 else ''}: resuming would silently "
+            "drop their output. Resume with the original out_dir, or start "
+            "a fresh checkpoint."
+        )
 
 
 def _run_to_parquet(
@@ -268,8 +314,12 @@ def _run_to_parquet(
     # Reusing an out_dir with a FRESH checkpoint restarts batch ids at 0:
     # stale higher-numbered batch dirs from an earlier run would survive
     # the per-batch overwrite and be silently folded into the read-back
-    # (duplicate/foreign rows — ADVICE r8).
-    _guard_stale_batches(out_dir, _last_committed_batch(ckpt))
+    # (duplicate/foreign rows — ADVICE r8). The converse (ADVICE r9):
+    # RESUMING a checkpoint against a fresh/wrong out_dir would skip the
+    # committed batches' replay and silently lose their output.
+    last = _last_committed_batch(ckpt)
+    _guard_stale_batches(out_dir, last)
+    _guard_resume_outputs(out_dir, last)
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     out = transform(stream_df)
@@ -293,11 +343,7 @@ def _run_to_parquet(
         spark.conf.set("spark.sql.shuffle.partitions", old)
         if checkpoint_dir is None:  # caller-provided checkpoints persist
             shutil.rmtree(ckpt, ignore_errors=True)
-    batches = sorted(
-        os.path.join(out_dir, d)
-        for d in os.listdir(out_dir)
-        if d.startswith("batch-")
-    )
+    batches = [p for _, p in _batch_dirs(out_dir)]
     if not batches:  # empty stream: no batch committed, schema still known
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*batches)
@@ -363,84 +409,160 @@ def _accumulate(key, pdfs, state: GroupState):
     )
 
 
-#: Raw mapped rows as persisted by the batched runners' state table —
-#: batch_id makes the arrival sequence replayable (the refeed fold is
-#: order-sensitive in ARRIVAL order, not chunk order).
-_RAW_STATE = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("chunk_id", T.IntegerType()),
-        T.StructField("out_text", T.StringType()),
-        T.StructField("batch_id", T.IntegerType()),
-    ]
-)
+def _read_mark_raw(table: str) -> dict | None:
+    """The state table's mark file content, or None when absent/corrupt."""
+    try:
+        with open(up._mark_path(table)) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _guard_runner_dirs(ckpt: str, out_dir: str, table: str) -> None:
+    """Both directions of the dir/checkpoint consistency contract:
+
+    - FRESH checkpoint (no committed batch): foreign batch dirs in
+      ``out_dir`` (ADVICE r8) or a pre-existing state table/mark would be
+      silently folded into the new stream's results — refuse both.
+    - RESUMED checkpoint (ADVICE r9, the converse hole): the committed
+      batches' emissions AND a state table at least as new as the commit
+      high-water mark must exist — the mkdtemp defaults when a caller
+      passes only ``checkpoint_dir`` would otherwise compute emissions
+      from EMPTY state and lose the committed batches' output silently.
+    """
+    last = _last_committed_batch(ckpt)
+    _guard_stale_batches(out_dir, last)
+    if last < 0:
+        if os.path.isdir(table) or os.path.exists(up._mark_path(table)):
+            raise ValueError(
+                f"state dir {os.path.dirname(table)!r} already holds a "
+                "state table but the checkpoint is fresh (batch ids "
+                "restart at 0): the old state would be silently folded "
+                "into the new stream. Use an empty state_dir, or resume "
+                "with the original checkpoint_dir."
+            )
+        return
+    _guard_resume_outputs(out_dir, last)
+    mark = _read_mark_raw(table)
+    if not os.path.isdir(table) or mark is None or mark.get("batch_id", -1) < last:
+        raise ValueError(
+            f"checkpoint has committed batches 0..{last} but the state "
+            f"table {table!r} is missing or behind (mark={mark}): resuming "
+            "would compute emissions from partial state. Resume with the "
+            "original state_dir, or start a fresh checkpoint."
+        )
+    gen = up._stream_generation(ckpt)
+    if mark.get("stream") not in (gen, "__recovered__"):
+        raise ValueError(
+            f"state table {table!r} belongs to stream generation "
+            f"{mark.get('stream')!r}, not this checkpoint's {gen!r}: "
+            "refusing to fold foreign state into a resumed stream."
+        )
 
 
 def _batched_state_runner(
     stream_df: DataFrame,
-    emit_fn,
+    op: dict,
     out_schema: T.StructType,
     model_fn=None,
     out_dir: str | None = None,
     state_dir: str | None = None,
     checkpoint_dir: str | None = None,
+    timings: list | None = None,
 ) -> DataFrame:
     """Batched (relational) keyed-state runner: ``foreachBatch`` against
-    a per-batch parquet state table instead of per-KEY Python state.
+    a COMPACTED one-row-per-doc parquet state table instead of per-KEY
+    Python state.
 
     Why this exists (r8/r9 verdicts, the last scale-killer-shaped cost):
     ``applyInPandasWithState`` pays a pandas-group round-trip PER KEY PER
     MICRO-BATCH — measured at sf1: 207.6 s for the W2 accumulator and
     196.4 s for the refeed chain vs single-digit DuckDB (50k docs × 4
     stages = 200k Python state calls each), a cost in O(keys × batches)
-    that no data-volume term amortizes. This runner keeps the exact
-    per-key emission contracts but computes each batch's emissions as
-    ONE relational job:
+    that no data-volume term amortizes. And why the state is COMPACTED
+    (r9 verdict item 1): the first batched design appended raw rows
+    under ``state_dir/batch-<id>`` and re-scanned ALL of them every
+    micro-batch — O(batches²) lifetime I/O, a week-long stream killer.
+    This runner folds each batch into a keyed state table instead:
 
-    - the batch's mapped rows land under ``state_dir/batch-<id>`` (raw
-      (doc_id, chunk_id, out_text, batch_id) — per-batch OVERWRITE, so
-      a replayed batch converges instead of duplicating, the same
-      idempotence shape as ``_run_to_parquet``);
-    - ``emit_fn(all_rows, batch_keys, batch_id)`` derives the batch's
-      emissions from the scan of state dirs ≤ id — entirely JVM-side
-      (groupBy + array/higher-order expressions), zero per-key Python;
-    - emissions land under ``out_dir/batch-<id>`` (overwrite), read
-      back as one distributed scan.
+    - ``op["merge"](old_state, mapped_batch, batch_id)`` produces the
+      new state — ONE row per doc (the folded accumulator, not raw
+      history), entirely JVM-side (groupBy + array/higher-order
+      expressions), zero per-key Python. Rows whose ``last_batch_id``
+      is already ≥ the batch id pass through unchanged, so a replayed
+      or half-applied batch converges instead of double-folding;
+    - the new state swaps in atomically via the keyed-upsert machinery
+      (``streaming/upsert``: tmp → rename → mark, ``_recover`` heals
+      every crash window, the mark is scoped to the checkpoint's stream
+      generation);
+    - ``op["emit"](new_state, batch_id)`` derives the batch's emissions
+      from the just-staged state (rows with ``last_batch_id == id``
+      carry everything the emission needs), written to
+      ``out_dir/batch-<id>`` with per-batch OVERWRITE *before* the swap
+      — so every crash point either replays the merge (identical by
+      the per-row guard) or finds the emission already durable.
 
-    Cost per batch is O(state rows touched) data work — the same
-    asymptote as the state-store path's I/O — with a per-BATCH constant
-    instead of a per-KEY one. Restart-safe: same checkpoint + same dirs
-    resumes from the committed high-water mark (pinned by the batched
-    restart tests in tests/test_stream_recovery.py).
+    Cost per batch is O(keys) state rows read + rewritten — CONSTANT in
+    stream depth (the refeed state is O(1) per doc; the accumulator's
+    payload grows only as its own output must). Restart-safe: same
+    checkpoint + same dirs resumes from the committed high-water mark
+    (tests/test_stream_recovery.py); fresh-vs-resumed dir mismatches are
+    refused loudly (:func:`_guard_runner_dirs`). Default temp dirs are
+    retention-swept by ``sources/retention`` (the ``pmr_*`` TTL family);
+    the returned DataFrame reads ``out_dir`` lazily, so nothing deletes
+    eagerly here.
+
+    ``timings`` (optional list) receives one dict per live batch with
+    the per-phase seconds (merge/emit/swap) — the soak tools' evidence
+    that per-batch latency stays flat as history deepens.
     """
     spark = stream_df.sparkSession
     out_dir = out_dir or tempfile.mkdtemp(prefix="pmr_stream_out_")
-    state_dir = state_dir or tempfile.mkdtemp(prefix="pmr_stream_out_")
+    state_dir = state_dir or tempfile.mkdtemp(prefix="pmr_stream_state_")
     os.makedirs(out_dir, exist_ok=True)
     os.makedirs(state_dir, exist_ok=True)
     ckpt = checkpoint_dir or _ckpt_dir()
-    last = _last_committed_batch(ckpt)
-    for d in (out_dir, state_dir):
-        _guard_stale_batches(d, last)
+    table = os.path.join(state_dir, "state")
+    _guard_runner_dirs(ckpt, out_dir, table)
+    state_schema = op["state"]
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        bdir = os.path.join(state_dir, f"batch-{batch_id:09d}")
-        batch_df.select(
-            "doc_id", "chunk_id", "out_text",
-            F.lit(batch_id).cast("int").alias("batch_id"),
-        ).write.mode("overwrite").parquet(bdir)
-        state_dirs = [
-            os.path.join(state_dir, d)
-            for d in sorted(os.listdir(state_dir))
-            if d.startswith("batch-") and int(d.split("-", 1)[1]) <= batch_id
-        ]
-        allr = spark.read.schema(_RAW_STATE).parquet(*state_dirs)
-        keys = (
-            spark.read.schema(_RAW_STATE).parquet(bdir).select("doc_id").distinct()
+        t0 = time.time()
+        up._recover(table)
+        gen = up._stream_generation(ckpt)
+        if batch_id <= up._last_batch(table, gen):
+            # replayed batch already folded into state; its emission dir
+            # was written (durably) before the state swap — nothing to redo
+            return
+        old = (
+            spark.read.schema(state_schema).parquet(table)
+            if os.path.isdir(table)
+            else spark.createDataFrame([], state_schema)
         )
-        emit_fn(allr, keys, batch_id).write.mode("overwrite").parquet(
+        tmp = table + f".tmp_{batch_id}"
+        op["merge"](old, batch_df, batch_id).write.mode("overwrite").parquet(tmp)
+        t1 = time.time()
+        staged = spark.read.schema(state_schema).parquet(tmp)
+        op["emit"](staged, batch_id).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch-{batch_id:09d}")
         )
+        t2 = time.time()
+        old_dir = table + f".old_{batch_id}"
+        if os.path.isdir(table):
+            os.rename(table, old_dir)
+        os.rename(tmp, table)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        with open(up._mark_path(table), "w") as f:
+            json.dump({"batch_id": batch_id, "stream": gen}, f)
+        if timings is not None:
+            timings.append(
+                {
+                    "batch_id": batch_id,
+                    "merge_s": round(t1 - t0, 3),
+                    "emit_s": round(t2 - t1, 3),
+                    "swap_s": round(time.time() - t2, 3),
+                }
+            )
 
     mapped = mapstage.llm_map(stream_df, model_fn=model_fn)
     try:
@@ -455,14 +577,75 @@ def _batched_state_runner(
     finally:
         if checkpoint_dir is None:
             shutil.rmtree(ckpt, ignore_errors=True)
-    batches = sorted(
-        os.path.join(out_dir, d)
-        for d in os.listdir(out_dir)
-        if d.startswith("batch-")
-    )
+    batches = [p for _, p in _batch_dirs(out_dir)]
     if not batches:
         return spark.createDataFrame([], out_schema)
     return spark.read.schema(out_schema).parquet(*batches)
+
+
+#: Compacted accumulator state: ONE row per doc — the chunk-ordered
+#: (chunk_id, out_text) pairs folded so far, plus the replay guard.
+_ACC_STATE = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("last_batch_id", T.IntegerType()),
+        T.StructField(
+            "ps",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("chunk_id", T.IntegerType()),
+                        T.StructField("out_text", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+_EMPTY_PS = "cast(array() as array<struct<chunk_id:int,out_text:string>>)"
+
+
+def _acc_merge(old: DataFrame, batch: DataFrame, batch_id: int) -> DataFrame:
+    """Fold one mapped micro-batch into the accumulator state:
+    ``array_sort(old ∪ batch)`` per touched doc — identical to sorting
+    the full history (array_sort of a union of sorted arrays), which is
+    what the emission contract orders by. Untouched docs and docs whose
+    ``last_batch_id`` already covers this batch (a half-applied crash
+    window) pass through unchanged — the idempotence guard."""
+    agg = batch.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("chunk_id", "out_text"))).alias("bx")
+    )
+    j = old.join(agg, "doc_id", "full_outer")
+    fresh = F.col("bx").isNotNull() & (
+        F.coalesce(F.col("last_batch_id"), F.lit(-1)) < batch_id
+    )
+    return j.select(
+        "doc_id",
+        F.when(fresh, F.lit(batch_id))
+        .otherwise(F.col("last_batch_id"))
+        .cast("int")
+        .alias("last_batch_id"),
+        F.when(
+            fresh,
+            F.array_sort(
+                F.concat(F.coalesce(F.col("ps"), F.expr(_EMPTY_PS)), F.col("bx"))
+            ),
+        )
+        .otherwise(F.col("ps"))
+        .alias("ps"),
+    )
+
+
+def _acc_emit(state: DataFrame, batch_id: int) -> DataFrame:
+    return state.filter(F.col("last_batch_id") == batch_id).select(
+        "doc_id",
+        F.size("ps").cast("int").alias("n_chunks_seen"),
+        F.array_join(F.col("ps").getField("out_text"), " ").alias("acc_text"),
+    )
+
+
+_ACC_OP = {"state": _ACC_STATE, "merge": _acc_merge, "emit": _acc_emit}
 
 
 def _accumulate_batched_runner(
@@ -471,35 +654,17 @@ def _accumulate_batched_runner(
     out_dir: str | None = None,
     state_dir: str | None = None,
     checkpoint_dir: str | None = None,
+    timings: list | None = None,
 ) -> DataFrame:
-    """Batched W2 accumulator emission: for every doc touched by the
-    batch, the running accumulation is a semi-join on the batch's keys
-    plus one groupBy with ``array_sort(collect_list(struct(chunk_id,
-    out_text)))`` → ``array_join`` — value-identical to ``_accumulate``
+    """Batched W2 accumulator: one compacted state row per doc holding
+    the chunk-ordered (chunk_id, out_text) pairs; each batch's emission
+    is ``size(ps)`` + ``array_join(ps.out_text)`` over the rows the
+    batch touched — value-identical to ``_accumulate``
     (tests/test_streaming.py::test_stateful_accumulate_mode_equivalence)."""
-
-    def emit(allr: DataFrame, keys: DataFrame, batch_id: int) -> DataFrame:
-        return (
-            allr.join(keys, "doc_id", "left_semi")
-            .groupBy("doc_id")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("chunk_id", "out_text"))
-                ).alias("ps")
-            )
-            .select(
-                "doc_id",
-                F.size("ps").cast("int").alias("n_chunks_seen"),
-                F.array_join(F.col("ps").getField("out_text"), " ").alias(
-                    "acc_text"
-                ),
-            )
-        )
-
     return _batched_state_runner(
-        stream_df, emit, _ACC_OUT,
+        stream_df, _ACC_OP, _ACC_OUT,
         model_fn=model_fn, out_dir=out_dir, state_dir=state_dir,
-        checkpoint_dir=checkpoint_dir,
+        checkpoint_dir=checkpoint_dir, timings=timings,
     )
 
 
@@ -524,8 +689,10 @@ def stateful_accumulate(
     (pinned by tests/test_streaming.py::test_stateful_accumulate_mode_equivalence):
 
     - ``"batched"`` (default): relational accumulation in ``foreachBatch``
-      against a per-batch parquet state table — per-BATCH constant cost,
-      the scale path (see ``_accumulate_batched_runner``; cut the sf1
+      against a COMPACTED one-row-per-doc parquet state table (r10 — the
+      r9 design kept raw per-batch dirs and re-scanned all of them every
+      batch, O(batches²) lifetime I/O) — per-BATCH constant cost, the
+      scale path (see ``_accumulate_batched_runner``; cut the sf1
       gate row from ~208 s to single-digit seconds).
     - ``"state"``: ``applyInPandasWithState`` keyed by doc_id — the
       semantic reference for the per-key state-store contract (restart
@@ -610,16 +777,24 @@ def _refeed(key, pdfs, state: GroupState):
     )
 
 
-# The refeed fold as ONE higher-order expression (r9): replay the doc's
-# rows in arrival order — (batch_id, chunk_id), exactly _refeed's fold
-# order (per-batch sort_values("chunk_id") across sequential batches) —
-# threading (chain, acc_words) and collecting one emission per row.
-# md5/split/filter/substring are all JVM expressions, so the fold costs
-# zero Python; coalesce(out_text,'') mirrors _refeed's `(r or "")`.
-_REFEED_FOLD = """
+def _refeed_fold(chain0: str, acc0: str, finish: str = "s -> s.ems") -> str:
+    """The refeed fold as ONE higher-order ``aggregate()`` expression
+    (r9): replay the ``xs`` rows in arrival order — (batch_id, chunk_id),
+    exactly ``_refeed``'s fold order (per-batch sort_values("chunk_id")
+    across sequential batches) — threading (chain, acc_words) from the
+    ``(chain0, acc0)`` seed and collecting one emission per row.
+    md5/split/filter/substring are all JVM expressions, so the fold costs
+    zero Python; coalesce(out_text,'') mirrors ``_refeed``'s ``(r or "")``.
+
+    Seedable (r10): the compacted state runner folds each micro-batch on
+    top of the PERSISTED per-doc (chain, acc_words) instead of re-folding
+    full history — sequential-fold composition makes the two identical
+    (pinned by tests/test_property_ops.py's split-composition property).
+    """
+    return f"""
     aggregate(
       xs,
-      struct(cast('' as string) as chain, cast(0 as bigint) as acc,
+      struct(cast({chain0} as string) as chain, cast({acc0} as bigint) as acc,
              cast(array() as
                   array<struct<chunk_id:int,acc_words_before:bigint,
                                chain:string,batch_id:int>>) as ems),
@@ -633,8 +808,94 @@ _REFEED_FOLD = """
                 'chain', substring(md5(concat(s.chain, coalesce(x.out_text, ''))),
                                    1, 8),
                 'batch_id', x.batch_id))),
-      s -> s.ems
+      {finish}
     )"""
+
+
+#: The zero-seed full-history fold (the r9 expression, byte-for-byte
+#: semantics) — kept as the reference form the property tests pin the
+#: seeded incremental fold against.
+_REFEED_FOLD = _refeed_fold("''", "0")
+
+#: Compacted refeed state: ONE row per doc — the folded (chain,
+#: acc_words) scalars, the replay guard, and the batch's own emissions
+#: (``last_ems``) so a crash between the state swap and the stream
+#: commit can rebuild the emission without pre-batch state.
+_REFEED_STATE = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("last_batch_id", T.IntegerType()),
+        T.StructField("chain", T.StringType()),
+        T.StructField("acc_words", T.LongType()),
+        T.StructField(
+            "last_ems",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("chunk_id", T.IntegerType()),
+                        T.StructField("acc_words_before", T.LongType()),
+                        T.StructField("chain", T.StringType()),
+                        T.StructField("batch_id", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def _refeed_merge(old: DataFrame, batch: DataFrame, batch_id: int) -> DataFrame:
+    """Fold one mapped micro-batch onto the persisted per-doc refeed
+    state: within the batch rows sort by chunk_id (``_refeed``'s
+    per-batch ``sort_values``; batch_id rides along constant for the
+    emission shape), seed the fold with the doc's stored
+    (chain, acc_words), and store the fold's final scalars plus its
+    emissions. Untouched / already-covered docs pass through."""
+    agg = batch.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("chunk_id"),
+                    F.col("out_text"),
+                    F.lit(batch_id).cast("int").alias("batch_id"),
+                )
+            )
+        ).alias("xs")
+    )
+    j = old.join(agg, "doc_id", "full_outer")
+    fresh = F.col("xs").isNotNull() & (
+        F.coalesce(F.col("last_batch_id"), F.lit(-1)) < batch_id
+    )
+    folded = F.expr(
+        _refeed_fold("coalesce(chain, '')", "coalesce(acc_words, 0)", "s -> s")
+    )
+    j = j.withColumn("__f", F.when(fresh, folded))
+    keep = lambda new, cur: F.when(F.col("__f").isNotNull(), new).otherwise(cur)
+    return j.select(
+        "doc_id",
+        keep(F.lit(batch_id), F.col("last_batch_id")).cast("int").alias(
+            "last_batch_id"
+        ),
+        keep(F.col("__f.chain"), F.col("chain")).alias("chain"),
+        keep(F.col("__f.acc"), F.col("acc_words")).cast("long").alias("acc_words"),
+        keep(F.col("__f.ems"), F.col("last_ems")).alias("last_ems"),
+    )
+
+
+def _refeed_emit(state: DataFrame, batch_id: int) -> DataFrame:
+    return (
+        state.filter(F.col("last_batch_id") == batch_id)
+        .select("doc_id", F.explode("last_ems").alias("e"))
+        .select(
+            "doc_id",
+            F.col("e.chunk_id").alias("chunk_id"),
+            F.col("e.acc_words_before").alias("acc_words_before"),
+            F.col("e.chain").alias("chain"),
+        )
+    )
+
+
+_REFEED_OP = {"state": _REFEED_STATE, "merge": _refeed_merge, "emit": _refeed_emit}
 
 
 def _refeed_batched_runner(
@@ -643,39 +904,19 @@ def _refeed_batched_runner(
     out_dir: str | None = None,
     state_dir: str | None = None,
     checkpoint_dir: str | None = None,
+    timings: list | None = None,
 ) -> DataFrame:
-    """Batched refeed emission: re-fold each touched doc's full arrival
-    sequence from the raw state rows (deterministic, so replay-idempotent)
-    and keep only the CURRENT batch's rows. The fold is the
-    ``_REFEED_FOLD`` higher-order expression — value-identical to the
-    per-key ``_refeed`` state function
+    """Batched refeed: fold each micro-batch onto the compacted per-doc
+    (chain, acc_words) state with the seeded ``_refeed_fold`` expression
+    — value-identical to the per-key ``_refeed`` state function
     (tests/test_streaming.py::test_refeed_chain_mode_equivalence),
     including under multi-stage recovery batches (arrival order is
-    (batch_id, chunk_id), not global chunk order)."""
-
-    def emit(allr: DataFrame, keys: DataFrame, batch_id: int) -> DataFrame:
-        return (
-            allr.join(keys, "doc_id", "left_semi")
-            .groupBy("doc_id")
-            .agg(
-                F.sort_array(
-                    F.collect_list(F.struct("batch_id", "chunk_id", "out_text"))
-                ).alias("xs")
-            )
-            .select("doc_id", F.explode(F.expr(_REFEED_FOLD)).alias("e"))
-            .filter(F.col("e.batch_id") == batch_id)
-            .select(
-                "doc_id",
-                F.col("e.chunk_id").alias("chunk_id"),
-                F.col("e.acc_words_before").alias("acc_words_before"),
-                F.col("e.chain").alias("chain"),
-            )
-        )
-
+    (batch_id, chunk_id): sequential batch merges × within-batch
+    chunk_id sort)."""
     return _batched_state_runner(
-        stream_df, emit, _REFEED_OUT,
+        stream_df, _REFEED_OP, _REFEED_OUT,
         model_fn=model_fn, out_dir=out_dir, state_dir=state_dir,
-        checkpoint_dir=checkpoint_dir,
+        checkpoint_dir=checkpoint_dir, timings=timings,
     )
 
 
@@ -701,10 +942,12 @@ def refeed_chain(
     tests/test_streaming.py::test_refeed_chain_mode_equivalence):
 
     - ``"batched"`` (default): the relational foreachBatch runner with
-      the fold as one JVM higher-order expression — per-BATCH constant
-      cost, durable by construction (per-batch parquet overwrite). The
-      per-key path measured 196.4 s vs DuckDB 25.0 s at sf1 (the same
-      O(keys × batches) Python constant as the W2 accumulator).
+      the fold as one JVM higher-order expression seeded from a
+      COMPACTED per-doc state row (r10: O(keys) per batch, constant in
+      stream depth) — durable by construction (atomic state swap +
+      per-batch emission overwrite). The per-key path measured 196.4 s
+      vs DuckDB 25.0 s at sf1 (the same O(keys × batches) Python
+      constant as the W2 accumulator).
     - ``"state"``: ``applyInPandasWithState`` keyed by doc_id — the
       per-key state-store reference. ``sink`` then selects the memory
       drain or the durable ``foreachBatch``→parquet mode

@@ -377,3 +377,58 @@ def test_refeed_fold_expression_matches_python_fold(spark, rows):
         expect.append((d, c, acc, chain, b))
         state[d] = (acc + len([w for w in (t or "").split(" ") if w]), chain)
     assert got == sorted(expect)
+
+
+@SLOW
+@given(rows=_fold_rows, cut=st.integers(0, 3))
+def test_seeded_refeed_fold_composes_with_zero_seed_fold(spark, rows, cut):
+    """The r10 compacted runner folds each micro-batch on top of the
+    PERSISTED per-doc (chain, acc_words) seed instead of re-folding full
+    history. That is sound iff sequential-fold composition holds:
+    fold(suffix, seed=fold_state(prefix)) must emit exactly the suffix
+    of fold(whole, zero seed) — for every split point, including empty
+    prefixes/suffixes and the None/''/double-space/unicode traps."""
+    from proactive_map_reduce_spark.streaming.proactive import (
+        _REFEED_FOLD,
+        _refeed_fold,
+    )
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, batch_id int, chunk_id int, out_text string"
+    )
+
+    def _xs(frame):
+        return frame.groupBy("doc_id").agg(
+            F.sort_array(
+                F.collect_list(F.struct("batch_id", "chunk_id", "out_text"))
+            ).alias("xs")
+        )
+
+    def _ems(frame, fold_sql):
+        return sorted(
+            map(
+                tuple,
+                frame.select("doc_id", F.explode(F.expr(fold_sql)).alias("e"))
+                .select(
+                    "doc_id", "e.chunk_id", "e.acc_words_before", "e.chain",
+                    "e.batch_id",
+                )
+                .collect(),
+            )
+        )
+
+    whole = _ems(_xs(df), _REFEED_FOLD)
+    want_suffix = sorted(r for r in whole if r[4] > cut)
+
+    # prefix state per doc: the zero-seed fold's final (chain, acc)
+    pre = _xs(df.filter(F.col("batch_id") <= cut)).select(
+        "doc_id",
+        F.expr(_refeed_fold("''", "0", "s -> s")).alias("f"),
+    ).select("doc_id", F.col("f.chain").alias("chain"), F.col("f.acc").alias("acc_words"))
+    suf = _xs(df.filter(F.col("batch_id") > cut))
+    seeded = suf.join(pre, "doc_id", "left_outer")
+    got_suffix = _ems(
+        seeded,
+        _refeed_fold("coalesce(chain, '')", "coalesce(acc_words, 0)"),
+    )
+    assert got_suffix == want_suffix

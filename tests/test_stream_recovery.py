@@ -769,3 +769,97 @@ def test_durable_sink_fresh_checkpoint_refuses_stale_out_dir(spark, tmp_path):
         assert os.path.isdir(stale)  # refused, not deleted
     finally:
         shutil.rmtree(src_root, ignore_errors=True)
+
+
+def test_batched_runner_resume_refuses_fresh_state_or_out_dirs(
+    spark, tmp_path
+):
+    """ADVICE r9 (the converse of the fresh-checkpoint guard): resuming
+    an existing checkpoint against a fresh/missing state_dir or out_dir
+    (the mkdtemp defaults when a caller passes only checkpoint_dir) must
+    raise, not silently compute emissions from empty state / drop the
+    committed batches' output."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "p q r s")], "doc_id long, text string"
+    )
+    chunks = chunking.partition_equal(chunking.split_words(docs), 2)
+    src_root = stream_ops.write_stage_files(chunks)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    state_dir = str(tmp_path / "state")
+
+    def run(**kw):
+        stream = (
+            spark.readStream.schema(stream_ops.CHUNK_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_root)
+        )
+        return stream_ops._accumulate_batched_runner(
+            stream, checkpoint_dir=ckpt, **kw
+        )
+
+    try:
+        r1 = run(out_dir=out_dir, state_dir=state_dir).collect()
+        assert r1 and max(x["n_chunks_seen"] for x in r1) == 2
+        # resumed checkpoint + a FRESH state_dir: committed state is gone
+        with pytest.raises(ValueError, match="state table"):
+            run(out_dir=out_dir, state_dir=str(tmp_path / "fresh_state"))
+        # resumed checkpoint + a FRESH out_dir: committed emissions gone
+        with pytest.raises(ValueError, match="missing batch dirs"):
+            run(out_dir=str(tmp_path / "fresh_out"), state_dir=state_dir)
+        # the original dirs still resume cleanly (no new data: same rows)
+        r2 = run(out_dir=out_dir, state_dir=state_dir).collect()
+        assert sorted(map(tuple, r2)) == sorted(map(tuple, r1))
+    finally:
+        shutil.rmtree(src_root, ignore_errors=True)
+
+
+def test_run_to_parquet_resume_refuses_fresh_out_dir(spark, tmp_path):
+    """Same converse guard for the durable W1 sink: a resumed checkpoint
+    whose out_dir lacks the committed batch dirs must refuse."""
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    chunks = chunking.partition_equal(chunking.split_words(docs), 2)
+    src_root = stream_ops.write_stage_files(chunks)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run(out):
+        stream = (
+            spark.readStream.schema(stream_ops.CHUNK_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_root)
+        )
+        return stream_ops._run_to_parquet(
+            stream, lambda s: s, out_dir=out, checkpoint_dir=ckpt
+        )
+
+    try:
+        assert run(out_dir).count() == 2
+        with pytest.raises(ValueError, match="missing batch dirs"):
+            run(str(tmp_path / "fresh_out"))
+    finally:
+        shutil.rmtree(src_root, ignore_errors=True)
+
+
+def test_batch_dir_guards_ignore_non_numeric_entries(tmp_path):
+    """ADVICE r9: a foreign entry named like ``batch-old`` in a
+    user-supplied dir must be skipped by the strict listing, not crash
+    the guard's int() parse — while genuinely stale numeric batch dirs
+    still trip the fresh-checkpoint refusal."""
+    import pytest
+
+    d = str(tmp_path / "out")
+    os.makedirs(os.path.join(d, "batch-old"))
+    os.makedirs(os.path.join(d, "batch-1x2"))
+    stream_ops._guard_stale_batches(d, -1)  # junk ignored: no raise
+    assert stream_ops._batch_dirs(d) == []
+    os.makedirs(os.path.join(d, "batch-000000003"))
+    with pytest.raises(ValueError, match="fresh"):
+        stream_ops._guard_stale_batches(d, -1)
+    assert stream_ops._batch_dirs(d) == [
+        (3, os.path.join(d, "batch-000000003"))
+    ]

@@ -76,6 +76,14 @@ def main() -> int:
     prod_env = dict(env)
     prod_env["SPARK_GRAFT_INTERACTIVE_BYTES"] = "1"
     bench_prod = _run_bench(prod_env)
+    # ok covers BOTH passes (ADVICE r9): a failed production-regime pass
+    # previously recorded bench_production_regime: null and still exited
+    # 0 — half the measurement silently disappeared from the artifact.
+    ok = (
+        bench.get("ratio_vs_duckdb") is not None
+        and bench_prod is not None
+        and bench_prod.get("ratio_vs_duckdb") is not None
+    )
     out = {
         "metric": "sf1_headline_queries_wall_clock",
         "started": time.strftime("%F %T"),
@@ -85,11 +93,12 @@ def main() -> int:
         "harness_sec": round(time.time() - t0, 1),
         "bench": bench,
         "bench_production_regime": bench_prod,
+        "ok": ok,
     }
     print(json.dumps(out))
     with open(os.path.join(ROOT, "BENCH_SF1.json"), "w") as f:
         f.write(json.dumps(out) + "\n")
-    return 0 if bench.get("ratio_vs_duckdb") is not None else 1
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

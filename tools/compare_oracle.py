@@ -4,17 +4,65 @@ Runs every query in __spark_entry__.queries() against its oracle_sql() on
 a given sf dir, compares row count + (name-sorted) columns + order-
 insensitive values, and prints a verdict per query.
 
+Oracle-result cache (``PMR_ORACLE_CACHE=1``, r10 — the sf1 gate's wall
+was ~390 s of three DuckDB oracles re-deriving identical answers every
+round): when enabled, a DuckDB result that took longer than
+``PMR_ORACLE_CACHE_MIN_SEC`` (default 20 s) is stored CANONICALIZED
+(name-sorted columns, canon()-stringified sorted rows) under the
+retention-exempt ``/tmp/pmr_scale_oraclecache`` dir, content-addressed
+by (sf-dir stat signature, oracle SQL text, DuckDB version) — any data
+or SQL change invalidates. A hit serves the cached canonical rows; the
+Spark side ALWAYS re-runs and the full comparison still happens, so the
+gate's verdict is as strong as before — only the oracle re-derivation
+is amortized. Cached hits are marked with a ``c`` suffix on the duck
+seconds in the PASS line and counted in the summary.
+
 Usage: python tools/compare_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import gzip
+import hashlib
+import json
 import math
 import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+_CACHE_DIR = "/tmp/pmr_scale_oraclecache"
+_CACHE_ON = os.environ.get("PMR_ORACLE_CACHE", "") == "1"
+_CACHE_MIN_SEC = float(os.environ.get("PMR_ORACLE_CACHE_MIN_SEC", "20"))
+
+
+def _cache_path(sf_sig: str, sql: str, duck_version: str) -> str:
+    key = hashlib.sha256(
+        f"{sf_sig}|{duck_version}|{sql}".encode()
+    ).hexdigest()[:24]
+    return os.path.join(_CACHE_DIR, f"{key}.json.gz")
+
+
+def _cache_get(path: str):
+    try:
+        with gzip.open(path, "rt") as f:
+            doc = json.load(f)
+        os.utime(_CACHE_DIR)  # liveness beacon for the TTL sweep family
+        return doc["cols"], [tuple(r) for r in doc["rows"]]
+    except Exception:
+        return None
+
+
+def _cache_put(path: str, cols, rows) -> None:
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with gzip.open(tmp, "wt") as f:
+            json.dump({"cols": cols, "rows": [list(r) for r in rows]}, f)
+        os.replace(tmp, path)
+    except Exception:
+        pass  # cache is an optimization; never fail the gate over it
 
 
 def canon(v):
@@ -62,7 +110,11 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracles = entry.queries(), entry.oracle_sql()
+    from proactive_map_reduce_spark.sources.tables import stat_signature
+
+    sf_sig = stat_signature(sf_dir) if _CACHE_ON else ""
     failures = []
+    cached_hits = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -87,18 +139,31 @@ def main() -> int:
             print(f"rows {name}: {len(srows)} rows (no oracle — rows-only) [{time.time()-t0:.1f}s]")
             continue
         t1 = time.time()
-        try:
-            res = con.execute(oracles[name])
-            dcols_raw = [d[0] for d in res.description]
-            drows_raw = res.fetchall()
+        cpath = (
+            _cache_path(sf_sig, oracles[name], duckdb.__version__)
+            if _CACHE_ON
+            else None
+        )
+        hit = _cache_get(cpath) if cpath else None
+        if hit is not None:
+            dcols, drows = hit
+            cached_hits += 1
             t_duck = time.time() - t1
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
-            failures.append(name)
-            continue
-        order = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
-        dcols = [dcols_raw[i] for i in order]
-        drows = sorted(tuple(canon(r[i]) for i in order) for r in drows_raw)
+        else:
+            try:
+                res = con.execute(oracles[name])
+                dcols_raw = [d[0] for d in res.description]
+                drows_raw = res.fetchall()
+                t_duck = time.time() - t1
+            except Exception as e:
+                print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+                failures.append(name)
+                continue
+            order = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
+            dcols = [dcols_raw[i] for i in order]
+            drows = sorted(tuple(canon(r[i]) for i in order) for r in drows_raw)
+            if cpath and t_duck > _CACHE_MIN_SEC:
+                _cache_put(cpath, dcols, drows)
         if scols != dcols:
             print(f"FAIL {name}: columns spark={scols} duck={dcols}")
             failures.append(name)
@@ -116,10 +181,15 @@ def main() -> int:
             continue
         print(
             f"PASS {name}: {len(srows)} rows [{time.time()-t0:.1f}s"
-            f" spark={t_spark:.1f} duck={t_duck:.1f}]"
+            f" spark={t_spark:.1f} duck={t_duck:.1f}"
+            f"{'c' if hit is not None else ''}]"
         )
 
-    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    print(
+        f"\n{len(failures)} failures"
+        + (f": {failures}" if failures else "")
+        + (f" ({cached_hits} cached oracles)" if cached_hits else "")
+    )
     spark.stop()
     return 1 if failures else 0
 

@@ -143,14 +143,19 @@ def run_probe(
     }
     if timings:
         secs: dict[str, dict[str, float]] = {}
-        for q, tot, sp, du in re.findall(
-            r"^PASS (\S+): .*\[([\d.]+)s spark=([\d.]+) duck=([\d.]+)\]",
+        # trailing 'c' on the duck seconds = served from the oracle-result
+        # cache (PMR_ORACLE_CACHE) — recorded so the artifact is honest
+        # about which oracle derivations were amortized across rounds
+        for q, tot, sp, du, cached in re.findall(
+            r"^PASS (\S+): .*\[([\d.]+)s spark=([\d.]+) duck=([\d.]+)(c?)\]",
             out,
             re.M,
         ):
             secs[q] = {
                 "total": float(tot), "spark": float(sp), "duck": float(du)
             }
+            if cached:
+                secs[q]["duck_cached"] = True
         for q, tot in re.findall(r"^rows (\S+): .*\[([\d.]+)s\]", out, re.M):
             secs[q] = {"total": float(tot)}
         res["query_secs"] = secs

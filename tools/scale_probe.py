@@ -213,6 +213,131 @@ def probe(spark, sf_dir: str, with_cc: bool = True) -> dict:
     return out
 
 
+def probe_w2(spark, n_docs: int = 100_000, depth: int = 16) -> dict:
+    """Shape probe for the two W2 batched stateful runners (r10 verdict
+    item 5): at ``n_docs`` keys × ``depth`` stages, the compacted state
+    design's claim is per-BATCH cost O(keys) — constant in stream depth
+    — because each micro-batch reads and rewrites exactly one state row
+    per doc. Bound checked: late-third per-batch seconds ≤ 1.5× the
+    post-warmup early third, emission rows exactly ``n_docs × depth``,
+    final state table exactly ``n_docs`` rows, and full distributed
+    value equality against the batch-computed expectation (the
+    zero-seed JVM fold for refeed; prefix-joins for the accumulator)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from proactive_map_reduce_spark.operators import chunking, mapstage
+    from proactive_map_reduce_spark.streaming import proactive as sp
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"array_join(transform(sequence(1, {2 * depth}), "
+            "i -> concat('w', id % 97, '_', i)), ' ')"
+        ).alias("text"),
+    )
+    chunks = chunking.partition_equal_arrays(docs, depth)
+    out: dict = {"n_docs": n_docs, "depth": depth}
+    runners = {
+        "refeed": sp._refeed_batched_runner,
+        "accumulate": sp._accumulate_batched_runner,
+    }
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for name, runner in runners.items():
+            root = sp.write_stage_files(chunks)
+            out_dir = tempfile.mkdtemp(prefix="pmr_probe_w2out_")
+            state_dir = tempfile.mkdtemp(prefix="pmr_probe_w2state_")
+            timings: list[dict] = []
+            t0 = time.time()
+            try:
+                got = runner(
+                    sp._chunk_stream(spark, root),
+                    out_dir=out_dir,
+                    state_dir=state_dir,
+                    timings=timings,
+                )
+                rows_out = got.count()
+                wall = round(time.time() - t0, 1)
+                mapped = mapstage.llm_map(
+                    spark.read.schema(sp.CHUNK_SCHEMA).parquet(root)
+                )
+                ps = mapped.groupBy("doc_id").agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_id", "out_text"))
+                    ).alias("ps")
+                )
+                if name == "refeed":
+                    expect = (
+                        ps.select(
+                            "doc_id",
+                            F.expr(
+                                "transform(ps, p -> struct("
+                                "p.chunk_id as batch_id, p.chunk_id as chunk_id,"
+                                "p.out_text as out_text))"
+                            ).alias("xs"),
+                        )
+                        .select(
+                            "doc_id", F.explode(F.expr(sp._REFEED_FOLD)).alias("e")
+                        )
+                        .select(
+                            "doc_id",
+                            F.col("e.chunk_id").alias("chunk_id"),
+                            F.col("e.acc_words_before").alias("acc_words_before"),
+                            F.col("e.chain").alias("chain"),
+                        )
+                    )
+                else:
+                    expect = ps.select(
+                        "doc_id",
+                        F.explode(
+                            F.expr(
+                                "transform(sequence(1, size(ps)), k -> struct("
+                                "cast(k as int) as n_chunks_seen,"
+                                "array_join(transform(slice(ps, 1, k),"
+                                " p -> p.out_text), ' ') as acc_text))"
+                            )
+                        ).alias("e"),
+                    ).select("doc_id", "e.n_chunks_seen", "e.acc_text")
+                mismatches = (
+                    got.exceptAll(expect).count() + expect.exceptAll(got).count()
+                )
+                state_rows = spark.read.parquet(
+                    os.path.join(state_dir, "state")
+                ).count()
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+                shutil.rmtree(out_dir, ignore_errors=True)
+                shutil.rmtree(state_dir, ignore_errors=True)
+            batch_s = [
+                round(t["merge_s"] + t["emit_s"] + t["swap_s"], 3)
+                for t in timings
+            ]
+            body = batch_s[2:] if len(batch_s) > 8 else batch_s
+            third = max(len(body) // 3, 1)
+            early = sum(body[:third]) / third
+            late = sum(body[-third:]) / third
+            out[name] = {
+                "batches": len(timings),
+                "rows_out": int(rows_out),
+                "rows_expected": n_docs * depth,
+                "value_mismatches": int(mismatches),
+                "state_rows_final": int(state_rows),
+                "sec": wall,
+                "rows_per_sec": round(rows_out / wall, 1) if wall else None,
+                "batch_secs": batch_s,
+                "batch_s_early3rd": round(early, 3),
+                "batch_s_late3rd": round(late, 3),
+                "latency_flat": late <= 1.5 * early,
+            }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return out
+
+
 def main() -> int:
     replica_counts = [int(a) for a in sys.argv[1:]] or [30]
 
@@ -231,8 +356,24 @@ def main() -> int:
             print(f"probing {n}x {variant} ({fx})", flush=True)
             rows[f"{n}x_{variant}"] = probe(spark, fx)
 
+    print("probing W2 batched stateful runners (100k keys × depth 16)", flush=True)
+    w2 = probe_w2(spark)
+
     base = rows["1x"]
     checks: list[str] = []
+    for op in ("refeed", "accumulate"):
+        r = w2[op]
+        if r["rows_out"] != r["rows_expected"]:
+            checks.append(f"w2 {op}: rows {r['rows_out']} != {r['rows_expected']}")
+        if r["value_mismatches"]:
+            checks.append(f"w2 {op}: {r['value_mismatches']} value mismatches")
+        if r["state_rows_final"] != w2["n_docs"]:
+            checks.append(f"w2 {op}: state rows {r['state_rows_final']} != keys")
+        if not r["latency_flat"]:
+            checks.append(
+                f"w2 {op}: per-batch latency grew with depth "
+                f"({r['batch_s_early3rd']}→{r['batch_s_late3rd']} s)"
+            )
     for key, r in rows.items():
         if not r["lsh"]["bound_holds"]:
             checks.append(f"{key}: LSH pairs exceed closed-form bound")
@@ -261,6 +402,7 @@ def main() -> int:
         "started": time.strftime("%F %T"),
         "base": BASE,
         "rows": rows,
+        "w2_batched": w2,
         "violations": checks,
         "ok": not checks,
     }

@@ -148,6 +148,50 @@ def build() -> str:
 EXCLUDE: dict[str, str] = {}
 
 
+def regen_readme_longpoles(summary: dict) -> None:
+    """Auto-regenerate README's sf1 long-pole table from the freshly
+    written artifact (r9 verdict polish item: a hand-maintained table
+    goes stale the moment the gate re-runs). The block lives between
+    SF1_LONGPOLES markers; the 'dominated by' column is derived
+    mechanically from the spark/duck split."""
+    import re
+
+    path = os.path.join(ROOT, "README.md")
+    with open(path) as f:
+        text = f.read()
+    rows = ["  | query | total | spark | duck | dominated by |",
+            "  |---|---|---|---|---|"]
+    for q, t in summary["long_poles_sec"].items():
+        sp, du = t.get("spark", 0.0), t.get("duck", 0.0)
+        cached = " (cached)" if t.get("duck_cached") else ""
+        if du >= 2 * sp:
+            dom = f"DuckDB oracle{cached}"
+        elif sp >= 2 * du:
+            dom = "Spark side (incl. staged replay harness)"
+        else:
+            dom = "both engines"
+        rows.append(f"  | {q} | {t['total']} | {sp} | {du} | {dom} |")
+    begin = "<!-- SF1_LONGPOLES:begin"
+    end = "<!-- SF1_LONGPOLES:end -->"
+    block = (
+        f"  {begin} (auto-regenerated by tools/sf1_gate.py from "
+        "SF1_GATE.json — do not edit by hand) -->\n"
+        + "\n".join(rows)
+        + f"\n  {end}"
+    )
+    new = re.sub(
+        r"[ \t]*<!-- SF1_LONGPOLES:begin.*?<!-- SF1_LONGPOLES:end -->",
+        block,
+        text,
+        count=1,
+        flags=re.S,
+    )
+    if new != text:
+        with open(path, "w") as f:
+            f.write(new)
+        print("README sf1 long-pole table regenerated", flush=True)
+
+
 def main() -> int:
     args = sys.argv[1:]
     partial = bool(args)
@@ -161,7 +205,17 @@ def main() -> int:
     # timings=True: the committed artifact carries a per-query seconds
     # map (r9 verdict item) — the r8 long pole (q_stateful_accumulate,
     # 207.6 s) was invisible in the gate total until re-timed by hand.
-    res = run_probe("sf1", {}, fixture, extra_args=args, timings=True)
+    # PMR_ORACLE_CACHE=1 (r10 verdict item 3): ~390 s of the gate was
+    # three DuckDB oracles re-deriving identical canonical rows every
+    # round (clusters recursive CTE 162 s, ROUGE LCS DP 141 s, confirmed
+    # near-dups 88 s). The cache is content-addressed by (fixture stat
+    # signature, SQL text, DuckDB version) — the Spark side always
+    # re-runs and the comparison is unchanged; cache-served rows are
+    # flagged per query (duck_cached) in query_secs.
+    res = run_probe(
+        "sf1", {"PMR_ORACLE_CACHE": "1"}, fixture, extra_args=args,
+        timings=True,
+    )
     res["sf_dir"] = fixture
     long_poles = sorted(
         res.get("query_secs", {}).items(),
@@ -175,6 +229,11 @@ def main() -> int:
         "base": BASE,
         "queries_run": len(args),
         "excluded": EXCLUDE,
+        "oracle_cache": True,
+        "oracles_served_from_cache": sorted(
+            q for q, t in res.get("query_secs", {}).items()
+            if t.get("duck_cached")
+        ),
         "long_poles_sec": {q: t for q, t in long_poles},
         "probe": res,
         "ok": res["rc"] == 0 and res["failures"] == 0,
@@ -184,6 +243,7 @@ def main() -> int:
     if not partial:  # partial runs don't overwrite the round artifact
         with open(os.path.join(ROOT, "SF1_GATE.json"), "w") as f:
             f.write(line + "\n")
+        regen_readme_longpoles(summary)
     return 0 if summary["ok"] else 1
 
 
