@@ -432,6 +432,10 @@ def _guard_runner_dirs(ckpt: str, out_dir: str, table: str) -> None:
     """
     last = _last_committed_batch(ckpt)
     _guard_stale_batches(out_dir, last)
+    # heal an interrupted swap FIRST: a crash between the two renames
+    # leaves table missing with a completed tmp beside it — a legitimate
+    # resume state the checks below must not mistake for lost state
+    up._recover(table)
     if last < 0:
         if os.path.isdir(table) or os.path.exists(up._mark_path(table)):
             raise ValueError(
@@ -531,8 +535,17 @@ def _batched_state_runner(
         up._recover(table)
         gen = up._stream_generation(ckpt)
         if batch_id <= up._last_batch(table, gen):
-            # replayed batch already folded into state; its emission dir
-            # was written (durably) before the state swap — nothing to redo
+            # Replayed batch already folded into state (directly, or via a
+            # mid-swap crash healed by _recover's tmp promotion). Its
+            # emission dir normally predates the swap, but the stale-batch
+            # guard legitimately sheds UNCOMMITTED emission dirs on
+            # restart — re-derive it from the state itself: rows with
+            # last_batch_id == batch_id carry the batch's emissions
+            # (that is what last_ems/ps exist for).
+            edir = os.path.join(out_dir, f"batch-{batch_id:09d}")
+            if not os.path.isdir(edir):
+                cur = spark.read.schema(state_schema).parquet(table)
+                op["emit"](cur, batch_id).write.mode("overwrite").parquet(edir)
             return
         old = (
             spark.read.schema(state_schema).parquet(table)

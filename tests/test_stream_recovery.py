@@ -863,3 +863,95 @@ def test_batch_dir_guards_ignore_non_numeric_entries(tmp_path):
     assert stream_ops._batch_dirs(d) == [
         (3, os.path.join(d, "batch-000000003"))
     ]
+
+
+def test_batched_runner_recovers_crash_between_state_renames(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the compacted batched runner in the dangerous window — after
+    rename(state→old) but before rename(tmp→state) — and restart from
+    the same checkpoint + dirs: the resume guard must HEAL the stranded
+    swap (promote the completed tmp) instead of refusing, the replayed
+    batch must be skipped (its emission was written before the swap),
+    and the final values must equal the uninterrupted fold."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "p q r s t u")], "doc_id long, text string"
+    )
+    chunks = chunking.partition_equal(chunking.split_words(docs), 3)
+    src_root = stream_ops.write_stage_files(chunks)
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    state_dir = str(tmp_path / "state")
+    table = os.path.join(state_dir, "state")
+    files = sorted(f for f in os.listdir(src_root) if f.endswith(".parquet"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(stream_ops.CHUNK_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(live)
+        )
+        return stream_ops._refeed_batched_runner(
+            stream, out_dir=out_dir, state_dir=state_dir, checkpoint_dir=ckpt
+        )
+
+    real_rename = os.rename
+    armed = {"on": False}
+
+    def crashing_rename(src, dst):
+        real_rename(src, dst)
+        if armed["on"] and src == table:
+            armed["on"] = False
+            raise RuntimeError("injected crash between renames")
+
+    import proactive_map_reduce_spark.streaming.proactive as sp_mod
+
+    try:
+        for f in files[:1]:
+            shutil.copy2(os.path.join(src_root, f), os.path.join(live, f))
+        run().collect()  # batch 0 commits cleanly
+
+        for f in files[1:2]:
+            shutil.copy2(os.path.join(src_root, f), os.path.join(live, f))
+        armed["on"] = True
+        monkeypatch.setattr(sp_mod.os, "rename", crashing_rename)
+        try:
+            run()
+            raise AssertionError("injected crash did not fire")
+        except Exception as e:  # surfaced through the streaming query
+            assert "injected crash" in str(e)
+        monkeypatch.setattr(sp_mod.os, "rename", real_rename)
+        assert not os.path.isdir(table)  # genuinely stranded mid-swap
+
+        for f in files[2:]:
+            shutil.copy2(os.path.join(src_root, f), os.path.join(live, f))
+        final = run().collect()
+
+        # uninterrupted expectation: the per-key reference fold
+        import hashlib as _hl
+
+        mapped = sorted(
+            mapstage.llm_map(chunks)
+            .select("doc_id", "chunk_id", "out_text")
+            .collect(),
+            key=lambda r: (r.doc_id, r.chunk_id),
+        )
+        expect, st = {}, {}
+        for r in mapped:
+            acc, chain = st.get(r.doc_id, (0, ""))
+            chain = _hl.md5((chain + (r.out_text or "")).encode()).hexdigest()[:8]
+            expect[(r.doc_id, r.chunk_id)] = (acc, chain)
+            st[r.doc_id] = (
+                acc + len([w for w in (r.out_text or "").split(" ") if w]),
+                chain,
+            )
+        got = {
+            (x["doc_id"], x["chunk_id"]): (x["acc_words_before"], x["chain"])
+            for x in final
+        }
+        assert got == expect
+        assert len(final) == len(mapped)  # no dup, no loss across the crash
+    finally:
+        shutil.rmtree(src_root, ignore_errors=True)
