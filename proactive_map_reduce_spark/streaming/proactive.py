@@ -508,7 +508,13 @@ def _batched_state_runner(
 
     Cost per batch is O(keys) state rows read + rewritten — CONSTANT in
     stream depth (the refeed state is O(1) per doc; the accumulator's
-    payload grows only as its own output must). Restart-safe: same
+    payload grows only as its own output must). The whole-table rewrite
+    is the honest cost of merge-on-plain-parquet storage (the same
+    trade recorded at ``streaming/upsert``): a sparse-touch continuous
+    stream still rewrites untouched rows' bytes each batch — on a real
+    deployment the state table is Delta/Iceberg and this collapses to a
+    partition-pruned ``MERGE INTO`` keyed by doc_id bucket, same
+    contract, no code change above this seam. Restart-safe: same
     checkpoint + same dirs resumes from the committed high-water mark
     (tests/test_stream_recovery.py); fresh-vs-resumed dir mismatches are
     refused loudly (:func:`_guard_runner_dirs`). Default temp dirs are

@@ -76,3 +76,30 @@ def test_duck_views_binds_single_file_and_directory_layout(spark, tmp_path):
     # absent tables are skipped, not errors
     duck_views(con, single, names=["lineitem"])
     con.close()
+
+
+def test_oracle_result_cache_roundtrip(tmp_path, monkeypatch):
+    """The compare harness's content-addressed oracle cache (r10): a put
+    followed by a get returns the canonical (cols, rows) with rows as
+    TUPLES (the comparator compares against tuples — a list would
+    never equal them), distinct keys never collide for different SQL,
+    and a corrupt cache file degrades to a miss, never an exception."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import compare_oracle as co
+
+    monkeypatch.setattr(co, "_CACHE_DIR", str(tmp_path / "cache"))
+    p1 = co._cache_path("sig-a", "SELECT 1", "1.0.0")
+    p2 = co._cache_path("sig-a", "SELECT 2", "1.0.0")
+    assert p1 != p2
+    cols = ["a", "b"]
+    rows = [("'x'", "1.000000"), ("'y'", "nan")]
+    co._cache_put(p1, cols, rows)
+    got = co._cache_get(p1)
+    assert got == (cols, rows)
+    assert all(isinstance(r, tuple) for r in got[1])
+    assert co._cache_get(p2) is None  # miss: different SQL
+    with open(p1, "wb") as f:
+        f.write(b"not gzip")
+    assert co._cache_get(p1) is None  # corrupt file = miss, not crash
