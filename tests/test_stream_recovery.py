@@ -955,3 +955,44 @@ def test_batched_runner_recovers_crash_between_state_renames(
         assert len(final) == len(mapped)  # no dup, no loss across the crash
     finally:
         shutil.rmtree(src_root, ignore_errors=True)
+
+
+def test_batched_runner_fresh_checkpoint_refuses_existing_state(
+    spark, tmp_path
+):
+    """The other direction of the dir/checkpoint contract: a FRESH
+    checkpoint (batch ids restart at 0) next to a state_dir that
+    already holds a state table must raise — the old state would be
+    silently folded into the new stream's accumulations."""
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    chunks = chunking.partition_equal(chunking.split_words(docs), 2)
+    src_root = stream_ops.write_stage_files(chunks)
+    state_dir = str(tmp_path / "state")
+    out_dir = str(tmp_path / "out")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(stream_ops.CHUNK_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_root)
+        )
+        return stream_ops._accumulate_batched_runner(
+            stream, out_dir=out_dir, state_dir=state_dir, checkpoint_dir=ckpt
+        )
+
+    try:
+        assert run(str(tmp_path / "ckpt_a")).count() == 2
+        # same state_dir + out_dir, NEW checkpoint: refuse, don't fold.
+        # (the out_dir batch guard fires first — both are the same
+        # foreign-data refusal; an empty out_dir with old state must
+        # then trip the state-table guard)
+        with pytest.raises(ValueError, match="fresh"):
+            run(str(tmp_path / "ckpt_b"))
+        shutil.rmtree(out_dir)
+        os.makedirs(out_dir)
+        with pytest.raises(ValueError, match="state table"):
+            run(str(tmp_path / "ckpt_c"))
+    finally:
+        shutil.rmtree(src_root, ignore_errors=True)
