@@ -298,17 +298,20 @@ def main() -> None:
     out["durable_refeed"] = durable_refeed_soak(
         spark, duration_s=duration, rows_per_second=max(rate // 4, 1000)
     )
-    # the r10 compacted batched runner at stage depth 48: flat per-batch
-    # latency + per-phase breakdown (merge/emit/swap) — the evidence the
-    # compaction removed the O(batches²) history re-scan
+    # the r10 compacted batched runner at stage depths 48 and 96: flat
+    # per-batch latency + per-phase breakdown (merge/emit/swap) — the
+    # evidence the compaction removed the O(batches²) history re-scan
+    # (and that flatness holds when the depth doubles again)
     out["durable_batched"] = batched_depth_soak(spark)
-    out["ok"] = bool(
-        out["durable_batched"]["latency_flat"]
-        and out["durable_batched"]["value_mismatches"] == 0
-        and out["durable_batched"]["rows_out"]
-        == out["durable_batched"]["rows_expected"]
-        and out["durable_batched"]["state_rows_final"]
-        == out["durable_batched"]["n_docs"]
+    out["durable_batched_deep"] = batched_depth_soak(
+        spark, n_docs=10000, depth=96
+    )
+    out["ok"] = all(
+        r["latency_flat"]
+        and r["value_mismatches"] == 0
+        and r["rows_out"] == r["rows_expected"]
+        and r["state_rows_final"] == r["n_docs"]
+        for r in (out["durable_batched"], out["durable_batched_deep"])
     )
     line = json.dumps(out)
     print(line)
