@@ -146,17 +146,16 @@ _REWRITTEN = {
     # join (O(log diameter) rounds) — identical min-label fixpoint
     # (sf0.01/sf0.1 hash-green, path-graph convergence test), new plan.
     "q_dedup_clusters": 8,
-    # round-10 scale pass: both W2 batched runners moved from raw
-    # per-batch state dirs (full history re-scanned every micro-batch —
-    # O(batches²) lifetime I/O, the r9 verdict's remaining weak item) to
-    # a COMPACTED one-row-per-doc keyed state table with atomic swap +
-    # generation-scoped marks (streaming/proactive._batched_state_runner;
-    # the refeed fold is now SEEDED from persisted per-doc state). Values
-    # identical (mode-equivalence + seeded-fold composition property +
-    # restart tests); the PLANS changed, so the driver should re-derive
-    # both rows.
-    "q_stateful_accumulate": 10,
-    "q_stream_refeed_chain": 10,
+    # round-11 scale pass: the compacted W2 state table is now BUCKETED
+    # by span-hashed doc_id (streaming/proactive: bucket subdirs with
+    # per-bucket atomic swap; a micro-batch reads/rewrites only the
+    # buckets its keys touch instead of the whole table — the r10
+    # verdict's remaining trade). Values identical (mode-equivalence,
+    # restart + bucket-crash-window tests, byte-level untouched-bucket
+    # pin); the PLANS changed again, so the driver should re-derive both
+    # rows on the bucketed runner. (Supersedes the r10 compaction pins.)
+    "q_stateful_accumulate": 11,
+    "q_stream_refeed_chain": 11,
 }
 
 

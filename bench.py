@@ -85,17 +85,18 @@ def main() -> None:
             except Exception:
                 pass
 
-    # Ten measured iterations per query, report the best: the first
-    # fresh-JVM passes are dominated by C2 JIT ramp-up (the same plans run
-    # 2-4x faster once hot — measured: flagship 3.9 s cold vs 1.0 s hot,
-    # and the per-operator-codegen path that hugeMethodLimit=8000 selects
-    # for wide expressions needs ~5 passes to fully compile: similarity
-    # top-k measured 0.60 s at rep 3 vs 0.38 s steady-state over 8
-    # interleaved reps; minhash+LSH measured 1.62 s at rep 5 but 1.14 s
-    # after ~15 headline executions warmed the JVM — best-of-5
-    # undersampled the ramp). Steady state is what a resident cluster
-    # executes. Every iteration is a full end-to-end execution at sf_dir;
-    # DuckDB below gets the same rep count.
+    # Ten measured iterations per query, report the MEDIAN of the
+    # steady-state (second) half of the reps (r10 verdict: the former
+    # best-of could neither show a regression nor exonerate one when the
+    # host drifted — r10 measured +12% on BOTH engines from load alone;
+    # a median over post-ramp reps is robust in both directions). The
+    # first half of the reps absorbs C2 JIT ramp-up (the same plans run
+    # 2-4x faster once hot — measured: flagship 3.9 s cold vs 1.0 s hot;
+    # the per-operator-codegen path that hugeMethodLimit=8000 selects
+    # for wide expressions needs ~5 passes to fully compile). Steady
+    # state is what a resident cluster executes. Every iteration is a
+    # full end-to-end execution at sf_dir; DuckDB below gets the same
+    # rep count, the same steady-half median.
     # Same-run DuckDB reference: the oracle SQL of the same headline set,
     # best-of-10 matching the Spark rep count. The host shows large
     # external load drift (measured: identical code, +20% wall within a
@@ -104,8 +105,9 @@ def main() -> None:
     # drift window of minutes degrades both numerators the same way
     # instead of landing entirely on whichever engine happened to run
     # during it. Judges can still re-time independently.
+    import statistics
+
     duck_total = None
-    duck_timings: dict[str, float] = {}
     duck_error = None
     con = None
     try:
@@ -127,8 +129,9 @@ def main() -> None:
     # data each rep is compute-dominated (seconds, not the ~0.4 s floor),
     # so steady state arrives in fewer passes and 10 full reps would just
     # re-measure the same plateau for half an hour.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "10"))
-    timings: dict[str, float] = {}
+    reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "10")), 3)
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    duck_samples: dict[str, list[float]] = {}
     for _ in range(reps):
         # drop persisted intermediates so every iteration re-executes the
         # full pipeline (plan-cache matching would otherwise let a query
@@ -138,9 +141,7 @@ def main() -> None:
             df = REGISTRY[name](spark, sf_dir)
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
-            dt = round(time.time() - t0, 3)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            samples[name].append(round(time.time() - t0, 3))
         if con is not None:
             try:
                 for name in HEADLINE:
@@ -149,14 +150,21 @@ def main() -> None:
                         continue
                     t0 = time.time()
                     con.execute(sql).fetchall()
-                    dt = round(time.time() - t0, 3)
-                    if name not in duck_timings or dt < duck_timings[name]:
-                        duck_timings[name] = dt
+                    duck_samples.setdefault(name, []).append(
+                        round(time.time() - t0, 3)
+                    )
             except Exception as e:
                 duck_error = f"{type(e).__name__}: {e}"
                 con = None
-                duck_timings = {}
+                duck_samples = {}
 
+    def steady_median(xs: list[float]) -> float:
+        # second half of the reps = post-JIT-ramp steady state
+        return round(statistics.median(xs[len(xs) // 2:]), 3)
+
+    timings = {n: steady_median(xs) for n, xs in samples.items() if xs}
+    best = {n: min(xs) for n, xs in samples.items() if xs}
+    duck_timings = {n: steady_median(xs) for n, xs in duck_samples.items() if xs}
     total = round(sum(timings.values()), 3)
     if duck_timings:
         duck_total = round(sum(duck_timings.values()), 3)
@@ -167,7 +175,10 @@ def main() -> None:
         "metric": "headline_queries_wall_clock",
         "value": total,
         "unit": "sec",
+        "stat": "median_steady_half",
+        "reps": reps,
         "queries": timings,
+        "queries_best": best,
         "sf": sf,
         # which tune_for_input branch fired (production = AQE on,
         # partitions = cores; interactive = AQE off, input-sized
@@ -178,6 +189,9 @@ def main() -> None:
     if duck_total is not None:
         out["duckdb_oracle_sec"] = duck_total
         out["duckdb_queries"] = duck_timings
+        out["duckdb_queries_best"] = {
+            n: min(xs) for n, xs in duck_samples.items() if xs
+        }
         if duck_total > 0:
             out["ratio_vs_duckdb"] = round(total / duck_total, 2)
     if duck_error is not None:

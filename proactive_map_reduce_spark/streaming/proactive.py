@@ -210,6 +210,24 @@ def _last_committed_batch(ckpt: str) -> int:
     return max(ids, default=-1)
 
 
+def _last_offset_batch(ckpt: str) -> int:
+    """Highest batch id the checkpoint has PLANNED (-1 when none): the
+    offsets log gains one file per batch BEFORE processing starts, so on
+    restart Structured Streaming replays exactly the latest offsets
+    entry when its commit is missing — batches below it are never
+    re-emitted."""
+    ids = []
+    try:
+        for nm in os.listdir(os.path.join(ckpt, "offsets")):
+            try:
+                ids.append(int(nm))
+            except ValueError:
+                pass
+    except OSError:
+        pass
+    return max(ids, default=-1)
+
+
 #: Strict batch-dir name (ADVICE r9): a foreign entry like ``batch-old``
 #: in a user-supplied dir must be ignored by listings, not crash the
 #: guard's int() parse.
@@ -418,12 +436,173 @@ def _read_mark_raw(table: str) -> dict | None:
         return None
 
 
+# --- bucketed state layout (r11) -------------------------------------
+#
+# The compacted state table is a directory of BUCKET subdirs:
+#
+#     <state_dir>/state/            the table
+#         _meta.json                {"n_buckets": N, "span": S} — pinned
+#                                   at creation; resumes reuse it (a
+#                                   changed N/S would mis-place keys)
+#         b00000/ ... bNNNNN/       parquet dirs, one per non-empty bucket
+#     <state_dir>/state.batchmark   single high-water mark (batch id +
+#                                   stream generation), as before
+#
+# bucket(doc_id) = xxhash64(floor(doc_id / S)) mod N: contiguous S-wide
+# doc_id ranges co-locate in one bucket (a clustered sparse batch — a
+# backfilled shard, a late partition of docs — prunes to few buckets),
+# and the span index is hashed so arbitrary/skewed id ranges still
+# balance across the N buckets. A batch reads and rewrites ONLY the
+# buckets its keys touch; untouched buckets are never opened — the r10
+# verdict's remaining trade (the whole-table rewrite per micro-batch)
+# becomes cost ∝ touched buckets. A batch of uniformly RANDOM keys
+# still touches ~min(keys, N) buckets — that bound is the honest limit
+# of bucket pruning on any partitioned store and is recorded by
+# tools/scale_probe.py's sparse-touch matrix.
+#
+# Swap protocol per touched bucket k (batch b):
+#     write <table>.tmp_<b>/__bucket=<k>/   (one partitionBy job)
+#     rename b<k>    -> b<k>.old_<b>        (if the bucket existed)
+#     rename tmp/__bucket=<k> -> b<k>
+# then write the mark and delete the tmp root + old dirs. Recovery is
+# ROLLBACK-ONLY (:func:`_recover_state`): restore any missing bucket
+# from its .old, delete strays, never advance the mark — the
+# interrupted batch replays and converges via the per-row
+# ``last_batch_id`` guard, and its emission is rewritten (overwrite)
+# or re-derived from state.
+
+_BUCKET_NAME_RE = re.compile(r"b(\d{5})")
+_BUCKET_OLD_RE = re.compile(r"(b\d{5})\.old_(\d+)")
+_DEFAULT_BUCKETS = int(os.environ.get("PMR_STATE_BUCKETS", "16"))
+_DEFAULT_SPAN = int(os.environ.get("PMR_STATE_BUCKET_SPAN", "1024"))
+
+
+def _meta_path(table: str) -> str:
+    return os.path.join(table, "_meta.json")
+
+
+def _table_meta(table: str) -> dict | None:
+    try:
+        with open(_meta_path(table)) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _init_table(table: str, n_buckets: int, span: int) -> tuple[int, int]:
+    """Create the table dir + meta on first touch; on resume return the
+    PINNED bucketing params (caller args are a first-creation default
+    only — honoring a different N/S mid-stream would mis-place keys)."""
+    meta = _table_meta(table)
+    if meta is not None:
+        return int(meta["n_buckets"]), int(meta["span"])
+    if os.path.isdir(table):
+        raise ValueError(
+            f"state table {table!r} exists without _meta.json — either a "
+            "pre-bucketing (r10) layout or a foreign directory. Stream "
+            "state is not auto-migrated: re-run the stream from a fresh "
+            "checkpoint + empty state_dir."
+        )
+    os.makedirs(table, exist_ok=True)
+    tmp = _meta_path(table) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_buckets": int(n_buckets), "span": int(span)}, f)
+    os.replace(tmp, _meta_path(table))
+    return int(n_buckets), int(span)
+
+
+def _bucket_expr(n_buckets: int, span: int):
+    return F.coalesce(
+        F.pmod(
+            F.xxhash64(F.floor(F.col("doc_id") / F.lit(int(span)))),
+            F.lit(int(n_buckets)),
+        ),
+        F.lit(0),  # null doc_id (a null batch group) pins to bucket 0
+    ).cast("int")
+
+
+def _bucket_path(table: str, k: int) -> str:
+    return os.path.join(table, f"b{int(k):05d}")
+
+
+def _bucket_dirs(table: str, bucket_ids=None) -> list[str]:
+    """Existing bucket dirs — all of them, or just the given ids."""
+    if bucket_ids is not None:
+        out = []
+        for k in bucket_ids:
+            p = _bucket_path(table, k)
+            if os.path.isdir(p):
+                out.append(p)
+        return out
+    try:
+        names = os.listdir(table)
+    except OSError:
+        return []
+    return sorted(
+        os.path.join(table, nm) for nm in names if _BUCKET_NAME_RE.fullmatch(nm)
+    )
+
+
+def _read_state(
+    spark: SparkSession, table: str, schema: T.StructType, bucket_ids=None
+) -> DataFrame:
+    dirs = _bucket_dirs(table, bucket_ids)
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*dirs)
+
+
+def read_state_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed state table with inferred schema (tools/tests —
+    the bucket subdirs + _meta.json mean a plain ``read.parquet(table)``
+    no longer works)."""
+    dirs = _bucket_dirs(table)
+    if not dirs:
+        raise FileNotFoundError(f"no bucket dirs under state table {table!r}")
+    return spark.read.parquet(*dirs)
+
+
+def _recover_state(table: str) -> None:
+    """Heal an interrupted bucket swap — rollback-only.
+
+    Restore every MISSING bucket from its stranded ``.old_<id>`` (a
+    crash between that bucket's two renames), then delete stranded tmp
+    roots and leftover olds. The mark is NEVER advanced here: the
+    interrupted batch replays and converges via the per-row
+    ``last_batch_id`` guard (already-swapped buckets pass through
+    byte-identical; rolled-back buckets re-fold), and the replay
+    rewrites the emission dir. A bucket first touched by the
+    interrupted batch legitimately has no dir and no old — the replay
+    recreates it."""
+    if os.path.isdir(table):
+        for nm in sorted(os.listdir(table)):
+            m = _BUCKET_OLD_RE.fullmatch(nm)
+            if not m:
+                continue
+            src = os.path.join(table, nm)
+            dst = os.path.join(table, m.group(1))
+            if os.path.isdir(dst):
+                shutil.rmtree(src, ignore_errors=True)  # swap completed
+            else:
+                os.rename(src, dst)  # mid-swap: roll back to pre-batch
+    for _, p in up._stranded(table, ".tmp_"):
+        shutil.rmtree(p, ignore_errors=True)
+
+
 def _guard_runner_dirs(ckpt: str, out_dir: str, table: str) -> None:
     """Both directions of the dir/checkpoint consistency contract:
 
     - FRESH checkpoint (no committed batch): foreign batch dirs in
       ``out_dir`` (ADVICE r8) or a pre-existing state table/mark would be
       silently folded into the new stream's results — refuse both.
+      EXCEPTION (ADVICE r10): a run killed in the FIRST-batch window
+      (state table + mark written, streaming commit for batch 0 not yet)
+      also presents last<0 — but its mark carries THIS checkpoint's
+      stream generation, proving the state was written by this
+      checkpoint lifetime. That is a legitimate resume: shed the
+      uncommitted emission dirs and let the replay converge (idempotent
+      via the per-row last_batch_id guard). Only a generation
+      mismatch/absence is foreign state and refuses.
     - RESUMED checkpoint (ADVICE r9, the converse hole): the committed
       batches' emissions AND a state table at least as new as the commit
       high-water mark must exist — the mkdtemp defaults when a caller
@@ -431,13 +610,29 @@ def _guard_runner_dirs(ckpt: str, out_dir: str, table: str) -> None:
       from EMPTY state and lose the committed batches' output silently.
     """
     last = _last_committed_batch(ckpt)
-    _guard_stale_batches(out_dir, last)
-    # heal an interrupted swap FIRST: a crash between the two renames
-    # leaves table missing with a completed tmp beside it — a legitimate
-    # resume state the checks below must not mistake for lost state
-    up._recover(table)
+    # heal an interrupted bucket swap FIRST: a crash between a bucket's
+    # two renames leaves it missing with its .old beside it — a
+    # legitimate resume state the checks below must not mistake for
+    # lost state
+    _recover_state(table)
     if last < 0:
         if os.path.isdir(table) or os.path.exists(up._mark_path(table)):
+            mark = _read_mark_raw(table)
+            floor = _last_offset_batch(ckpt)
+            if (
+                mark is not None
+                and mark.get("stream") == up._stream_generation(ckpt)
+                and 0 <= floor
+                and mark.get("batch_id", -1) <= floor
+            ):
+                # first-batch-window resume of THIS checkpoint: the
+                # stream replays exactly the latest offsets entry —
+                # shed only the batch dirs it will recommit (earlier
+                # dirs are already-final emissions it never re-runs)
+                for i, p in _batch_dirs(out_dir):
+                    if i >= floor:
+                        shutil.rmtree(p, ignore_errors=True)
+                return
             raise ValueError(
                 f"state dir {os.path.dirname(table)!r} already holds a "
                 "state table but the checkpoint is fresh (batch ids "
@@ -445,7 +640,9 @@ def _guard_runner_dirs(ckpt: str, out_dir: str, table: str) -> None:
                 "into the new stream. Use an empty state_dir, or resume "
                 "with the original checkpoint_dir."
             )
+        _guard_stale_batches(out_dir, last)
         return
+    _guard_stale_batches(out_dir, last)
     _guard_resume_outputs(out_dir, last)
     mark = _read_mark_raw(table)
     if not os.path.isdir(table) or mark is None or mark.get("batch_id", -1) < last:
@@ -473,6 +670,8 @@ def _batched_state_runner(
     state_dir: str | None = None,
     checkpoint_dir: str | None = None,
     timings: list | None = None,
+    n_buckets: int | None = None,
+    bucket_span: int | None = None,
 ) -> DataFrame:
     """Batched (relational) keyed-state runner: ``foreachBatch`` against
     a COMPACTED one-row-per-doc parquet state table instead of per-KEY
@@ -506,25 +705,28 @@ def _batched_state_runner(
       — so every crash point either replays the merge (identical by
       the per-row guard) or finds the emission already durable.
 
-    Cost per batch is O(keys) state rows read + rewritten — CONSTANT in
-    stream depth (the refeed state is O(1) per doc; the accumulator's
-    payload grows only as its own output must). The whole-table rewrite
-    is the honest cost of merge-on-plain-parquet storage (the same
-    trade recorded at ``streaming/upsert``): a sparse-touch continuous
-    stream still rewrites untouched rows' bytes each batch — on a real
-    deployment the state table is Delta/Iceberg and this collapses to a
-    partition-pruned ``MERGE INTO`` keyed by doc_id bucket, same
-    contract, no code change above this seam. Restart-safe: same
-    checkpoint + same dirs resumes from the committed high-water mark
-    (tests/test_stream_recovery.py); fresh-vs-resumed dir mismatches are
-    refused loudly (:func:`_guard_runner_dirs`). Default temp dirs are
+    Cost per batch is O(touched buckets) state rows read + rewritten —
+    CONSTANT in stream depth (the refeed state is O(1) per doc; the
+    accumulator's payload grows only as its own output must), and
+    SUB-LINEAR in total keys for sparse-touch batches (r11): the state
+    table is bucketed by span-hashed doc_id (see the bucketed-layout
+    notes above) and a batch opens only the buckets its keys land in —
+    the plain-parquet analog of a partition-pruned Delta/Iceberg
+    ``MERGE INTO``, same contract, no code change above this seam.
+    Restart-safe: same checkpoint + same dirs resumes from the
+    committed high-water mark (tests/test_stream_recovery.py),
+    including a kill inside the FIRST-batch window (ADVICE r10);
+    fresh-vs-resumed dir mismatches are refused loudly
+    (:func:`_guard_runner_dirs`). Default temp dirs are
     retention-swept by ``sources/retention`` (the ``pmr_*`` TTL family);
     the returned DataFrame reads ``out_dir`` lazily, so nothing deletes
     eagerly here.
 
     ``timings`` (optional list) receives one dict per live batch with
-    the per-phase seconds (merge/emit/swap) — the soak tools' evidence
-    that per-batch latency stays flat as history deepens.
+    the per-phase seconds (merge/emit/swap, plus the touched-bucket
+    probe inside merge) — the soak tools' evidence that per-batch
+    latency stays flat as history deepens and tracks the touched
+    fraction when batches are sparse.
     """
     spark = stream_df.sparkSession
     out_dir = out_dir or tempfile.mkdtemp(prefix="pmr_stream_out_")
@@ -535,51 +737,81 @@ def _batched_state_runner(
     table = os.path.join(state_dir, "state")
     _guard_runner_dirs(ckpt, out_dir, table)
     state_schema = op["state"]
+    nb0 = n_buckets or _DEFAULT_BUCKETS
+    span0 = bucket_span or _DEFAULT_SPAN
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.time()
-        up._recover(table)
+        _recover_state(table)
         gen = up._stream_generation(ckpt)
+        edir = os.path.join(out_dir, f"batch-{batch_id:09d}")
         if batch_id <= up._last_batch(table, gen):
-            # Replayed batch already folded into state (directly, or via a
-            # mid-swap crash healed by _recover's tmp promotion). Its
-            # emission dir normally predates the swap, but the stale-batch
-            # guard legitimately sheds UNCOMMITTED emission dirs on
-            # restart — re-derive it from the state itself: rows with
+            # Replayed batch already folded into state (swap + mark
+            # completed, crash before the stream commit). Its emission
+            # dir normally predates the swap, but the stale-batch guard
+            # legitimately sheds UNCOMMITTED emission dirs on restart —
+            # re-derive it from the state itself: rows with
             # last_batch_id == batch_id carry the batch's emissions
             # (that is what last_ems/ps exist for).
-            edir = os.path.join(out_dir, f"batch-{batch_id:09d}")
             if not os.path.isdir(edir):
-                cur = spark.read.schema(state_schema).parquet(table)
+                cur = _read_state(spark, table, state_schema)
                 op["emit"](cur, batch_id).write.mode("overwrite").parquet(edir)
             return
-        old = (
-            spark.read.schema(state_schema).parquet(table)
-            if os.path.isdir(table)
+        nb, span = _init_table(table, nb0, span0)
+        bexpr = _bucket_expr(nb, span)
+        # the batch feeds three consumers (touched-bucket probe, merge,
+        # emit-by-way-of-merge): pin it so the map stage runs once
+        batch_df.persist()
+        touched = sorted(
+            r["b"] for r in batch_df.select(bexpr.alias("b")).distinct().collect()
+        )
+        t1 = time.time()
+        old = _read_state(spark, table, state_schema, touched)
+        tmp = table + f".tmp_{batch_id}"
+        (
+            op["merge"](old, batch_df, batch_id)
+            .withColumn("__bucket", bexpr)
+            .repartition(F.col("__bucket"))  # ≈one file per bucket dir
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(tmp)
+        )
+        batch_df.unpersist()
+        t2 = time.time()
+        staged_dirs = []
+        for k in touched:
+            p = os.path.join(tmp, f"__bucket={k}")
+            if os.path.isdir(p):
+                staged_dirs.append((k, p))
+        staged = (
+            spark.read.schema(state_schema).parquet(*[p for _, p in staged_dirs])
+            if staged_dirs
             else spark.createDataFrame([], state_schema)
         )
-        tmp = table + f".tmp_{batch_id}"
-        op["merge"](old, batch_df, batch_id).write.mode("overwrite").parquet(tmp)
-        t1 = time.time()
-        staged = spark.read.schema(state_schema).parquet(tmp)
-        op["emit"](staged, batch_id).write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch-{batch_id:09d}")
-        )
-        t2 = time.time()
-        old_dir = table + f".old_{batch_id}"
-        if os.path.isdir(table):
-            os.rename(table, old_dir)
-        os.rename(tmp, table)
-        shutil.rmtree(old_dir, ignore_errors=True)
+        op["emit"](staged, batch_id).write.mode("overwrite").parquet(edir)
+        t3 = time.time()
+        olds = []
+        for k, src in staged_dirs:
+            dst = _bucket_path(table, k)
+            if os.path.isdir(dst):
+                os.rename(dst, dst + f".old_{batch_id}")
+                olds.append(dst + f".old_{batch_id}")
+            os.rename(src, dst)
         with open(up._mark_path(table), "w") as f:
             json.dump({"batch_id": batch_id, "stream": gen}, f)
+        shutil.rmtree(tmp, ignore_errors=True)
+        for p in olds:
+            shutil.rmtree(p, ignore_errors=True)
         if timings is not None:
             timings.append(
                 {
                     "batch_id": batch_id,
-                    "merge_s": round(t1 - t0, 3),
-                    "emit_s": round(t2 - t1, 3),
-                    "swap_s": round(time.time() - t2, 3),
+                    "merge_s": round(t2 - t0, 3),
+                    "touch_s": round(t1 - t0, 3),
+                    "emit_s": round(t3 - t2, 3),
+                    "swap_s": round(time.time() - t3, 3),
+                    "buckets_touched": len(staged_dirs),
+                    "n_buckets": nb,
                 }
             )
 
@@ -674,6 +906,8 @@ def _accumulate_batched_runner(
     state_dir: str | None = None,
     checkpoint_dir: str | None = None,
     timings: list | None = None,
+    n_buckets: int | None = None,
+    bucket_span: int | None = None,
 ) -> DataFrame:
     """Batched W2 accumulator: one compacted state row per doc holding
     the chunk-ordered (chunk_id, out_text) pairs; each batch's emission
@@ -684,6 +918,7 @@ def _accumulate_batched_runner(
         stream_df, _ACC_OP, _ACC_OUT,
         model_fn=model_fn, out_dir=out_dir, state_dir=state_dir,
         checkpoint_dir=checkpoint_dir, timings=timings,
+        n_buckets=n_buckets, bucket_span=bucket_span,
     )
 
 
@@ -924,6 +1159,8 @@ def _refeed_batched_runner(
     state_dir: str | None = None,
     checkpoint_dir: str | None = None,
     timings: list | None = None,
+    n_buckets: int | None = None,
+    bucket_span: int | None = None,
 ) -> DataFrame:
     """Batched refeed: fold each micro-batch onto the compacted per-doc
     (chain, acc_words) state with the seeded ``_refeed_fold`` expression
@@ -936,6 +1173,7 @@ def _refeed_batched_runner(
         stream_df, _REFEED_OP, _REFEED_OUT,
         model_fn=model_fn, out_dir=out_dir, state_dir=state_dir,
         checkpoint_dir=checkpoint_dir, timings=timings,
+        n_buckets=n_buckets, bucket_span=bucket_span,
     )
 
 

@@ -865,17 +865,42 @@ def test_batch_dir_guards_ignore_non_numeric_entries(tmp_path):
     ]
 
 
-def test_batched_runner_recovers_crash_between_state_renames(
+def _refeed_reference_fold(chunks):
+    """The uninterrupted per-key reference fold for a chunk fixture:
+    {(doc_id, chunk_id): (acc_words_before, chain)}."""
+    import hashlib as _hl
+
+    mapped = sorted(
+        mapstage.llm_map(chunks)
+        .select("doc_id", "chunk_id", "out_text")
+        .collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    expect, st = {}, {}
+    for r in mapped:
+        acc, chain = st.get(r.doc_id, (0, ""))
+        chain = _hl.md5((chain + (r.out_text or "")).encode()).hexdigest()[:8]
+        expect[(r.doc_id, r.chunk_id)] = (acc, chain)
+        st[r.doc_id] = (
+            acc + len([w for w in (r.out_text or "").split(" ") if w]),
+            chain,
+        )
+    return expect
+
+
+def test_batched_runner_recovers_crash_between_bucket_renames(
     spark, tmp_path, monkeypatch
 ):
-    """Kill the compacted batched runner in the dangerous window — after
-    rename(state→old) but before rename(tmp→state) — and restart from
-    the same checkpoint + dirs: the resume guard must HEAL the stranded
-    swap (promote the completed tmp) instead of refusing, the replayed
-    batch must be skipped (its emission was written before the swap),
-    and the final values must equal the uninterrupted fold."""
+    """Kill the bucketed batched runner in the dangerous window — after
+    rename(bucket→bucket.old) but before rename(tmp bucket→bucket), with
+    OTHER buckets of the same batch already fully swapped — and restart
+    from the same checkpoint + dirs: recovery must ROLL the stranded
+    bucket BACK to its pre-batch state (the mark never advanced, so the
+    batch replays; already-swapped buckets pass through the per-row
+    guard byte-identical, the rolled-back bucket re-folds), and the
+    final values must equal the uninterrupted fold."""
     docs = spark.createDataFrame(
-        [(1, "a b c d e f"), (2, "p q r s t u")], "doc_id long, text string"
+        [(i, "a b c d e f") for i in range(8)], "doc_id long, text string"
     )
     chunks = chunking.partition_equal(chunking.split_words(docs), 3)
     src_root = stream_ops.write_stage_files(chunks)
@@ -893,66 +918,77 @@ def test_batched_runner_recovers_crash_between_state_renames(
             .option("maxFilesPerTrigger", 1)
             .parquet(live)
         )
+        # span=1 so the 8 docs hash across several of the 4 buckets —
+        # the batch swap walks multiple buckets
         return stream_ops._refeed_batched_runner(
-            stream, out_dir=out_dir, state_dir=state_dir, checkpoint_dir=ckpt
+            stream, out_dir=out_dir, state_dir=state_dir,
+            checkpoint_dir=ckpt, n_buckets=4, bucket_span=1,
         )
 
     real_rename = os.rename
-    armed = {"on": False}
+    armed = {"rename_aways": 0}
 
     def crashing_rename(src, dst):
         real_rename(src, dst)
-        if armed["on"] and src == table:
-            armed["on"] = False
-            raise RuntimeError("injected crash between renames")
+        # a bucket's rename-away (dst is its .old_<id>): crash on the
+        # SECOND one, so bucket 1 of the batch is already fully swapped
+        # and bucket 2 is stranded mid-swap
+        if armed["rename_aways"] and ".old_" in dst and src.startswith(table):
+            armed["rename_aways"] += 1
+            if armed["rename_aways"] == 3:
+                armed["rename_aways"] = 0
+                raise RuntimeError("injected crash between bucket renames")
 
     import proactive_map_reduce_spark.streaming.proactive as sp_mod
 
     try:
         for f in files[:1]:
             shutil.copy2(os.path.join(src_root, f), os.path.join(live, f))
-        run().collect()  # batch 0 commits cleanly
+        r0 = run()
+        assert r0.count() == 8  # batch 0 commits cleanly
+        n_buckets0 = len(stream_ops._bucket_dirs(table))
+        assert n_buckets0 >= 2  # the fixture really spans buckets
 
         for f in files[1:2]:
             shutil.copy2(os.path.join(src_root, f), os.path.join(live, f))
-        armed["on"] = True
+        armed["rename_aways"] = 1
         monkeypatch.setattr(sp_mod.os, "rename", crashing_rename)
         try:
             run()
-            raise AssertionError("injected crash did not fire")
+            raise AssertionError("crash injection never fired")
         except Exception as e:  # surfaced through the streaming query
             assert "injected crash" in str(e)
         monkeypatch.setattr(sp_mod.os, "rename", real_rename)
-        assert not os.path.isdir(table)  # genuinely stranded mid-swap
+        # genuinely stranded mid-swap: the first bucket fully swapped
+        # (its .old pends the end-of-batch cleanup that never ran), the
+        # second renamed away but not yet replaced — bucket dir missing
+        olds = [
+            nm for nm in os.listdir(table)
+            if stream_ops._BUCKET_OLD_RE.fullmatch(nm)
+        ]
+        assert len(olds) >= 2
+        stranded = [
+            nm for nm in olds
+            if not os.path.isdir(os.path.join(table, nm.split(".old_")[0]))
+        ]
+        assert len(stranded) == 1
 
         for f in files[2:]:
             shutil.copy2(os.path.join(src_root, f), os.path.join(live, f))
         final = run().collect()
 
-        # uninterrupted expectation: the per-key reference fold
-        import hashlib as _hl
-
-        mapped = sorted(
-            mapstage.llm_map(chunks)
-            .select("doc_id", "chunk_id", "out_text")
-            .collect(),
-            key=lambda r: (r.doc_id, r.chunk_id),
-        )
-        expect, st = {}, {}
-        for r in mapped:
-            acc, chain = st.get(r.doc_id, (0, ""))
-            chain = _hl.md5((chain + (r.out_text or "")).encode()).hexdigest()[:8]
-            expect[(r.doc_id, r.chunk_id)] = (acc, chain)
-            st[r.doc_id] = (
-                acc + len([w for w in (r.out_text or "").split(" ") if w]),
-                chain,
-            )
+        expect = _refeed_reference_fold(chunks)
         got = {
             (x["doc_id"], x["chunk_id"]): (x["acc_words_before"], x["chain"])
             for x in final
         }
         assert got == expect
-        assert len(final) == len(mapped)  # no dup, no loss across the crash
+        assert len(final) == len(expect)  # no dup, no loss across the crash
+        # recovery cleaned the stranded swap artifacts
+        assert not [
+            nm for nm in os.listdir(table)
+            if stream_ops._BUCKET_OLD_RE.fullmatch(nm)
+        ]
     finally:
         shutil.rmtree(src_root, ignore_errors=True)
 
@@ -996,3 +1032,155 @@ def test_batched_runner_fresh_checkpoint_refuses_existing_state(
             run(str(tmp_path / "ckpt_c"))
     finally:
         shutil.rmtree(src_root, ignore_errors=True)
+
+
+def test_batched_runner_resumes_first_batch_window_kill(spark, tmp_path):
+    """ADVICE r10: a durable run killed in the FIRST-batch window — state
+    table and mark written, but the streaming commit log for batch 0 not
+    yet — presents last_committed == -1 on restart, which used to take
+    the fresh-checkpoint branch and refuse a legitimate same-checkpoint
+    resume. The mark's stream generation equals this checkpoint's, which
+    proves the state was written by this checkpoint lifetime: the guard
+    must allow the resume, the replayed batch must converge via the
+    per-row guard, and the final values must equal the uninterrupted
+    fold. A FOREIGN state table (different generation) must still
+    refuse."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "p q r s")], "doc_id long, text string"
+    )
+    chunks = chunking.partition_equal(chunking.split_words(docs), 2)
+    src_root = stream_ops.write_stage_files(chunks)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    state_dir = str(tmp_path / "state")
+    table = os.path.join(state_dir, "state")
+
+    def run(**kw):
+        stream = (
+            spark.readStream.schema(stream_ops.CHUNK_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_root)
+        )
+        return stream_ops._refeed_batched_runner(
+            stream, out_dir=out_dir, state_dir=state_dir,
+            checkpoint_dir=ckpt, **kw
+        )
+
+    try:
+        r1 = sorted(map(tuple, run().collect()))
+        # simulate the kill window: every batch's state swap + mark
+        # landed, but the streaming commit log never did — on disk this
+        # is exactly a crash between the last mark write and the commit
+        commits = os.path.join(ckpt, "commits")
+        for nm in os.listdir(commits):
+            os.remove(os.path.join(commits, nm))
+        assert stream_ops._last_committed_batch(ckpt) == -1
+        mark = stream_ops._read_mark_raw(table)
+        assert mark is not None and mark["stream"] == up._stream_generation(ckpt)
+
+        r2 = sorted(map(tuple, run().collect()))  # resumes, no refusal
+        assert r2 == r1
+
+        # foreign state (generation mismatch) still refuses on a fresh
+        # checkpoint — the resume exception is generation-scoped
+        with open(up._mark_path(table), "w") as f:
+            import json as _json
+
+            _json.dump({"batch_id": mark["batch_id"], "stream": "other"}, f)
+        shutil.rmtree(ckpt)
+        for _, p in stream_ops._batch_dirs(out_dir):
+            shutil.rmtree(p)
+        with pytest.raises(ValueError, match="state table"):
+            run()
+    finally:
+        shutil.rmtree(src_root, ignore_errors=True)
+
+
+def test_batched_runner_sparse_batch_rewrites_only_touched_buckets(
+    spark, tmp_path
+):
+    """The r11 bucketing contract: a micro-batch touching a subset of
+    keys opens and rewrites ONLY the buckets those keys land in.
+    Byte-level proof: after a sparse second batch, every untouched
+    bucket's parquet files are the SAME inodes (never rewritten), the
+    touched bucket's are new — and the emitted values still equal the
+    reference fold."""
+    docs = spark.createDataFrame(
+        [(i, "a b c d") for i in range(8)], "doc_id long, text string"
+    )
+    chunks = chunking.partition_equal(chunking.split_words(docs), 2)
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    state_dir = str(tmp_path / "state")
+    table = os.path.join(state_dir, "state")
+
+    def stage_file(df, name):
+        tmp = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.copy(os.path.join(tmp, part), os.path.join(live, name))
+
+    def run():
+        stream = (
+            spark.readStream.schema(stream_ops.CHUNK_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(live)
+        )
+        return stream_ops._refeed_batched_runner(
+            stream, out_dir=out_dir, state_dir=state_dir,
+            checkpoint_dir=ckpt, n_buckets=4, bucket_span=1,
+        )
+
+    def bucket_inodes():
+        out = {}
+        for d in stream_ops._bucket_dirs(table):
+            out[os.path.basename(d)] = sorted(
+                (f, os.stat(os.path.join(d, f)).st_ino)
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+        return out
+
+    # batch 0: chunk 0 of ALL docs; batch 1: chunk 1 of doc 0 ONLY
+    stage_file(chunks.filter("chunk_id = 0"), "s0.parquet")
+    r1 = run()
+    assert r1.count() == 8
+    before = bucket_inodes()
+    assert len(before) >= 2
+
+    doc0_bucket = f"b{_doc_bucket(0, 4, 1):05d}"
+    stage_file(chunks.filter("chunk_id = 1 and doc_id = 0"), "s1.parquet")
+    final = {
+        (x["doc_id"], x["chunk_id"]): (x["acc_words_before"], x["chain"])
+        for x in run().collect()
+    }
+    after = bucket_inodes()
+    for name, inodes in before.items():
+        if name == doc0_bucket:
+            assert after[name] != inodes  # touched: rewritten
+        else:
+            assert after[name] == inodes  # untouched: same files, same inodes
+
+    # values: doc 0 folded through both chunks, docs 1..7 only chunk 0
+    sparse = chunks.filter("chunk_id = 0 or doc_id = 0")
+    assert final == _refeed_reference_fold(sparse)
+
+
+def _doc_bucket(doc_id: int, n_buckets: int, span: int) -> int:
+    """Python mirror of streaming.proactive._bucket_expr (xxhash64 of the
+    span index, mod n_buckets) — resolved via a tiny Spark job so the
+    test never re-implements the hash."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    row = (
+        spark.range(1)
+        .select(F.lit(doc_id).cast("long").alias("doc_id"))
+        .select(stream_ops._bucket_expr(n_buckets, span).alias("b"))
+        .collect()
+    )
+    return row[0]["b"]

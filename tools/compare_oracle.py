@@ -35,11 +35,17 @@ sys.path.insert(0, "/root/repo")
 _CACHE_DIR = "/tmp/pmr_scale_oraclecache"
 _CACHE_ON = os.environ.get("PMR_ORACLE_CACHE", "") == "1"
 _CACHE_MIN_SEC = float(os.environ.get("PMR_ORACLE_CACHE_MIN_SEC", "20"))
+#: Cache-format version (ADVICE r10): cached entries hold CANONICALIZED
+#: rows, so the key must also pin the canonicalization contract — bump
+#: this whenever canon()'s float rounding / list encoding or the
+#: name-sorted column layout changes, or stale entries would be served
+#: in the old format and produce spurious FAILs (or mask real ones).
+_CACHE_FORMAT = "canon-v1:f6-namesorted"
 
 
 def _cache_path(sf_sig: str, sql: str, duck_version: str) -> str:
     key = hashlib.sha256(
-        f"{sf_sig}|{duck_version}|{sql}".encode()
+        f"{_CACHE_FORMAT}|{sf_sig}|{duck_version}|{sql}".encode()
     ).hexdigest()[:24]
     return os.path.join(_CACHE_DIR, f"{key}.json.gz")
 

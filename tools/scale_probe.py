@@ -305,8 +305,8 @@ def probe_w2(spark, n_docs: int = 100_000, depth: int = 16) -> dict:
                 mismatches = (
                     got.exceptAll(expect).count() + expect.exceptAll(got).count()
                 )
-                state_rows = spark.read.parquet(
-                    os.path.join(state_dir, "state")
+                state_rows = sp.read_state_table(
+                    spark, os.path.join(state_dir, "state")
                 ).count()
             finally:
                 shutil.rmtree(root, ignore_errors=True)

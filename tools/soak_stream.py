@@ -238,7 +238,9 @@ def batched_depth_soak(
         mismatches = (
             got.exceptAll(expect).count() + expect.exceptAll(got).count()
         )
-        state_rows = spark.read.parquet(os.path.join(state_dir, "state")).count()
+        state_rows = sp.read_state_table(
+            spark, os.path.join(state_dir, "state")
+        ).count()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
         shutil.rmtree(root, ignore_errors=True)
@@ -306,18 +308,25 @@ def main() -> None:
     out["durable_batched_deep"] = batched_depth_soak(
         spark, n_docs=10000, depth=96
     )
+    # ok folds EVERY section's invariants (ADVICE r10: it used to cover
+    # only the batched depth soaks and was never wired to the exit code,
+    # so a regression passed return-code automation): the batched soaks'
+    # flat-latency + value checks, plus the durable refeed soak having
+    # actually sustained committed batches with every sunk row durable.
+    dr = out["durable_refeed"]
     out["ok"] = all(
         r["latency_flat"]
         and r["value_mismatches"] == 0
         and r["rows_out"] == r["rows_expected"]
         and r["state_rows_final"] == r["n_docs"]
         for r in (out["durable_batched"], out["durable_batched_deep"])
-    )
+    ) and (dr["batches"] > 0 and dr["rows_sunk"] > 0 and dr["rows_in"] > 0)
     line = json.dumps(out)
     print(line)
     with open(os.path.join(ROOT, "SOAK_STREAM.json"), "w") as f:
         f.write(line + "\n")
     spark.stop()
+    sys.exit(0 if out["ok"] else 1)
 
 
 if __name__ == "__main__":
