@@ -338,6 +338,180 @@ def probe_w2(spark, n_docs: int = 100_000, depth: int = 16) -> dict:
     return out
 
 
+def probe_w2_sparse(spark, n_docs: int = 1_000_000) -> dict:
+    """Sparse-touch probe for the bucketed W2 state table (r11; r10
+    verdict item 4): at ``n_docs`` keys, deliver micro-batches that
+    touch 1% (clustered), 10% (clustered), 1% (scattered), and 100% of
+    the keys, under two state layouts:
+
+    - ``unbucketed`` (n_buckets=1): the r10 design — every batch
+      rewrites the whole state table regardless of touch;
+    - ``bucketed`` (n_buckets=1024, span=1024 → ~one span per bucket):
+      a batch rewrites only the buckets its keys land in.
+
+    Bounds checked (bucketed only): the clustered-1% batch touches
+    ≤3% of buckets and its merge costs ≤35% of the dense batch's (and
+    ≤50% of the UNBUCKETED layout's cost for the identical batch).
+    The scattered-1% batch is the documented honest worst case — 10k
+    uniformly-spread keys cover ~all buckets, so bucket pruning cannot
+    help; it is recorded, not bounded. Values are fully checked against
+    the zero-seed JVM fold and the final state must hold exactly
+    ``n_docs`` rows, both layouts.
+    """
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from proactive_map_reduce_spark.operators import mapstage
+    from proactive_map_reduce_spark.streaming import proactive as sp
+
+    pct1 = n_docs // 100
+    pct10 = n_docs // 10
+
+    def chunk_df(lo, hi, step, chunk):
+        return spark.range(lo, hi, step).select(
+            F.col("id").alias("doc_id"),
+            F.lit(chunk).cast("int").alias("chunk_id"),
+            F.concat(
+                F.lit("w"), (F.col("id") % 97).cast("string"), F.lit(" x")
+            ).alias("chunk_text"),
+        )
+
+    # stage k arrives as micro-batch k (one single-file stage per batch,
+    # mtime-ordered like write_stage_files)
+    stages = [
+        ("dense_build", chunk_df(0, n_docs, 1, 0)),
+        ("clustered_1pct", chunk_df(0, pct1, 1, 1)),
+        ("clustered_10pct", chunk_df(0, pct10, 1, 2)),
+        ("scattered_1pct", chunk_df(0, n_docs, 100, 3)),
+        ("dense", chunk_df(0, n_docs, 1, 4)),
+    ]
+
+    def build_live() -> str:
+        live = tempfile.mkdtemp(prefix="pmr_probe_w2sparse_")
+        base_ts = time.time() - 3600
+        for k, (_, df) in enumerate(stages):
+            tmp = os.path.join(live, f".stage_{k}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(live, f"stage-{k:04d}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (base_ts + k, base_ts + k))
+            shutil.rmtree(tmp, ignore_errors=True)
+        return live
+
+    # distributed expectation: the zero-seed fold over each doc's actual
+    # chunk set (batch_id == chunk_id: one stage per micro-batch)
+    def expectation(live: str):
+        mapped = mapstage.llm_map(
+            spark.read.schema(sp.CHUNK_SCHEMA).parquet(live)
+        )
+        return (
+            mapped.groupBy("doc_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("chunk_id", "out_text"))
+                ).alias("ps")
+            )
+            .select(
+                "doc_id",
+                F.expr(
+                    "transform(ps, p -> struct("
+                    "p.chunk_id as batch_id, p.chunk_id as chunk_id,"
+                    "p.out_text as out_text))"
+                ).alias("xs"),
+            )
+            .select("doc_id", F.explode(F.expr(sp._REFEED_FOLD)).alias("e"))
+            .select(
+                "doc_id",
+                F.col("e.chunk_id").alias("chunk_id"),
+                F.col("e.acc_words_before").alias("acc_words_before"),
+                F.col("e.chain").alias("chain"),
+            )
+        )
+
+    configs = {
+        "unbucketed": {"n_buckets": 1, "bucket_span": 1024},
+        "bucketed": {"n_buckets": 1024, "bucket_span": 1024},
+    }
+    out: dict = {"n_docs": n_docs, "stages": [n for n, _ in stages]}
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        for cfg_name, kw in configs.items():
+            live = build_live()
+            out_dir = tempfile.mkdtemp(prefix="pmr_probe_w2sout_")
+            state_dir = tempfile.mkdtemp(prefix="pmr_probe_w2sstate_")
+            timings: list[dict] = []
+            t0 = time.time()
+            try:
+                got = sp._refeed_batched_runner(
+                    sp._chunk_stream(spark, live),
+                    out_dir=out_dir,
+                    state_dir=state_dir,
+                    timings=timings,
+                    **kw,
+                )
+                rows_out = got.count()
+                wall = round(time.time() - t0, 1)
+                mismatches = (
+                    got.exceptAll(expectation(live)).count()
+                    + expectation(live).exceptAll(got).count()
+                )
+                state_rows = sp.read_state_table(
+                    spark, os.path.join(state_dir, "state")
+                ).count()
+            finally:
+                shutil.rmtree(live, ignore_errors=True)
+                shutil.rmtree(out_dir, ignore_errors=True)
+                shutil.rmtree(state_dir, ignore_errors=True)
+            per_stage = {
+                stages[t["batch_id"]][0]: {
+                    k: t[k]
+                    for k in (
+                        "merge_s", "touch_s", "emit_s", "swap_s",
+                        "buckets_touched", "n_buckets",
+                    )
+                }
+                for t in timings
+                if t["batch_id"] < len(stages)
+            }
+            out[cfg_name] = {
+                "batches": len(timings),
+                "rows_out": int(rows_out),
+                "value_mismatches": int(mismatches),
+                "state_rows_final": int(state_rows),
+                "sec": wall,
+                "per_stage": per_stage,
+            }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    # derived ratios the bound checks (and the verdict table) read
+    b, u = out["bucketed"]["per_stage"], out["unbucketed"]["per_stage"]
+    out["merge_frac_clustered_1pct_vs_dense"] = round(
+        b["clustered_1pct"]["merge_s"] / max(b["dense"]["merge_s"], 1e-9), 3
+    )
+    out["merge_bucketed_over_unbucketed_at_1pct"] = round(
+        b["clustered_1pct"]["merge_s"]
+        / max(u["clustered_1pct"]["merge_s"], 1e-9),
+        3,
+    )
+    out["buckets_frac_clustered_1pct"] = round(
+        b["clustered_1pct"]["buckets_touched"]
+        / b["clustered_1pct"]["n_buckets"],
+        4,
+    )
+    out["buckets_frac_scattered_1pct"] = round(
+        b["scattered_1pct"]["buckets_touched"]
+        / b["scattered_1pct"]["n_buckets"],
+        4,
+    )
+    return out
+
+
 def main() -> int:
     replica_counts = [int(a) for a in sys.argv[1:]] or [30]
 
@@ -358,9 +532,34 @@ def main() -> int:
 
     print("probing W2 batched stateful runners (100k keys × depth 16)", flush=True)
     w2 = probe_w2(spark)
+    print("probing W2 sparse-touch bucketing (1M keys)", flush=True)
+    w2s = probe_w2_sparse(spark)
 
     base = rows["1x"]
     checks: list[str] = []
+    for cfg in ("unbucketed", "bucketed"):
+        r = w2s[cfg]
+        if r["value_mismatches"]:
+            checks.append(f"w2_sparse {cfg}: {r['value_mismatches']} mismatches")
+        if r["state_rows_final"] != w2s["n_docs"]:
+            checks.append(
+                f"w2_sparse {cfg}: state rows {r['state_rows_final']} != keys"
+            )
+    if w2s["buckets_frac_clustered_1pct"] > 0.03:
+        checks.append(
+            "w2_sparse: clustered 1% batch touched "
+            f"{w2s['buckets_frac_clustered_1pct']:.1%} of buckets (>3%)"
+        )
+    if w2s["merge_frac_clustered_1pct_vs_dense"] > 0.35:
+        checks.append(
+            "w2_sparse: clustered 1% merge cost "
+            f"{w2s['merge_frac_clustered_1pct_vs_dense']:.0%} of dense (>35%)"
+        )
+    if w2s["merge_bucketed_over_unbucketed_at_1pct"] > 0.5:
+        checks.append(
+            "w2_sparse: bucketing saved "
+            f"<50% at 1% touch ({w2s['merge_bucketed_over_unbucketed_at_1pct']})"
+        )
     for op in ("refeed", "accumulate"):
         r = w2[op]
         if r["rows_out"] != r["rows_expected"]:
@@ -403,6 +602,7 @@ def main() -> int:
         "base": BASE,
         "rows": rows,
         "w2_batched": w2,
+        "w2_sparse": w2s,
         "violations": checks,
         "ok": not checks,
     }
