@@ -760,10 +760,13 @@ def _batched_state_runner(
         nb, span = _init_table(table, nb0, span0)
         bexpr = _bucket_expr(nb, span)
         # the batch feeds three consumers (touched-bucket probe, merge,
-        # emit-by-way-of-merge): pin it so the map stage runs once
+        # emit-by-way-of-merge): pin it so the map stage runs once. The
+        # probe is a collect_set aggregate — map-side partials into ONE
+        # reduce task (a distinct would shuffle into shuffle.partitions
+        # result tasks for a ≤n_buckets-element answer).
         batch_df.persist()
         touched = sorted(
-            r["b"] for r in batch_df.select(bexpr.alias("b")).distinct().collect()
+            batch_df.agg(F.collect_set(bexpr).alias("bs")).collect()[0]["bs"]
         )
         t1 = time.time()
         old = _read_state(spark, table, state_schema, touched)

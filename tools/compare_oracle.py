@@ -15,7 +15,10 @@ or SQL change invalidates. A hit serves the cached canonical rows; the
 Spark side ALWAYS re-runs and the full comparison still happens, so the
 gate's verdict is as strong as before — only the oracle re-derivation
 is amortized. Cached hits are marked with a ``c`` suffix on the duck
-seconds in the PASS line and counted in the summary.
+seconds in the PASS line and counted in the summary; the reported duck
+seconds are the entry's ORIGINAL derivation time (ADVICE r10: printing
+the cache-read time dropped oracle-dominated queries from every
+ranking built on the PASS lines).
 
 Usage: python tools/compare_oracle.py [sf_dir] [query ...]
 """
@@ -55,17 +58,28 @@ def _cache_get(path: str):
         with gzip.open(path, "rt") as f:
             doc = json.load(f)
         os.utime(_CACHE_DIR)  # liveness beacon for the TTL sweep family
-        return doc["cols"], [tuple(r) for r in doc["rows"]]
+        # entries carry the ORIGINAL derivation seconds (ADVICE r10:
+        # reporting the cache-read time instead silently dropped the
+        # oracle-dominated queries from the long-pole ranking); a
+        # pre-r11 entry without it is treated as a miss and re-derived
+        return doc["cols"], [tuple(r) for r in doc["rows"]], float(doc["sec"])
     except Exception:
         return None
 
 
-def _cache_put(path: str, cols, rows) -> None:
+def _cache_put(path: str, cols, rows, derive_sec: float) -> None:
     try:
         os.makedirs(_CACHE_DIR, exist_ok=True)
         tmp = path + f".tmp{os.getpid()}"
         with gzip.open(tmp, "wt") as f:
-            json.dump({"cols": cols, "rows": [list(r) for r in rows]}, f)
+            json.dump(
+                {
+                    "cols": cols,
+                    "rows": [list(r) for r in rows],
+                    "sec": round(derive_sec, 3),
+                },
+                f,
+            )
         os.replace(tmp, path)
     except Exception:
         pass  # cache is an optimization; never fail the gate over it
@@ -152,9 +166,11 @@ def main() -> int:
         )
         hit = _cache_get(cpath) if cpath else None
         if hit is not None:
-            dcols, drows = hit
+            # t_duck = the entry's ORIGINAL derivation seconds, so the
+            # PASS line (and every ranking built from it) reflects the
+            # true oracle cost; the 'c' suffix still marks the hit
+            dcols, drows, t_duck = hit
             cached_hits += 1
-            t_duck = time.time() - t1
         else:
             try:
                 res = con.execute(oracles[name])
@@ -169,7 +185,7 @@ def main() -> int:
             dcols = [dcols_raw[i] for i in order]
             drows = sorted(tuple(canon(r[i]) for i in order) for r in drows_raw)
             if cpath and t_duck > _CACHE_MIN_SEC:
-                _cache_put(cpath, dcols, drows)
+                _cache_put(cpath, dcols, drows, t_duck)
         if scols != dcols:
             print(f"FAIL {name}: columns spark={scols} duck={dcols}")
             failures.append(name)

@@ -15,10 +15,17 @@ Two measurements, one artifact (SOAK_STREAM.json):
    parquet commits on every micro-batch.
 
 3. ``batched_depth_soak`` (r10 verdict items 1+4): the COMPACTED
-   batched W2 runner at stage depth 48 — per-batch latency must stay
-   FLAT in batch index (the r9 design's O(batches²) history re-scan is
-   gone), with the per-phase (merge/emit/swap) breakdown recorded and
-   values checked distributedly against the zero-seed JVM fold.
+   batched W2 runner at stage depths 48 and 96 — per-batch latency must
+   stay FLAT in batch index (the r9 design's O(batches²) history
+   re-scan is gone), with the per-phase (merge/emit/swap) breakdown
+   recorded and values checked distributedly against the zero-seed JVM
+   fold.
+
+4. ``sparse_touch_soak`` (r11): 40 clustered ~1%-touch batches over
+   200k keys of BUCKETED state — each sparse merge must cost a small
+   fraction of a dense batch's (the r10 layout rewrote the whole table
+   for every one), stay flat across the soak, and fold to exactly the
+   zero-seed values.
 
 Complements tools/bench_stream.py (file-replay throughput) and
 tools/soak_refeed.py (depth-soak value checks).
@@ -278,6 +285,142 @@ def batched_depth_soak(
     }
 
 
+def sparse_touch_soak(
+    spark, n_docs: int = 200_000, n_sparse: int = 40, window: int | None = None
+) -> dict:
+    """Sparse-touch soak of the bucketed state table (r11; the r10
+    verdict's item 1 'done' evidence): build ``n_docs`` keys of state
+    with one dense batch, then stream ``n_sparse`` micro-batches each
+    touching a rotating CLUSTERED ~1% doc_id window, and close with a
+    dense batch. The bucketing contract under soak: every sparse batch's
+    merge opens only the touched buckets, so its cost must stay FLAT
+    across the soak AND well under the dense batch's merge — where the
+    r10 layout paid the full O(total keys) rewrite per batch no matter
+    how few keys a batch touched. Values are fully checked against the
+    zero-seed JVM fold; the final state must hold exactly ``n_docs``
+    rows."""
+    import glob
+    import statistics
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from proactive_map_reduce_spark.operators import mapstage
+    from proactive_map_reduce_spark.streaming import proactive as sp
+
+    window = window or n_docs // 100
+
+    def chunk_df(lo, hi, chunk):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.lit(chunk).cast("int").alias("chunk_id"),
+            F.concat(
+                F.lit("w"), (F.col("id") % 97).cast("string"), F.lit(" x")
+            ).alias("chunk_text"),
+        )
+
+    stages = [chunk_df(0, n_docs, 0)]
+    for i in range(n_sparse):
+        lo = (i * window) % n_docs
+        stages.append(chunk_df(lo, min(lo + window, n_docs), i + 1))
+    stages.append(chunk_df(0, n_docs, n_sparse + 1))
+
+    live = _tf.mkdtemp(prefix="pmr_soak_sparse_")
+    base_ts = time.time() - 3600
+    for k, df in enumerate(stages):
+        tmp = os.path.join(live, f".stage_{k}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(live, f"stage-{k:04d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base_ts + k, base_ts + k))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    out_dir = _tf.mkdtemp(prefix="pmr_soak_sparse_out_")
+    state_dir = _tf.mkdtemp(prefix="pmr_soak_sparse_state_")
+    timings: list[dict] = []
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    t0 = time.time()
+    try:
+        got = sp._refeed_batched_runner(
+            sp._chunk_stream(spark, live),
+            out_dir=out_dir,
+            state_dir=state_dir,
+            timings=timings,
+            n_buckets=1024,
+            bucket_span=max(window // 8, 64),
+        )
+        rows_out = got.count()
+        wall = round(time.time() - t0, 1)
+        expect = (
+            mapstage.llm_map(spark.read.schema(sp.CHUNK_SCHEMA).parquet(live))
+            .groupBy("doc_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("chunk_id", "out_text"))
+                ).alias("ps")
+            )
+            .select(
+                "doc_id",
+                F.expr(
+                    "transform(ps, p -> struct("
+                    "p.chunk_id as batch_id, p.chunk_id as chunk_id,"
+                    "p.out_text as out_text))"
+                ).alias("xs"),
+            )
+            .select("doc_id", F.explode(F.expr(sp._REFEED_FOLD)).alias("e"))
+            .select(
+                "doc_id",
+                F.col("e.chunk_id").alias("chunk_id"),
+                F.col("e.acc_words_before").alias("acc_words_before"),
+                F.col("e.chain").alias("chain"),
+            )
+        )
+        mismatches = got.exceptAll(expect).count() + expect.exceptAll(got).count()
+        state_rows = sp.read_state_table(
+            spark, os.path.join(state_dir, "state")
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        shutil.rmtree(live, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+    sparse = [t for t in timings if 1 <= t["batch_id"] <= n_sparse]
+    dense_merge = timings[-1]["merge_s"] if timings else None
+    merges = [t["merge_s"] for t in sparse]
+    half = max(len(merges) // 2, 1)
+    early = sum(merges[:half]) / half
+    late = sum(merges[-half:]) / half
+    med = statistics.median(merges) if merges else None
+    return {
+        "op": "refeed_batched_sparse",
+        "n_docs": n_docs,
+        "touch_per_batch": window,
+        "sparse_batches": len(sparse),
+        "rows_out": int(rows_out),
+        "rows_expected": 2 * n_docs + n_sparse * window,
+        "value_mismatches": int(mismatches),
+        "state_rows_final": int(state_rows),
+        "sec": wall,
+        "sparse_merge_s_median": round(med, 3) if med is not None else None,
+        "sparse_merge_s_early_half": round(early, 3),
+        "sparse_merge_s_late_half": round(late, 3),
+        "dense_merge_s": dense_merge,
+        "sparse_buckets_touched_max": max(
+            (t["buckets_touched"] for t in sparse), default=0
+        ),
+        "n_buckets": timings[0]["n_buckets"] if timings else None,
+        "latency_flat": late <= 1.5 * early,
+        "sparse_under_dense": (
+            med is not None
+            and dense_merge is not None
+            and med <= 0.35 * dense_merge
+        ),
+    }
+
+
 def main() -> None:
     duration = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     rate = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
@@ -308,19 +451,32 @@ def main() -> None:
     out["durable_batched_deep"] = batched_depth_soak(
         spark, n_docs=10000, depth=96
     )
+    # r11 bucketed state: 40 clustered ~1%-touch batches over 200k keys
+    # must each cost a small fraction of a dense batch's merge — the r10
+    # layout paid the full-table rewrite for every one of them
+    out["durable_batched_sparse"] = sparse_touch_soak(spark)
     # ok folds EVERY section's invariants (ADVICE r10: it used to cover
     # only the batched depth soaks and was never wired to the exit code,
     # so a regression passed return-code automation): the batched soaks'
     # flat-latency + value checks, plus the durable refeed soak having
     # actually sustained committed batches with every sunk row durable.
     dr = out["durable_refeed"]
-    out["ok"] = all(
-        r["latency_flat"]
-        and r["value_mismatches"] == 0
-        and r["rows_out"] == r["rows_expected"]
-        and r["state_rows_final"] == r["n_docs"]
-        for r in (out["durable_batched"], out["durable_batched_deep"])
-    ) and (dr["batches"] > 0 and dr["rows_sunk"] > 0 and dr["rows_in"] > 0)
+    sp_soak = out["durable_batched_sparse"]
+    out["ok"] = (
+        all(
+            r["latency_flat"]
+            and r["value_mismatches"] == 0
+            and r["rows_out"] == r["rows_expected"]
+            and r["state_rows_final"] == r["n_docs"]
+            for r in (out["durable_batched"], out["durable_batched_deep"])
+        )
+        and (dr["batches"] > 0 and dr["rows_sunk"] > 0 and dr["rows_in"] > 0)
+        and sp_soak["latency_flat"]
+        and sp_soak["sparse_under_dense"]
+        and sp_soak["value_mismatches"] == 0
+        and sp_soak["rows_out"] == sp_soak["rows_expected"]
+        and sp_soak["state_rows_final"] == sp_soak["n_docs"]
+    )
     line = json.dumps(out)
     print(line)
     with open(os.path.join(ROOT, "SOAK_STREAM.json"), "w") as f:
