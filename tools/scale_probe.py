@@ -312,14 +312,13 @@ def probe_w2(spark, n_docs: int = 100_000, depth: int = 16) -> dict:
                 shutil.rmtree(root, ignore_errors=True)
                 shutil.rmtree(out_dir, ignore_errors=True)
                 shutil.rmtree(state_dir, ignore_errors=True)
+            from flatness import thirds_flatness
+
             batch_s = [
                 round(t["merge_s"] + t["emit_s"] + t["swap_s"], 3)
                 for t in timings
             ]
-            body = batch_s[2:] if len(batch_s) > 8 else batch_s
-            third = max(len(body) // 3, 1)
-            early = sum(body[:third]) / third
-            late = sum(body[-third:]) / third
+            flat = thirds_flatness(batch_s)
             out[name] = {
                 "batches": len(timings),
                 "rows_out": int(rows_out),
@@ -329,9 +328,7 @@ def probe_w2(spark, n_docs: int = 100_000, depth: int = 16) -> dict:
                 "sec": wall,
                 "rows_per_sec": round(rows_out / wall, 1) if wall else None,
                 "batch_secs": batch_s,
-                "batch_s_early3rd": round(early, 3),
-                "batch_s_late3rd": round(late, 3),
-                "latency_flat": late <= 1.5 * early,
+                **flat,
             }
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -254,15 +254,12 @@ def batched_depth_soak(
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(state_dir, ignore_errors=True)
 
+    from flatness import thirds_flatness
+
     batch_s = [
         round(t["merge_s"] + t["emit_s"] + t["swap_s"], 3) for t in timings
     ]
-    # flatness: skip the first two warmup batches; late third vs the
-    # following (post-warmup) early third
-    body = batch_s[2:] if len(batch_s) > 8 else batch_s
-    third = max(len(body) // 3, 1)
-    early = sum(body[:third]) / third
-    late = sum(body[-third:]) / third
+    flat = thirds_flatness(batch_s)
     return {
         "op": "refeed_batched",
         "n_docs": n_docs,
@@ -279,9 +276,7 @@ def batched_depth_soak(
             k: round(sum(t[k] for t in timings) / max(len(timings), 1), 3)
             for k in ("merge_s", "emit_s", "swap_s")
         },
-        "batch_s_early3rd": round(early, 3),
-        "batch_s_late3rd": round(late, 3),
-        "latency_flat": late <= 1.5 * early,
+        **flat,
     }
 
 
