@@ -82,8 +82,13 @@ def test_oracle_result_cache_roundtrip(tmp_path, monkeypatch):
     """The compare harness's content-addressed oracle cache (r10): a put
     followed by a get returns the canonical (cols, rows) with rows as
     TUPLES (the comparator compares against tuples — a list would
-    never equal them), distinct keys never collide for different SQL,
-    and a corrupt cache file degrades to a miss, never an exception."""
+    never equal them) plus the ORIGINAL derivation seconds (ADVICE r10:
+    a hit must report the true oracle cost, not the cache-read time),
+    distinct keys never collide for different SQL, a pre-r11 entry
+    without the seconds field degrades to a miss, and a corrupt cache
+    file degrades to a miss, never an exception."""
+    import gzip
+    import json
     import sys
 
     sys.path.insert(0, "/root/repo/tools")
@@ -95,11 +100,30 @@ def test_oracle_result_cache_roundtrip(tmp_path, monkeypatch):
     assert p1 != p2
     cols = ["a", "b"]
     rows = [("'x'", "1.000000"), ("'y'", "nan")]
-    co._cache_put(p1, cols, rows)
+    co._cache_put(p1, cols, rows, 42.5)
     got = co._cache_get(p1)
-    assert got == (cols, rows)
+    assert got == (cols, rows, 42.5)
     assert all(isinstance(r, tuple) for r in got[1])
     assert co._cache_get(p2) is None  # miss: different SQL
+    # legacy (pre-r11) entry without the derivation seconds: a miss
+    with gzip.open(p2, "wt") as f:
+        json.dump({"cols": cols, "rows": [list(r) for r in rows]}, f)
+    assert co._cache_get(p2) is None
     with open(p1, "wb") as f:
         f.write(b"not gzip")
     assert co._cache_get(p1) is None  # corrupt file = miss, not crash
+
+
+def test_oracle_cache_key_salted_by_format_version(tmp_path, monkeypatch):
+    """ADVICE r10: the cache stores CANONICALIZED rows, so the key must
+    pin the canonicalization contract — bumping _CACHE_FORMAT must remap
+    every key (old entries become unreachable, not served stale)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import compare_oracle as co
+
+    monkeypatch.setattr(co, "_CACHE_DIR", str(tmp_path / "cache"))
+    p_now = co._cache_path("sig-a", "SELECT 1", "1.0.0")
+    monkeypatch.setattr(co, "_CACHE_FORMAT", "canon-v2:test")
+    assert co._cache_path("sig-a", "SELECT 1", "1.0.0") != p_now
