@@ -765,21 +765,23 @@ def _batched_state_runner(
         # reduce task (a distinct would shuffle into shuffle.partitions
         # result tasks for a ≤n_buckets-element answer).
         batch_df.persist()
-        touched = sorted(
-            batch_df.agg(F.collect_set(bexpr).alias("bs")).collect()[0]["bs"]
-        )
-        t1 = time.time()
-        old = _read_state(spark, table, state_schema, touched)
-        tmp = table + f".tmp_{batch_id}"
-        (
-            op["merge"](old, batch_df, batch_id)
-            .withColumn("__bucket", bexpr)
-            .repartition(F.col("__bucket"))  # ≈one file per bucket dir
-            .write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(tmp)
-        )
-        batch_df.unpersist()
+        try:
+            touched = sorted(
+                batch_df.agg(F.collect_set(bexpr).alias("bs")).collect()[0]["bs"]
+            )
+            t1 = time.time()
+            old = _read_state(spark, table, state_schema, touched)
+            tmp = table + f".tmp_{batch_id}"
+            (
+                op["merge"](old, batch_df, batch_id)
+                .withColumn("__bucket", bexpr)
+                .repartition(F.col("__bucket"))  # ≈one file per bucket dir
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(tmp)
+            )
+        finally:
+            batch_df.unpersist()
         t2 = time.time()
         staged_dirs = []
         for k in touched:
