@@ -1184,3 +1184,21 @@ def _doc_bucket(doc_id: int, n_buckets: int, span: int) -> int:
         .collect()
     )
     return row[0]["b"]
+
+
+def test_bucketed_table_refuses_legacy_layout(spark, tmp_path):
+    """A state table directory without _meta.json (the pre-r11 flat
+    layout, or a foreign dir) must raise at first merge rather than be
+    silently treated as empty bucketed state (which would drop every
+    previously folded row)."""
+    import pytest
+
+    table = str(tmp_path / "state")
+    spark.range(3).write.parquet(table)  # a flat r10-style table
+    with pytest.raises(ValueError, match="without _meta.json"):
+        stream_ops._init_table(table, 4, 1024)
+    # and an already-bucketed table returns its PINNED params, not the
+    # caller's
+    t2 = str(tmp_path / "state2")
+    assert stream_ops._init_table(t2, 8, 256) == (8, 256)
+    assert stream_ops._init_table(t2, 64, 4096) == (8, 256)
