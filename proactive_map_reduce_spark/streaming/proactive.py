@@ -759,29 +759,33 @@ def _batched_state_runner(
             return
         nb, span = _init_table(table, nb0, span0)
         bexpr = _bucket_expr(nb, span)
-        # the batch feeds three consumers (touched-bucket probe, merge,
-        # emit-by-way-of-merge): pin it so the map stage runs once. The
-        # probe is a collect_set aggregate — map-side partials into ONE
-        # reduce task (a distinct would shuffle into shuffle.partitions
-        # result tasks for a ≤n_buckets-element answer).
-        batch_df.persist()
-        try:
-            touched = sorted(
-                batch_df.agg(F.collect_set(bexpr).alias("bs")).collect()[0]["bs"]
-            )
-            t1 = time.time()
-            old = _read_state(spark, table, state_schema, touched)
-            tmp = table + f".tmp_{batch_id}"
-            (
-                op["merge"](old, batch_df, batch_id)
-                .withColumn("__bucket", bexpr)
-                .repartition(F.col("__bucket"))  # ≈one file per bucket dir
-                .write.mode("overwrite")
-                .partitionBy("__bucket")
-                .parquet(tmp)
-            )
-        finally:
-            batch_df.unpersist()
+        # The touched-bucket probe runs on the RAW batch (doc_id only —
+        # the model map is applied below, inside the merge-write job,
+        # so the probe never pays the pandas-UDF cost) as a collect_set
+        # aggregate: map-side partials into ONE reduce task (a distinct
+        # would shuffle into shuffle.partitions result tasks for a
+        # ≤n_buckets-element answer). Each job scans the batch's source
+        # file once; the map UDF runs exactly once (merge-write job).
+        touched = sorted(
+            batch_df.agg(F.collect_set(bexpr).alias("bs")).collect()[0]["bs"]
+        )
+        t1 = time.time()
+        old = _read_state(spark, table, state_schema, touched)
+        tmp = table + f".tmp_{batch_id}"
+        # NO repartition before the partitionBy write: the merge join's
+        # output is written as-is (the dynamic-partition writer locally
+        # sorts by __bucket per task), giving ≤ tasks files per bucket
+        # dir. An extra repartition(__bucket) here measured ~2× the
+        # accumulator's per-batch slope at depth 16 — it re-shuffles the
+        # operator's GROWING payload every batch just to get one file
+        # per bucket, the wrong trade.
+        (
+            op["merge"](old, mapstage.llm_map(batch_df, model_fn=model_fn), batch_id)
+            .withColumn("__bucket", bexpr)
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(tmp)
+        )
         t2 = time.time()
         staged_dirs = []
         for k in touched:
@@ -820,10 +824,9 @@ def _batched_state_runner(
                 }
             )
 
-    mapped = mapstage.llm_map(stream_df, model_fn=model_fn)
     try:
         q = (
-            mapped.writeStream.foreachBatch(_merge)
+            stream_df.writeStream.foreachBatch(_merge)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)

@@ -312,7 +312,10 @@ def probe_w2(spark, n_docs: int = 100_000, depth: int = 16) -> dict:
                 shutil.rmtree(root, ignore_errors=True)
                 shutil.rmtree(out_dir, ignore_errors=True)
                 shutil.rmtree(state_dir, ignore_errors=True)
-            from flatness import thirds_flatness
+            try:
+                from flatness import thirds_flatness  # script: tools/ on path
+            except ImportError:  # imported as tools.scale_probe
+                from tools.flatness import thirds_flatness
 
             batch_s = [
                 round(t["merge_s"] + t["emit_s"] + t["swap_s"], 3)

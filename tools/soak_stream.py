@@ -254,7 +254,10 @@ def batched_depth_soak(
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(state_dir, ignore_errors=True)
 
-    from flatness import thirds_flatness
+    try:
+        from flatness import thirds_flatness  # script: tools/ on path
+    except ImportError:  # imported as tools.scale_probe / tools.soak_stream
+        from tools.flatness import thirds_flatness
 
     batch_s = [
         round(t["merge_s"] + t["emit_s"] + t["swap_s"], 3) for t in timings
