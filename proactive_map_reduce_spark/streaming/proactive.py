@@ -772,20 +772,26 @@ def _batched_state_runner(
         t1 = time.time()
         old = _read_state(spark, table, state_schema, touched)
         tmp = table + f".tmp_{batch_id}"
-        # NO repartition before the partitionBy write: the merge join's
-        # output is written as-is (the dynamic-partition writer locally
-        # sorts by __bucket per task), giving ≤ tasks files per bucket
-        # dir. An extra repartition(__bucket) here measured ~2× the
-        # accumulator's per-batch slope at depth 16 — it re-shuffles the
-        # operator's GROWING payload every batch just to get one file
-        # per bucket, the wrong trade.
-        (
-            op["merge"](old, mapstage.llm_map(batch_df, model_fn=model_fn), batch_id)
-            .withColumn("__bucket", bexpr)
-            .write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(tmp)
-        )
+        merged = op["merge"](
+            old, mapstage.llm_map(batch_df, model_fn=model_fn), batch_id
+        ).withColumn("__bucket", bexpr)
+        # ADAPTIVE clustering before the partitionBy write — both fixed
+        # policies measurably fail at one end (1M-key probe, r11):
+        # - always repartition(__bucket): re-shuffles the operator's
+        #   payload every batch just to get one file per bucket — ~2×
+        #   the ACCUMULATOR's per-batch slope at depth 16 (its payload
+        #   grows, so the extra movement grows with it);
+        # - never repartition: the dynamic-partition writer fans out to
+        #   ~tasks × touched files — a dense 648-bucket batch wrote ~10k
+        #   small files and took 42-65 s vs ~6 s clustered.
+        # So: small fanout (sparse batches, small-N tables) writes the
+        # join output as-is (≤ tasks files per bucket); large fanout
+        # pays ONE payload shuffle to cluster by bucket (~one file per
+        # bucket).
+        tasks = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if len(touched) > 4 * tasks:
+            merged = merged.repartition(F.col("__bucket"))
+        merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
         t2 = time.time()
         staged_dirs = []
         for k in touched:

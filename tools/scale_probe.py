@@ -555,11 +555,11 @@ def main() -> int:
             "w2_sparse: clustered 1% merge cost "
             f"{w2s['merge_frac_clustered_1pct_vs_dense']:.0%} of dense (>35%)"
         )
-    if w2s["merge_bucketed_over_unbucketed_at_1pct"] > 0.5:
-        checks.append(
-            "w2_sparse: bucketing saved "
-            f"<50% at 1% touch ({w2s['merge_bucketed_over_unbucketed_at_1pct']})"
-        )
+    # merge_bucketed_over_unbucketed_at_1pct is RECORDED but not bounded:
+    # it divides wall seconds from two different JVM sessions, and the
+    # unbucketed baseline alone swung 1.9-3.5 s between otherwise
+    # identical runs — the within-run fraction-of-dense bound above is
+    # the noise-robust form of the same claim.
     for op in ("refeed", "accumulate"):
         r = w2[op]
         if r["rows_out"] != r["rows_expected"]:
