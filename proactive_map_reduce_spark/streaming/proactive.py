@@ -775,21 +775,24 @@ def _batched_state_runner(
         merged = op["merge"](
             old, mapstage.llm_map(batch_df, model_fn=model_fn), batch_id
         ).withColumn("__bucket", bexpr)
-        # ADAPTIVE clustering before the partitionBy write — both fixed
-        # policies measurably fail at one end (1M-key probe, r11):
-        # - always repartition(__bucket): re-shuffles the operator's
-        #   payload every batch just to get one file per bucket — ~2×
-        #   the ACCUMULATOR's per-batch slope at depth 16 (its payload
-        #   grows, so the extra movement grows with it);
-        # - never repartition: the dynamic-partition writer fans out to
-        #   ~tasks × touched files — a dense 648-bucket batch wrote ~10k
-        #   small files and took 42-65 s vs ~6 s clustered.
-        # So: small fanout (sparse batches, small-N tables) writes the
-        # join output as-is (≤ tasks files per bucket); large fanout
-        # pays ONE payload shuffle to cluster by bucket (~one file per
-        # bucket).
+        # Clustering before the partitionBy write is a PER-OPERATOR
+        # trade, measured both ways at 1M keys / depth 16-96 (r11):
+        # - without repartition(__bucket) the dynamic-partition writer
+        #   fans out to ~tasks × touched files: a dense 648-bucket batch
+        #   wrote ~10k small files (42-65 s vs ~6 s clustered), and even
+        #   at N=16 the refeed depth soak DOUBLED per batch (1.0→2.1 s)
+        #   from file open/close + next-batch read overhead;
+        # - with it, the payload crosses one extra shuffle: free for the
+        #   refeed's O(1)-per-doc state, but ~2× the ACCUMULATOR's
+        #   per-batch slope (its payload grows with depth, so the extra
+        #   movement grows with it).
+        # op["cluster_write"]: "always" for small-payload state (one
+        # file per bucket, cheap shuffle); "auto" for growing-payload
+        # state — skip the shuffle unless the file fanout would explode
+        # (touched > 4 × write tasks).
         tasks = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        if len(touched) > 4 * tasks:
+        cw = op.get("cluster_write", "auto")
+        if cw == "always" or len(touched) > 4 * tasks:
             merged = merged.repartition(F.col("__bucket"))
         merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
         t2 = time.time()
@@ -910,7 +913,15 @@ def _acc_emit(state: DataFrame, batch_id: int) -> DataFrame:
     )
 
 
-_ACC_OP = {"state": _ACC_STATE, "merge": _acc_merge, "emit": _acc_emit}
+#: cluster_write="auto": the accumulator's per-doc payload GROWS with
+#: depth, so the bucket-clustering shuffle is skipped unless the file
+#: fanout would explode (see _merge).
+_ACC_OP = {
+    "state": _ACC_STATE,
+    "merge": _acc_merge,
+    "emit": _acc_emit,
+    "cluster_write": "auto",
+}
 
 
 def _accumulate_batched_runner(
@@ -1163,7 +1174,14 @@ def _refeed_emit(state: DataFrame, batch_id: int) -> DataFrame:
     )
 
 
-_REFEED_OP = {"state": _REFEED_STATE, "merge": _refeed_merge, "emit": _refeed_emit}
+#: cluster_write="always": refeed state is O(1) per doc, so one cheap
+#: shuffle per batch buys ~one file per bucket (see _merge).
+_REFEED_OP = {
+    "state": _REFEED_STATE,
+    "merge": _refeed_merge,
+    "emit": _refeed_emit,
+    "cluster_write": "always",
+}
 
 
 def _refeed_batched_runner(
