@@ -98,7 +98,9 @@ def main() -> None:
     # full end-to-end execution at sf_dir; DuckDB below gets the same
     # rep count, the same steady-half median.
     # Same-run DuckDB reference: the oracle SQL of the same headline set,
-    # best-of-10 matching the Spark rep count. The host shows large
+    # reported as the same steady-half median over the same rep count
+    # (queries_best/duckdb_queries_best carry best-of separately). The
+    # host shows large
     # external load drift (measured: identical code, +20% wall within a
     # session, more between sessions), so the two engines are measured
     # INTERLEAVED — one Spark pass then one DuckDB pass per rep — and a

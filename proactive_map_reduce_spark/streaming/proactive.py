@@ -44,7 +44,7 @@ import time
 import uuid
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -445,6 +445,11 @@ def _read_mark_raw(table: str) -> dict | None:
 #                                   at creation; resumes reuse it (a
 #                                   changed N/S would mis-place keys)
 #         b00000/ ... bNNNNN/       parquet dirs, one per non-empty bucket
+#         _log/log-<batch>/         delta log (r12): one small parquet
+#                                   dir per SCATTERED-SPARSE batch — the
+#                                   batch's fully-folded state rows,
+#                                   appended instead of rewriting the
+#                                   near-all buckets its keys graze
 #     <state_dir>/state.batchmark   single high-water mark (batch id +
 #                                   stream generation), as before
 #
@@ -470,9 +475,32 @@ def _read_mark_raw(table: str) -> dict | None:
 # interrupted batch replays and converges via the per-row
 # ``last_batch_id`` guard, and its emission is rewritten (overwrite)
 # or re-derived from state.
+#
+# Delta log (r12 — the r11 verdict's last storage limit): a uniformly
+# SCATTERED sparse batch defeats bucket pruning on any partitioned
+# store (1% of 1M keys lands in 648/1024 buckets and pays near-dense
+# rewrite). When the touch probe sees that shape — many buckets, few
+# keys per bucket (:func:`_use_log_path`) — the batch takes the LSM
+# path instead: read old state for exactly the batch's keys (touched
+# buckets ∪ existing logs, broadcast semi-join), fold, and append the
+# delta — the batch keys' FULL new state rows — as one small parquet
+# dir ``_log/log-<b>`` (write to ``_log/.tmp_<b>``, atomic rename).
+# Reads everywhere become buckets ∪ logs with LAST-BATCH-WINS per key
+# (:func:`_last_wins` — sound because every delta row is a complete
+# folded state row, and equal-batch duplicates from replay/compaction
+# crash windows are byte-identical). Logs fold back into buckets when
+# they outgrow the table (:func:`_compact_logs`, the LSM compaction),
+# using the same per-bucket swap + rollback-only recovery; log dirs
+# are deleted only after every swap lands, and a crash mid-delete
+# merely leaves shadow-identical rows that last-wins absorbs. Dense
+# and clustered batches never enter this path, and with no logs on
+# disk every read degenerates to the plain bucket scan — zero cost.
 
-_BUCKET_NAME_RE = re.compile(r"b(\d{5})")
-_BUCKET_OLD_RE = re.compile(r"(b\d{5})\.old_(\d+)")
+# {:05d} is a MINIMUM width: n_buckets >= 100000 yields 6+ digit names,
+# so the patterns accept \d{5,} — a fixed {5} would silently hide those
+# buckets from full-table listings and .old healing (ADVICE r11).
+_BUCKET_NAME_RE = re.compile(r"b(\d{5,})")
+_BUCKET_OLD_RE = re.compile(r"(b\d{5,})\.old_(\d+)")
 _DEFAULT_BUCKETS = int(os.environ.get("PMR_STATE_BUCKETS", "16"))
 _DEFAULT_SPAN = int(os.environ.get("PMR_STATE_BUCKET_SPAN", "1024"))
 
@@ -489,10 +517,21 @@ def _table_meta(table: str) -> dict | None:
         return None
 
 
-def _init_table(table: str, n_buckets: int, span: int) -> tuple[int, int]:
+def _init_table(
+    table: str, n_buckets: int, span: int, gen: str | None = None
+) -> tuple[int, int]:
     """Create the table dir + meta on first touch; on resume return the
     PINNED bucketing params (caller args are a first-creation default
-    only — honoring a different N/S mid-stream would mis-place keys)."""
+    only — honoring a different N/S mid-stream would mis-place keys).
+
+    On first creation, also stamp the batch mark with ``{batch_id: -1,
+    stream: gen}`` (ADVICE r11): table ownership must be provable across
+    ALL of batch 0 — a kill after creation but before the first real
+    mark write (which spans the whole batch-0 merge) would otherwise
+    leave a markless table that :func:`_guard_runner_dirs` mistakes for
+    foreign state, falsely refusing a legitimate same-checkpoint resume."""
+    if int(n_buckets) < 1 or int(span) < 1:
+        raise ValueError(f"invalid bucketing params n_buckets={n_buckets} span={span}")
     meta = _table_meta(table)
     if meta is not None:
         return int(meta["n_buckets"]), int(meta["span"])
@@ -508,6 +547,9 @@ def _init_table(table: str, n_buckets: int, span: int) -> tuple[int, int]:
     with open(tmp, "w") as f:
         json.dump({"n_buckets": int(n_buckets), "span": int(span)}, f)
     os.replace(tmp, _meta_path(table))
+    if gen is not None and not os.path.exists(up._mark_path(table)):
+        with open(up._mark_path(table), "w") as f:
+            json.dump({"batch_id": -1, "stream": gen}, f)
     return int(n_buckets), int(span)
 
 
@@ -543,23 +585,78 @@ def _bucket_dirs(table: str, bucket_ids=None) -> list[str]:
     )
 
 
+_LOG_NAME_RE = re.compile(r"log-(\d+)")
+
+
+def _log_root(table: str) -> str:
+    return os.path.join(table, "_log")
+
+
+def _log_path(table: str, batch_id: int) -> str:
+    return os.path.join(_log_root(table), f"log-{int(batch_id):09d}")
+
+
+def _log_dirs(table: str) -> list[str]:
+    """Existing delta-log dirs under the table, oldest first."""
+    root = _log_root(table)
+    try:
+        names = os.listdir(root)
+    except OSError:
+        return []
+    return sorted(
+        os.path.join(root, nm) for nm in names if _LOG_NAME_RE.fullmatch(nm)
+    )
+
+
+def _last_wins(df: DataFrame) -> DataFrame:
+    """Newest state row per key: max ``last_batch_id`` wins. Sound for
+    buckets ∪ logs because a delta-log row is the key's COMPLETE folded
+    state (not an increment), and rows tied on (doc_id, last_batch_id)
+    — a replayed log rewrite, or a compaction crash that left a log
+    shadowing its folded bucket — are byte-identical by construction,
+    so the arbitrary tie-break cannot change values."""
+    w = Window.partitionBy("doc_id").orderBy(F.col("last_batch_id").desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def _read_state(
     spark: SparkSession, table: str, schema: T.StructType, bucket_ids=None
 ) -> DataFrame:
     dirs = _bucket_dirs(table, bucket_ids)
-    if not dirs:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*dirs)
+    logs = _log_dirs(table)
+    base = (
+        spark.read.schema(schema).parquet(*dirs)
+        if dirs
+        else spark.createDataFrame([], schema)
+    )
+    if not logs:  # the common case: plain bucket scan, no dedup shuffle
+        return base
+    logdf = spark.read.schema(schema).parquet(*logs)
+    if bucket_ids is not None:
+        meta = _table_meta(table) or {}
+        logdf = logdf.filter(
+            _bucket_expr(
+                int(meta.get("n_buckets", 1)), int(meta.get("span", 1))
+            ).isin([int(k) for k in bucket_ids])
+        )
+    return _last_wins(base.unionByName(logdf))
 
 
 def read_state_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed state table with inferred schema (tools/tests —
     the bucket subdirs + _meta.json mean a plain ``read.parquet(table)``
-    no longer works)."""
+    no longer works). Unions the delta log with last-batch-wins when
+    one exists."""
     dirs = _bucket_dirs(table)
-    if not dirs:
+    logs = _log_dirs(table)
+    if not dirs and not logs:
         raise FileNotFoundError(f"no bucket dirs under state table {table!r}")
-    return spark.read.parquet(*dirs)
+    df = spark.read.parquet(*(dirs + logs))
+    return _last_wins(df) if logs else df
 
 
 def _recover_state(table: str) -> None:
@@ -573,7 +670,11 @@ def _recover_state(table: str) -> None:
     byte-identical; rolled-back buckets re-fold), and the replay
     rewrites the emission dir. A bucket first touched by the
     interrupted batch legitimately has no dir and no old — the replay
-    recreates it."""
+    recreates it. Stranded delta-log temp dirs (``_log/.tmp_<b>`` — a
+    crash before the log's atomic rename) are deleted the same way;
+    committed ``log-<b>`` dirs are never touched here (they are state,
+    removed only by compaction after their rows are folded into
+    buckets)."""
     if os.path.isdir(table):
         for nm in sorted(os.listdir(table)):
             m = _BUCKET_OLD_RE.fullmatch(nm)
@@ -587,6 +688,127 @@ def _recover_state(table: str) -> None:
                 os.rename(src, dst)  # mid-swap: roll back to pre-batch
     for _, p in up._stranded(table, ".tmp_"):
         shutil.rmtree(p, ignore_errors=True)
+    lroot = _log_root(table)
+    if os.path.isdir(lroot):
+        for nm in os.listdir(lroot):
+            if not _LOG_NAME_RE.fullmatch(nm):
+                shutil.rmtree(os.path.join(lroot, nm), ignore_errors=True)
+
+
+def _env_num(name: str, default, cast=int):
+    """Call-time env knob (unlike the import-frozen _DEFAULT_* pair):
+    tests and probes flip these per-scenario without re-importing."""
+    try:
+        return cast(os.environ.get(name, default))
+    except (TypeError, ValueError):
+        return cast(default)
+
+
+def _use_log_path(touched: int, n_keys: int, n_buckets: int) -> bool:
+    """Route a batch to the delta log iff its touch pattern is
+    SCATTERED-SPARSE — the one shape bucket pruning cannot help:
+
+    - it grazes most buckets: ``touched > frac × n_buckets`` (default
+      0.25 — clustered sparse batches stay on the pruned bucket path,
+      where they are already O(touched)), AND
+    - it is thin inside them: ``keys/touched ≤ kpb`` (default 64 —
+      a dense batch's keys-per-bucket is the full bucket population,
+      orders of magnitude above this at any real scale, so dense
+      rewrites keep the optimal one-pass bucket path).
+
+    An absolute floor (PMR_STATE_LOG_MIN_BUCKETS, default 8) keeps
+    tiny-fixture batches — where "most of a 4-bucket table" is two
+    dirs and the rewrite is already trivial — on the bucket path, so
+    the log layer only engages at the scale it exists for.
+
+    All knobs are env-tunable (PMR_STATE_LOG_BUCKET_FRAC /
+    PMR_STATE_LOG_KEYS_PER_BUCKET / PMR_STATE_LOG_MIN_BUCKETS); frac
+    ≥ 1 disables the log path outright (touched can never exceed
+    n_buckets)."""
+    if touched <= 0:
+        return False
+    frac = _env_num("PMR_STATE_LOG_BUCKET_FRAC", "0.25", float)
+    kpb = _env_num("PMR_STATE_LOG_KEYS_PER_BUCKET", "64", int)
+    floor = _env_num("PMR_STATE_LOG_MIN_BUCKETS", "8", int)
+    return (
+        touched > max(frac * n_buckets, float(floor - 1))
+        and n_keys <= kpb * touched
+    )
+
+
+def _compact_logs(
+    spark: SparkSession,
+    table: str,
+    schema: T.StructType,
+    nb: int,
+    span: int,
+    batch_id: int,
+) -> float | None:
+    """LSM compaction: fold every delta-log row into its home bucket,
+    then drop the logs. Runs at merge start when the log has outgrown
+    the table (``log_rows > frac × bucket_rows``, default 1.0,
+    evaluated only once ≥ PMR_STATE_LOG_COMPACT_MIN_LOGS dirs exist —
+    parquet row counts are footer metadata, no data pass) or the dir
+    count alone exceeds PMR_STATE_LOG_MAX_LOGS (read-fanout bound).
+
+    Crash-safe by the same contract as a batch merge: per-bucket swap
+    with ``.old_<batch_id>`` + rollback-only :func:`_recover_state`;
+    the mark is untouched (compaction is a physical no-op). Log dirs
+    are deleted only after EVERY swap lands — a crash at any earlier
+    point leaves buckets ∪ logs last-wins-identical (swapped buckets
+    shadow their log rows byte-for-byte), and a crash mid-delete
+    leaves shadowed logs the next compaction sweeps up."""
+    logs = _log_dirs(table)
+    if not logs:
+        return None
+    min_logs = _env_num("PMR_STATE_LOG_COMPACT_MIN_LOGS", "4", int)
+    max_logs = _env_num("PMR_STATE_LOG_MAX_LOGS", "64", int)
+    if len(logs) < min(min_logs, max_logs):
+        return None
+    t0 = time.time()
+    logdf = spark.read.schema(schema).parquet(*logs)
+    if len(logs) < max_logs:
+        frac = _env_num("PMR_STATE_LOG_COMPACT_FRAC", "1.0", float)
+        bdirs = _bucket_dirs(table)
+        bucket_rows = (
+            spark.read.schema(schema).parquet(*bdirs).count() if bdirs else 0
+        )
+        if logdf.count() <= frac * max(bucket_rows, 1):
+            return None
+    bexpr = _bucket_expr(nb, span)
+    touched = sorted(
+        logdf.agg(F.collect_set(bexpr).alias("bs")).collect()[0]["bs"]
+    )
+    dirs = _bucket_dirs(table, touched)
+    old = (
+        spark.read.schema(schema).parquet(*dirs)
+        if dirs
+        else spark.createDataFrame([], schema)
+    )
+    merged = (
+        _last_wins(old.unionByName(logdf))
+        .withColumn("__bucket", bexpr)
+        .repartition(F.col("__bucket"))
+    )
+    tmp = table + f".tmp_{batch_id}"
+    merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+    olds = []
+    for k in touched:
+        src = os.path.join(tmp, f"__bucket={k}")
+        if not os.path.isdir(src):
+            continue
+        dst = _bucket_path(table, k)
+        if os.path.isdir(dst):
+            os.rename(dst, dst + f".old_{batch_id}")
+            olds.append(dst + f".old_{batch_id}")
+        os.rename(src, dst)
+    # every swap has landed: the logs are fully shadowed — delete them
+    for p in logs:
+        shutil.rmtree(p, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    for p in olds:
+        shutil.rmtree(p, ignore_errors=True)
+    return round(time.time() - t0, 3)
 
 
 def _guard_runner_dirs(ckpt: str, out_dir: str, table: str) -> None:
@@ -620,6 +842,30 @@ def _guard_runner_dirs(ckpt: str, out_dir: str, table: str) -> None:
             mark = _read_mark_raw(table)
             floor = _last_offset_batch(ckpt)
             if (
+                mark is None
+                and _table_meta(table) is not None
+                and not _bucket_dirs(table)
+                and not _log_dirs(table)
+            ):
+                # meta-only table (ADVICE r11): _init_table crashed in
+                # the instant between the meta write and the initial
+                # mark stamp, or a pre-r12 run died inside batch 0
+                # before its end-of-batch mark. Either way the table
+                # holds ZERO state rows — nothing foreign to fold in;
+                # treat as empty state and let the stream start clean.
+                if 0 <= floor:
+                    # this checkpoint already planned batch `floor`:
+                    # its uncommitted emission dirs get recommitted —
+                    # shed them; earlier dirs must exist (same
+                    # contract as the marked first-batch window below)
+                    _guard_resume_outputs(out_dir, floor - 1)
+                    for i, p in _batch_dirs(out_dir):
+                        if i >= floor:
+                            shutil.rmtree(p, ignore_errors=True)
+                else:
+                    _guard_stale_batches(out_dir, -1)
+                return
+            if (
                 mark is not None
                 and mark.get("stream") == up._stream_generation(ckpt)
                 and 0 <= floor
@@ -628,7 +874,13 @@ def _guard_runner_dirs(ckpt: str, out_dir: str, table: str) -> None:
                 # first-batch-window resume of THIS checkpoint: the
                 # stream replays exactly the latest offsets entry —
                 # shed only the batch dirs it will recommit (earlier
-                # dirs are already-final emissions it never re-runs)
+                # dirs are already-final emissions it never re-runs),
+                # and REQUIRE the earlier dirs to exist (ADVICE r11:
+                # resuming this window against a wrong/fresh out_dir
+                # would silently drop the below-floor emissions —
+                # the same hole _guard_resume_outputs closes on the
+                # committed path).
+                _guard_resume_outputs(out_dir, floor - 1)
                 for i, p in _batch_dirs(out_dir):
                     if i >= floor:
                         shutil.rmtree(p, ignore_errors=True)
@@ -713,6 +965,14 @@ def _batched_state_runner(
     notes above) and a batch opens only the buckets its keys land in —
     the plain-parquet analog of a partition-pruned Delta/Iceberg
     ``MERGE INTO``, same contract, no code change above this seam.
+    SCATTERED-sparse batches — the shape pruning can't help, where few
+    keys graze most buckets — take the delta-log path instead (r12):
+    the batch's folded state rows append as ONE small parquet dir under
+    ``<table>/_log`` and reads resolve buckets ∪ logs by
+    last-batch-wins, with LSM compaction folding logs back into buckets
+    when they outgrow the table (see the layout notes / ``_use_log_path``
+    / ``_compact_logs``) — O(batch) write cost instead of O(grazed
+    buckets) rewrite.
     Restart-safe: same checkpoint + same dirs resumes from the
     committed high-water mark (tests/test_stream_recovery.py),
     including a kill inside the FIRST-batch window (ADVICE r10);
@@ -757,8 +1017,9 @@ def _batched_state_runner(
                 cur = _read_state(spark, table, state_schema)
                 op["emit"](cur, batch_id).write.mode("overwrite").parquet(edir)
             return
-        nb, span = _init_table(table, nb0, span0)
+        nb, span = _init_table(table, nb0, span0, gen=gen)
         bexpr = _bucket_expr(nb, span)
+        compact_s = _compact_logs(spark, table, state_schema, nb, span, batch_id)
         # The touched-bucket probe runs on the RAW batch (doc_id only —
         # the model map is applied below, inside the merge-write job,
         # so the probe never pays the pandas-UDF cost) as a collect_set
@@ -766,10 +1027,64 @@ def _batched_state_runner(
         # would shuffle into shuffle.partitions result tasks for a
         # ≤n_buckets-element answer). Each job scans the batch's source
         # file once; the map UDF runs exactly once (merge-write job).
-        touched = sorted(
-            batch_df.agg(F.collect_set(bexpr).alias("bs")).collect()[0]["bs"]
-        )
+        # The same job counts distinct keys (the log-path density
+        # signal) and flags null doc_ids (null join keys never match in
+        # the full_outer merge; the log path's semi-join filter would
+        # shift that corner's semantics, so null-key batches pin to the
+        # bucket path, whose behavior is the established contract).
+        probe = batch_df.agg(
+            F.collect_set(bexpr).alias("bs"),
+            F.countDistinct("doc_id").alias("nk"),
+            F.max(F.col("doc_id").isNull().cast("int")).alias("hasnull"),
+        ).collect()[0]
+        touched = sorted(probe["bs"])
         t1 = time.time()
+        if not bool(probe["hasnull"] or 0) and _use_log_path(
+            len(touched), int(probe["nk"] or 0), nb
+        ):
+            # ---- delta-log path (scattered-sparse batch) ----
+            # Old state for EXACTLY the batch's keys: the touched-bucket
+            # scan is read-only (no rewrite fan-out), the key filter is
+            # a broadcast semi-join (keys ≤ kpb × n_buckets by the path
+            # condition). The delta holds the keys' complete new state
+            # rows, so reads resolve by last-batch-wins.
+            old = _read_state(spark, table, state_schema, touched).join(
+                F.broadcast(batch_df.select("doc_id").distinct()),
+                "doc_id",
+                "left_semi",
+            )
+            delta = op["merge"](
+                old, mapstage.llm_map(batch_df, model_fn=model_fn), batch_id
+            )
+            lroot = _log_root(table)
+            os.makedirs(lroot, exist_ok=True)
+            ltmp = os.path.join(lroot, f".tmp_{batch_id}")
+            delta.write.mode("overwrite").parquet(ltmp)
+            t2 = time.time()
+            staged = spark.read.schema(state_schema).parquet(ltmp)
+            op["emit"](staged, batch_id).write.mode("overwrite").parquet(edir)
+            t3 = time.time()
+            dst = _log_path(table, batch_id)
+            if os.path.isdir(dst):  # replay rewrite: recomputable from
+                shutil.rmtree(dst)  # buckets ∪ earlier logs + source
+            os.rename(ltmp, dst)
+            with open(up._mark_path(table), "w") as f:
+                json.dump({"batch_id": batch_id, "stream": gen}, f)
+            if timings is not None:
+                timings.append(
+                    {
+                        "batch_id": batch_id,
+                        "path": "log",
+                        "merge_s": round(t2 - t0, 3),
+                        "touch_s": round(t1 - t0, 3),
+                        "emit_s": round(t3 - t2, 3),
+                        "swap_s": round(time.time() - t3, 3),
+                        "compact_s": compact_s,
+                        "buckets_touched": len(touched),
+                        "n_buckets": nb,
+                    }
+                )
+            return
         old = _read_state(spark, table, state_schema, touched)
         tmp = table + f".tmp_{batch_id}"
         merged = op["merge"](
@@ -824,10 +1139,12 @@ def _batched_state_runner(
             timings.append(
                 {
                     "batch_id": batch_id,
+                    "path": "bucket",
                     "merge_s": round(t2 - t0, 3),
                     "touch_s": round(t1 - t0, 3),
                     "emit_s": round(t3 - t2, 3),
                     "swap_s": round(time.time() - t3, 3),
+                    "compact_s": compact_s,
                     "buckets_touched": len(staged_dirs),
                     "n_buckets": nb,
                 }

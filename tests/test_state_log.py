@@ -1,0 +1,401 @@
+"""Delta-log state layer (r12): the LSM path for SCATTERED-sparse
+micro-batches, plus the r11-ADVICE guard fixes it rode in with.
+
+The r11 bucketed layout made clustered-sparse batches O(touched
+buckets), but a uniformly scattered 1%-touch batch grazes most buckets
+and paid near-dense rewrite (SCALE_PROBE w2_sparse). These tests pin
+the fix: such a batch appends ONE small ``_log/log-<b>`` delta (zero
+bucket rewrites — proven by inode identity), reads resolve buckets ∪
+logs by last-batch-wins, compaction folds logs back and is crash-safe,
+and every path still emits the exact reference fold.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from proactive_map_reduce_spark.operators import chunking
+from proactive_map_reduce_spark.streaming import proactive as stream_ops
+from proactive_map_reduce_spark.streaming import upsert as up
+
+from test_stream_recovery import _refeed_reference_fold
+
+
+def _mk_fixture(spark, tmp_path, n_docs=12, words="a b c d e f"):
+    docs = spark.createDataFrame(
+        [(i, words) for i in range(n_docs)], "doc_id long, text string"
+    )
+    chunks = chunking.partition_equal(chunking.split_words(docs), 3)
+    live = str(tmp_path / "live")
+    os.makedirs(live, exist_ok=True)
+    return chunks, live
+
+
+def _stage_file(spark, tmp_path, live, df, name):
+    tmp = str(tmp_path / ("stage_" + name))
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(tmp, part), os.path.join(live, name))
+
+
+def _runner(spark, live, tmp_path, timings=None, n_buckets=8, span=1):
+    stream = (
+        spark.readStream.schema(stream_ops.CHUNK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(live)
+    )
+    return stream_ops._refeed_batched_runner(
+        stream,
+        out_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        timings=timings,
+        n_buckets=n_buckets,
+        bucket_span=span,
+    )
+
+
+def _bucket_inodes(table):
+    out = {}
+    for d in stream_ops._bucket_dirs(table):
+        out[os.path.basename(d)] = sorted(
+            (f, os.stat(os.path.join(d, f)).st_ino)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def _got(df):
+    return {
+        (x["doc_id"], x["chunk_id"]): (x["acc_words_before"], x["chain"])
+        for x in df.collect()
+    }
+
+
+SCATTERED_DOCS = (0, 3, 5, 7, 9)  # span=1: five distinct span groups
+
+
+def _force_bucket_path(monkeypatch):
+    monkeypatch.setenv("PMR_STATE_LOG_MIN_BUCKETS", "9999")
+
+
+def _allow_log_path(monkeypatch):
+    monkeypatch.setenv("PMR_STATE_LOG_MIN_BUCKETS", "2")
+    monkeypatch.setenv("PMR_STATE_LOG_BUCKET_FRAC", "0.25")
+    monkeypatch.setenv("PMR_STATE_LOG_KEYS_PER_BUCKET", "64")
+
+
+def test_scattered_batch_appends_log_and_rewrites_zero_buckets(
+    spark, tmp_path, monkeypatch
+):
+    """A scattered-sparse batch must take the delta-log path: ONE new
+    ``_log/log-<b>`` dir, EVERY bucket's parquet files the same inodes
+    (no rewrite at all — stronger than the r11 touched-only bound),
+    and the emitted values still equal the per-key reference fold."""
+    chunks, live = _mk_fixture(spark, tmp_path)
+    table = str(tmp_path / "state" / "state")
+
+    _force_bucket_path(monkeypatch)  # batch 0 (dense) builds the buckets
+    _stage_file(spark, tmp_path, live, chunks.filter("chunk_id = 0"), "s0.parquet")
+    timings: list[dict] = []
+    r0 = _runner(spark, live, tmp_path, timings)
+    assert r0.count() == 12
+    assert timings[-1]["path"] == "bucket"
+    before = _bucket_inodes(table)
+    assert len(before) >= 4
+
+    _allow_log_path(monkeypatch)
+    scattered = chunks.filter(
+        f"chunk_id = 1 and doc_id in {SCATTERED_DOCS}"
+    )
+    _stage_file(spark, tmp_path, live, scattered, "s1.parquet")
+    final = _got(_runner(spark, live, tmp_path, timings))
+    assert timings[-1]["path"] == "log"
+    assert _bucket_inodes(table) == before  # zero bucket rewrites
+    logs = stream_ops._log_dirs(table)
+    assert len(logs) == 1 and os.path.basename(logs[0]) == "log-000000001"
+    mark = json.load(open(up._mark_path(table)))
+    assert mark["batch_id"] == 1
+
+    fixture = chunks.filter(
+        f"chunk_id = 0 or (chunk_id = 1 and doc_id in {SCATTERED_DOCS})"
+    )
+    assert final == _refeed_reference_fold(fixture)
+
+    # read_state_table resolves buckets ∪ logs last-wins: one row per
+    # doc, the scattered docs' rows carrying the newer batch id
+    st = {
+        r["doc_id"]: r["last_batch_id"]
+        for r in stream_ops.read_state_table(spark, table).collect()
+    }
+    assert len(st) == 12
+    assert all(st[d] == 1 for d in SCATTERED_DOCS)
+    assert all(v == 0 for d, v in st.items() if d not in SCATTERED_DOCS)
+
+
+def test_log_path_replay_converges_without_mark(spark, tmp_path, monkeypatch):
+    """Crash window: the log dir renamed into place but the mark not yet
+    advanced (and the stream commit missing). The replayed batch must
+    pass every row through the per-row guard (old state already carries
+    last_batch_id == batch), rewrite an identical log, and converge —
+    same values as the uninterrupted run."""
+    chunks, live = _mk_fixture(spark, tmp_path)
+    table = str(tmp_path / "state" / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    _force_bucket_path(monkeypatch)
+    _stage_file(spark, tmp_path, live, chunks.filter("chunk_id = 0"), "s0.parquet")
+    _runner(spark, live, tmp_path).count()
+
+    _allow_log_path(monkeypatch)
+    scattered = chunks.filter(f"chunk_id = 1 and doc_id in {SCATTERED_DOCS}")
+    _stage_file(spark, tmp_path, live, scattered, "s1.parquet")
+    r1 = _got(_runner(spark, live, tmp_path))
+    assert len(stream_ops._log_dirs(table)) == 1
+
+    # rewind to the crash instant: batch 1's commit and mark advance
+    # never happened, but its log dir did
+    for nm in ("1", ".1.crc"):
+        p = os.path.join(ckpt, "commits", nm)
+        if os.path.exists(p):
+            os.remove(p)
+    with open(up._mark_path(table), "w") as f:
+        json.dump({"batch_id": 0, "stream": up._stream_generation(ckpt)}, f)
+
+    timings: list[dict] = []
+    r2 = _got(_runner(spark, live, tmp_path, timings))
+    assert r2 == r1
+    assert timings[-1]["path"] == "log"  # replay took the same path
+    assert json.load(open(up._mark_path(table)))["batch_id"] == 1
+    assert len(stream_ops._log_dirs(table)) == 1
+
+
+def test_log_compaction_folds_logs_into_buckets(spark, tmp_path, monkeypatch):
+    """Once the log outgrows the thresholds, the next merge folds every
+    log row into its home bucket and deletes the log dirs — and the
+    stream's values are unchanged across the compaction."""
+    chunks, live = _mk_fixture(spark, tmp_path)
+    table = str(tmp_path / "state" / "state")
+
+    _force_bucket_path(monkeypatch)
+    _stage_file(spark, tmp_path, live, chunks.filter("chunk_id = 0"), "s0.parquet")
+    _runner(spark, live, tmp_path).count()
+
+    _allow_log_path(monkeypatch)
+    scattered = chunks.filter(f"chunk_id = 1 and doc_id in {SCATTERED_DOCS}")
+    _stage_file(spark, tmp_path, live, scattered, "s1.parquet")
+    _runner(spark, live, tmp_path).count()
+    assert len(stream_ops._log_dirs(table)) == 1
+
+    # batch 2 (dense) triggers compaction first: force it with tiny
+    # thresholds, and pin batch 2 itself to the bucket path
+    _force_bucket_path(monkeypatch)
+    monkeypatch.setenv("PMR_STATE_LOG_COMPACT_MIN_LOGS", "1")
+    monkeypatch.setenv("PMR_STATE_LOG_COMPACT_FRAC", "0.0")
+    _stage_file(spark, tmp_path, live, chunks.filter("chunk_id = 2"), "s2.parquet")
+    timings: list[dict] = []
+    final = _got(_runner(spark, live, tmp_path, timings))
+    assert timings[-1]["compact_s"] is not None  # compaction ran
+    assert stream_ops._log_dirs(table) == []  # logs folded + deleted
+    assert not os.path.isdir(table + ".tmp_2")
+
+    fixture = chunks.filter(
+        f"chunk_id in (0, 2) or (chunk_id = 1 and doc_id in {SCATTERED_DOCS})"
+    )
+    assert final == _refeed_reference_fold(fixture)
+    st = stream_ops.read_state_table(spark, table)
+    assert st.count() == 12  # still one row per doc
+
+
+def test_compaction_crash_windows_are_shadow_identical(
+    spark, tmp_path, monkeypatch
+):
+    """Compaction crash safety: (a) dying after the bucket swaps but
+    before the log deletes leaves logs whose rows are byte-identical
+    shadows of the folded buckets — reads are unchanged and the next
+    compaction sweeps them; (b) dying mid bucket-swap is healed by the
+    rollback-only recovery with the logs intact."""
+    chunks, live = _mk_fixture(spark, tmp_path)
+    table = str(tmp_path / "state" / "state")
+
+    _force_bucket_path(monkeypatch)
+    _stage_file(spark, tmp_path, live, chunks.filter("chunk_id = 0"), "s0.parquet")
+    _runner(spark, live, tmp_path).count()
+    _allow_log_path(monkeypatch)
+    scattered = chunks.filter(f"chunk_id = 1 and doc_id in {SCATTERED_DOCS}")
+    _stage_file(spark, tmp_path, live, scattered, "s1.parquet")
+    _runner(spark, live, tmp_path).count()
+    assert len(stream_ops._log_dirs(table)) == 1
+    pre = {
+        (r["doc_id"],): (r["last_batch_id"], r["chain"], r["acc_words"])
+        for r in stream_ops.read_state_table(spark, table).collect()
+    }
+
+    # (a) compaction that "crashes" after every swap, before any delete:
+    # intercept the log-dir deletes exactly once
+    import proactive_map_reduce_spark.streaming.proactive as sp_mod
+
+    real_rmtree = shutil.rmtree
+    log_root = stream_ops._log_root(table)
+
+    def skipping_rmtree(path, *a, **kw):
+        if str(path).startswith(log_root):
+            return  # simulated crash: delete never lands
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setenv("PMR_STATE_LOG_COMPACT_MIN_LOGS", "1")
+    monkeypatch.setenv("PMR_STATE_LOG_COMPACT_FRAC", "0.0")
+    monkeypatch.setattr(sp_mod.shutil, "rmtree", skipping_rmtree)
+    meta = stream_ops._table_meta(table)
+    assert (
+        stream_ops._compact_logs(
+            spark, table, stream_ops._REFEED_STATE,
+            meta["n_buckets"], meta["span"], 77,
+        )
+        is not None
+    )
+    monkeypatch.setattr(sp_mod.shutil, "rmtree", real_rmtree)
+    assert len(stream_ops._log_dirs(table)) == 1  # shadowed, not deleted
+    post = {
+        (r["doc_id"],): (r["last_batch_id"], r["chain"], r["acc_words"])
+        for r in stream_ops.read_state_table(spark, table).collect()
+    }
+    assert post == pre  # last-wins absorbs the shadow rows
+
+    # (b) mid-swap crash on top: one bucket renamed away, not replaced
+    some_bucket = stream_ops._bucket_dirs(table)[0]
+    os.rename(some_bucket, some_bucket + ".old_78")
+    stream_ops._recover_state(table)
+    assert os.path.isdir(some_bucket)
+    assert len(stream_ops._log_dirs(table)) == 1  # recovery keeps logs
+    healed = {
+        (r["doc_id"],): (r["last_batch_id"], r["chain"], r["acc_words"])
+        for r in stream_ops.read_state_table(spark, table).collect()
+    }
+    assert healed == pre
+
+    # a second, uninterrupted compaction sweeps the shadow logs
+    assert (
+        stream_ops._compact_logs(
+            spark, table, stream_ops._REFEED_STATE,
+            meta["n_buckets"], meta["span"], 79,
+        )
+        is not None
+    )
+    assert stream_ops._log_dirs(table) == []
+    assert {
+        (r["doc_id"],): (r["last_batch_id"], r["chain"], r["acc_words"])
+        for r in stream_ops.read_state_table(spark, table).collect()
+    } == pre
+
+
+def test_init_table_stamps_initial_mark(tmp_path):
+    """ADVICE r11 (medium): table ownership must be provable across ALL
+    of batch 0 — _init_table stamps ``{batch_id: -1, stream: gen}`` at
+    creation, and never clobbers an existing (advanced) mark."""
+    t = str(tmp_path / "state")
+    assert stream_ops._init_table(t, 4, 64, gen="g1") == (4, 64)
+    mark = stream_ops._read_mark_raw(t)
+    assert mark == {"batch_id": -1, "stream": "g1"}
+    assert up._last_batch(t, "g1") == -1
+    assert up._last_batch(t, "other") == -1  # generation-scoped
+
+    with open(up._mark_path(t), "w") as f:
+        json.dump({"batch_id": 5, "stream": "g1"}, f)
+    stream_ops._init_table(t, 9, 99, gen="g2")  # resume: pinned params
+    assert stream_ops._read_mark_raw(t)["batch_id"] == 5  # not clobbered
+
+    with pytest.raises(ValueError, match="invalid bucketing"):
+        stream_ops._init_table(str(tmp_path / "s2"), 0, 64)
+
+
+def test_meta_only_table_resumes_as_empty_state(spark, tmp_path, monkeypatch):
+    """ADVICE r11 (medium), end-to-end: a kill inside batch 0 after
+    _meta.json landed but before ANY mark (the pre-r12 window) leaves a
+    meta-only table; a same-checkpoint resume must treat it as empty
+    state and replay batch 0 — not refuse with the 'fresh checkpoint'
+    error that tells the user to do what they already did."""
+    chunks, live = _mk_fixture(spark, tmp_path, n_docs=4)
+    table = str(tmp_path / "state" / "state")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    _force_bucket_path(monkeypatch)
+    _stage_file(spark, tmp_path, live, chunks.filter("chunk_id = 0"), "s0.parquet")
+    r0 = _got(_runner(spark, live, tmp_path))
+
+    # reconstruct the crash instant: offsets for batch 0 written, no
+    # commit, table holds ONLY _meta.json, nothing emitted yet
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    os.remove(up._mark_path(table))
+    for d in stream_ops._bucket_dirs(table):
+        shutil.rmtree(d)
+    for _, p in stream_ops._batch_dirs(out_dir):
+        shutil.rmtree(p)
+    assert stream_ops._last_committed_batch(ckpt) == -1
+    assert stream_ops._last_offset_batch(ckpt) == 0
+
+    r1 = _got(_runner(spark, live, tmp_path))  # resumes, no refusal
+    assert r1 == r0
+
+    # a NON-empty markless table is still unprovable → still refuses
+    os.remove(up._mark_path(table))
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    for _, p in stream_ops._batch_dirs(out_dir):
+        shutil.rmtree(p)
+    with pytest.raises(ValueError, match="state table"):
+        _runner(spark, live, tmp_path)
+
+
+def test_first_batch_window_refuses_missing_early_emissions(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11 (low): the first-batch-window resume replays only the
+    latest offsets entry — emissions BELOW that floor must already
+    exist, else the read-back would silently lose them. Missing → the
+    guard refuses; intact → the resume converges."""
+    chunks, live = _mk_fixture(spark, tmp_path, n_docs=4)
+    table = str(tmp_path / "state" / "state")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    _force_bucket_path(monkeypatch)
+    for cid in (0, 1):
+        _stage_file(
+            spark, tmp_path, live,
+            chunks.filter(f"chunk_id = {cid}"), f"s{cid}.parquet",
+        )
+    r0 = _got(_runner(spark, live, tmp_path))
+
+    # the first-batch window: both batches' marks landed, no commits
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    assert stream_ops._last_offset_batch(ckpt) == 1
+    # intact early emissions: resume converges
+    r1 = _got(_runner(spark, live, tmp_path))
+    assert r1 == r0
+
+    # missing below-floor emission: refuse loudly
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    shutil.rmtree(os.path.join(out_dir, "batch-000000000"))
+    with pytest.raises(ValueError, match="missing batch dirs"):
+        _runner(spark, live, tmp_path)
+
+
+def test_bucket_names_above_five_digits_are_listed(tmp_path):
+    """ADVICE r11 (low): {:05d} is a minimum width — bucket ids ≥
+    100000 produce 6-digit names that listings and .old healing must
+    still see."""
+    t = str(tmp_path / "state")
+    os.makedirs(os.path.join(t, "b123456"))
+    os.makedirs(os.path.join(t, "b00001"))
+    dirs = [os.path.basename(d) for d in stream_ops._bucket_dirs(t)]
+    assert dirs == ["b00001", "b123456"]
+    assert stream_ops._BUCKET_OLD_RE.fullmatch("b123456.old_3")
+    assert os.path.basename(
+        stream_ops._bucket_path(t, 123456)
+    ) == "b123456"

@@ -675,13 +675,25 @@ def test_durable_sink_restart_idempotent_no_dup_no_loss(spark, tmp_path):
         shutil.rmtree(src_root, ignore_errors=True)
 
 
-def test_stateful_accumulate_batched_restart_restores_state(spark, tmp_path):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "runner_buckets",
+    [{}, {"n_buckets": 1024, "bucket_span": 97}],
+    ids=["default-buckets", "probe-1024x97"],
+)
+def test_stateful_accumulate_batched_restart_restores_state(
+    spark, tmp_path, runner_buckets
+):
     """The batched relational accumulator (r9 default) survives a
     stop/restart from its checkpoint + state/out dirs: post-restart
     emissions carry chunks seen only BEFORE the stop (possible only if
     the parquet state table supplied them), and the final per-doc
     accumulation equals the batch answer — the same recovery contract
-    the per-key state-store path proves above."""
+    the per-key state-store path proves above. Parameterized over the
+    shipped default bucketing and the scale-probe configuration
+    (N=1024, non-default span — r11 verdict item 5)."""
     docs = spark.createDataFrame(
         [(1, "a b c d e f g h"), (2, "one two three four five six seven eight")],
         "doc_id long, text string",
@@ -703,7 +715,8 @@ def test_stateful_accumulate_batched_restart_restores_state(spark, tmp_path):
             .parquet(live)
         )
         return stream_ops._accumulate_batched_runner(
-            stream, out_dir=out_dir, state_dir=state_dir, checkpoint_dir=ckpt
+            stream, out_dir=out_dir, state_dir=state_dir, checkpoint_dir=ckpt,
+            **runner_buckets,
         )
 
     try:
@@ -888,8 +901,13 @@ def _refeed_reference_fold(chunks):
     return expect
 
 
+@_pytest.mark.parametrize(
+    "nb, span",
+    [(4, 1), (1024, 97)],
+    ids=["small-4x1", "probe-1024x97"],
+)
 def test_batched_runner_recovers_crash_between_bucket_renames(
-    spark, tmp_path, monkeypatch
+    spark, tmp_path, monkeypatch, nb, span
 ):
     """Kill the bucketed batched runner in the dangerous window — after
     rename(bucket→bucket.old) but before rename(tmp bucket→bucket), with
@@ -898,9 +916,13 @@ def test_batched_runner_recovers_crash_between_bucket_renames(
     bucket BACK to its pre-batch state (the mark never advanced, so the
     batch replays; already-swapped buckets pass through the per-row
     guard byte-identical, the rolled-back bucket re-folds), and the
-    final values must equal the uninterrupted fold."""
+    final values must equal the uninterrupted fold. Parameterized over
+    the small fixture config and the scale-probe configuration (N=1024,
+    non-default span — r11 verdict item 5); doc ids sit one per span
+    group so the batch genuinely walks several buckets either way."""
     docs = spark.createDataFrame(
-        [(i, "a b c d e f") for i in range(8)], "doc_id long, text string"
+        [(i * span, "a b c d e f") for i in range(8)],
+        "doc_id long, text string",
     )
     chunks = chunking.partition_equal(chunking.split_words(docs), 3)
     src_root = stream_ops.write_stage_files(chunks)
@@ -918,11 +940,11 @@ def test_batched_runner_recovers_crash_between_bucket_renames(
             .option("maxFilesPerTrigger", 1)
             .parquet(live)
         )
-        # span=1 so the 8 docs hash across several of the 4 buckets —
-        # the batch swap walks multiple buckets
+        # one doc per span group, so the 8 docs hash across several
+        # buckets — the batch swap walks multiple buckets
         return stream_ops._refeed_batched_runner(
             stream, out_dir=out_dir, state_dir=state_dir,
-            checkpoint_dir=ckpt, n_buckets=4, bucket_span=1,
+            checkpoint_dir=ckpt, n_buckets=nb, bucket_span=span,
         )
 
     real_rename = os.rename
