@@ -42,12 +42,10 @@ _REWRITTEN = {
     "q_bleu": 4,                  # empty-token drop + one-row-per-gold-doc
     # reference-parity pass: normalized-answer tokenization for the
     # F1/accuracy family, int() top-k with tail-excluded rank pool
-    "q_flagship": 4,
+    # (q_flagship/q_metrics_avg/q_best_of_answers/q_union_outputs moved
+    # to their r12 entries below)
     "q_subset_accuracy": 4,
-    "q_best_of_answers": 4,
     "q_token_counter_overlap": 4,
-    "q_metrics_avg": 4,
-    "q_union_outputs": 4,
     "q_mean_over_files": 4,
     "q_topk_importance": 4,
     # oracle determinism fixes (session cumsum order, asof tie-break)
@@ -154,8 +152,25 @@ _REWRITTEN = {
     # restart + bucket-crash-window tests, byte-level untouched-bucket
     # pin); the PLANS changed again, so the driver should re-derive both
     # rows on the bucketed runner. (Supersedes the r10 compaction pins.)
-    "q_stateful_accumulate": 11,
-    "q_stream_refeed_chain": 11,
+    # round-12 scale pass: the W2 state table gained the delta-log
+    # (LSM) path for SCATTERED-sparse micro-batches — reads resolve
+    # buckets ∪ _log dirs by last-batch-wins, compaction folds logs
+    # back (streaming/proactive). Values identical (mode-equivalence,
+    # log crash-window + compaction tests, 1M-key probe zero-mismatch);
+    # the runner's read plan changed, so the driver should re-derive
+    # both rows. (Supersedes the r11 bucketing pins.)
+    "q_stateful_accumulate": 12,
+    "q_stream_refeed_chain": 12,
+    # round-12 perf pass: q_flagship's scoring now normalizes each side
+    # ONCE via scoring.pair_scores (layered projections pin single
+    # evaluation of the 3-regex chain) instead of re-deriving it per
+    # metric — values bit-identical (oracle re-verified, equality test),
+    # ~27% less wall at sf0.1. The two consumers of the flagship
+    # fragment re-derive on the new plan too.
+    "q_flagship": 12,
+    "q_metrics_avg": 12,
+    "q_best_of_answers": 12,
+    "q_union_outputs": 12,
 }
 
 

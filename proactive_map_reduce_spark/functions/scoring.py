@@ -51,6 +51,67 @@ def set_f1(pred_words: Column, gold_words: Column) -> Column:
     )
 
 
+def pair_scores(
+    df,
+    pred_col: str,
+    gold_col: str,
+    f1_col: str = "set_f1",
+    em_col: str = "em",
+    sub_col: str = "subset_acc",
+):
+    """All three answer metrics of a (pred, gold) text pair —
+    ``set_f1`` + exact match + ``subset_accuracy`` — with each side
+    NORMALIZED ONCE (r12 flagship shave).
+
+    Composing ``set_f1(norm_tokens(x), norm_tokens(y))`` + exact_match
+    + subset_accuracy inline re-evaluates the 3-regex normalization
+    chain per metric per side over the FULL document text — measured
+    ~27% of q_flagship's wall at sf0.1. Layering the normalized string
+    and its distinct-token set as intermediate projection columns pins
+    single evaluation: Catalyst's project collapsing refuses to inline
+    a non-cheap expression referenced more than once, so the regex
+    chain runs once per side and every metric reads the result. Values
+    are bit-identical to the inline composition (the same no-answer
+    rules and exact-int64 rounding; pinned by the flagship oracle and
+    tests/test_scoring.py::test_pair_scores_matches_inline_metrics).
+    """
+    from .text import normalize_text
+
+    nf, ng, tf, tg = "__norm_pred", "__norm_gold", "__toks_pred", "__toks_gold"
+
+    def toks(c: Column) -> Column:
+        # empty normalization → ZERO tokens (the reference's no-answer),
+        # same contract as text.norm_tokens
+        return F.when(
+            F.length(c) == 0, F.array().cast("array<string>")
+        ).otherwise(F.split(c, " "))
+
+    df = (
+        df.withColumn(nf, normalize_text(F.col(pred_col)))
+        .withColumn(ng, normalize_text(F.col(gold_col)))
+        .withColumn(tf, F.array_distinct(toks(F.col(nf))))
+        .withColumn(tg, F.array_distinct(toks(F.col(ng))))
+    )
+    p, g = F.col(tf), F.col(tg)
+    either_empty = (F.size(p) == 0) | (F.size(g) == 0)
+    both_empty = (F.size(p) == 0) & (F.size(g) == 0)
+    inter = F.size(F.array_intersect(p, g))
+    f1 = (
+        F.when(either_empty, both_empty.cast("double"))
+        .when(inter == 0, F.lit(0.0))
+        .otherwise(round6_ratio(2 * inter, F.size(p) + F.size(g)))
+    )
+    sub = F.when(either_empty, both_empty.cast("int")).otherwise(
+        (F.size(F.array_except(g, p)) == 0).cast("int")
+    )
+    return (
+        df.withColumn(f1_col, f1)
+        .withColumn(em_col, (F.col(nf) == F.col(ng)).cast("int"))
+        .withColumn(sub_col, sub)
+        .drop(nf, ng, tf, tg)
+    )
+
+
 def subset_accuracy(pred_words: Column, gold_words: Column) -> Column:
     """A7: 1 iff gold word set ⊆ pred word set, with the reference's
     no-answer rule (test_proactive.py:135-137): an empty side scores 1

@@ -13,6 +13,7 @@ from ..functions.numeric import (
     round_ratio,
     round6_ratio,
 )
+from ..functions import scoring
 from ..functions.scoring import bleu_udf, rouge_l_udf, set_f1, subset_accuracy
 from ..functions.text import (
     any_answer_contained,

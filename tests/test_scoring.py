@@ -155,3 +155,45 @@ def test_bleu_rouge_convention_on_irregular_whitespace_and_empty(spark):
     assert lcs == {0: 2, 1: 2, 2: 0, 3: 0, 4: 3}
     assert rouge_l("", "") == 0.0
     assert rouge_l("a  b", "a b") == 1.0
+
+
+def test_pair_scores_matches_inline_metrics(spark):
+    """pair_scores (the r12 single-normalization flagship scorer) must be
+    value-identical to the inline set_f1/exact_match/subset_accuracy
+    composition on every answer shape: agreements, word-set permutations,
+    article/punctuation-only differences, subsets, empties, whitespace
+    runs, non-ASCII (dropped by the normalizer), and nulls."""
+    from pyspark.sql import functions as F
+
+    from proactive_map_reduce_spark.functions.scoring import (
+        pair_scores,
+        set_f1,
+        subset_accuracy,
+    )
+    from proactive_map_reduce_spark.functions.text import exact_match, norm_tokens
+
+    rows = [
+        (0, "The quick brown fox", "quick brown fox"),   # article-only diff
+        (1, "b a c", "a b c"),                           # same set, new order
+        (2, "a b", "a b c"),                             # strict subset
+        (3, "", ""),                                     # both empty
+        (4, "", "x"),                                    # one empty
+        (5, "Hello,   world!!", "hello world"),          # punct + ws runs
+        (6, "héllo wörld", "hllo wrld"),                 # non-ASCII dropped
+        (7, None, "a"),                                  # null pred
+        (8, "a a a b", "b a"),                           # duplicates
+        (9, "a the an", ""),                             # articles-only pred
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, pred string, gold string")
+    inline = df.select(
+        "doc_id",
+        set_f1(norm_tokens("pred"), norm_tokens("gold")).alias("set_f1"),
+        exact_match(F.col("pred"), F.col("gold")).alias("em"),
+        subset_accuracy(norm_tokens("pred"), norm_tokens("gold")).alias("subset_acc"),
+    )
+    fused = pair_scores(df, "pred", "gold").select(
+        "doc_id", "set_f1", "em", "subset_acc"
+    )
+    a = {tuple(r) for r in inline.collect()}
+    b = {tuple(r) for r in fused.collect()}
+    assert a == b

@@ -352,11 +352,13 @@ def probe_w2_sparse(spark, n_docs: int = 1_000_000) -> dict:
     Bounds checked (bucketed only): the clustered-1% batch touches
     ≤3% of buckets and its merge costs ≤35% of the dense batch's (and
     ≤50% of the UNBUCKETED layout's cost for the identical batch).
-    The scattered-1% batch is the documented honest worst case — 10k
-    uniformly-spread keys cover ~all buckets, so bucket pruning cannot
-    help; it is recorded, not bounded. Values are fully checked against
-    the zero-seed JVM fold and the final state must hold exactly
-    ``n_docs`` rows, both layouts.
+    The scattered-1% batch — 10k uniformly-spread keys covering ~all
+    buckets, where bucket pruning cannot help — was the r11 recorded
+    worst case; since r12 it must take the DELTA-LOG path (append one
+    small folded delta instead of rewriting the grazed buckets) and
+    its merge must cost ≤50% of the dense batch's. Values are fully
+    checked against the zero-seed JVM fold and the final state must
+    hold exactly ``n_docs`` rows, both layouts.
     """
     import glob
     import shutil
@@ -469,10 +471,10 @@ def probe_w2_sparse(spark, n_docs: int = 1_000_000) -> dict:
                 shutil.rmtree(state_dir, ignore_errors=True)
             per_stage = {
                 stages[t["batch_id"]][0]: {
-                    k: t[k]
+                    k: t.get(k)
                     for k in (
                         "merge_s", "touch_s", "emit_s", "swap_s",
-                        "buckets_touched", "n_buckets",
+                        "buckets_touched", "n_buckets", "path", "compact_s",
                     )
                 }
                 for t in timings
@@ -508,6 +510,9 @@ def probe_w2_sparse(spark, n_docs: int = 1_000_000) -> dict:
         b["scattered_1pct"]["buckets_touched"]
         / b["scattered_1pct"]["n_buckets"],
         4,
+    )
+    out["merge_frac_scattered_1pct_vs_dense"] = round(
+        b["scattered_1pct"]["merge_s"] / max(b["dense"]["merge_s"], 1e-9), 3
     )
     return out
 
@@ -554,6 +559,15 @@ def main() -> int:
         checks.append(
             "w2_sparse: clustered 1% merge cost "
             f"{w2s['merge_frac_clustered_1pct_vs_dense']:.0%} of dense (>35%)"
+        )
+    if w2s["bucketed"]["per_stage"]["scattered_1pct"]["path"] != "log":
+        checks.append(
+            "w2_sparse: scattered 1% batch did not take the delta-log path"
+        )
+    if w2s["merge_frac_scattered_1pct_vs_dense"] > 0.5:
+        checks.append(
+            "w2_sparse: scattered 1% merge cost "
+            f"{w2s['merge_frac_scattered_1pct_vs_dense']:.0%} of dense (>50%)"
         )
     # merge_bucketed_over_unbucketed_at_1pct is RECORDED but not bounded:
     # it divides wall seconds from two different JVM sessions, and the
