@@ -1020,6 +1020,10 @@ def _batched_state_runner(
         nb, span = _init_table(table, nb0, span0, gen=gen)
         bexpr = _bucket_expr(nb, span)
         compact_s = _compact_logs(spark, table, state_schema, nb, span, batch_id)
+        # compaction is its own reported phase: shift the merge clock so
+        # merge_s/touch_s stay comparable across batches that did and
+        # didn't compact (the soaks' flatness stats read merge_s)
+        t0 += compact_s or 0.0
         # The touched-bucket probe runs on the RAW batch (doc_id only —
         # the model map is applied below, inside the merge-write job,
         # so the probe never pays the pandas-UDF cost) as a collect_set

@@ -284,7 +284,11 @@ def batched_depth_soak(
 
 
 def sparse_touch_soak(
-    spark, n_docs: int = 200_000, n_sparse: int = 40, window: int | None = None
+    spark,
+    n_docs: int = 200_000,
+    n_sparse: int = 40,
+    window: int | None = None,
+    scattered: bool = False,
 ) -> dict:
     """Sparse-touch soak of the bucketed state table (r11; the r10
     verdict's item 1 'done' evidence): build ``n_docs`` keys of state
@@ -296,7 +300,16 @@ def sparse_touch_soak(
     r10 layout paid the full O(total keys) rewrite per batch no matter
     how few keys a batch touched. Values are fully checked against the
     zero-seed JVM fold; the final state must hold exactly ``n_docs``
-    rows."""
+    rows.
+
+    ``scattered=True`` (r12) strides each sparse batch's keys uniformly
+    across the whole key space — the shape where bucket pruning cannot
+    help and the r11 layout paid near-dense rewrite. Every such batch
+    must route to the DELTA-LOG path (one small appended parquet dir,
+    zero bucket rewrites), latency must stay flat across the soak, and
+    LSM compaction — forced to fire several times by a low
+    PMR_STATE_LOG_COMPACT_FRAC — must fold the logs back without a
+    value deviation."""
     import glob
     import statistics
     import tempfile as _tf
@@ -308,8 +321,8 @@ def sparse_touch_soak(
 
     window = window or n_docs // 100
 
-    def chunk_df(lo, hi, chunk):
-        return spark.range(lo, hi).select(
+    def chunk_df(lo, hi, chunk, step=1):
+        return spark.range(lo, hi, step).select(
             F.col("id").alias("doc_id"),
             F.lit(chunk).cast("int").alias("chunk_id"),
             F.concat(
@@ -318,9 +331,16 @@ def sparse_touch_soak(
         )
 
     stages = [chunk_df(0, n_docs, 0)]
-    for i in range(n_sparse):
-        lo = (i * window) % n_docs
-        stages.append(chunk_df(lo, min(lo + window, n_docs), i + 1))
+    if scattered:
+        stride = n_docs // window
+        for i in range(n_sparse):
+            # rotating offset < stride: `window` keys spread uniformly
+            # over the whole id space, disjoint across batches
+            stages.append(chunk_df(i % stride, n_docs, i + 1, step=stride))
+    else:
+        for i in range(n_sparse):
+            lo = (i * window) % n_docs
+            stages.append(chunk_df(lo, min(lo + window, n_docs), i + 1))
     stages.append(chunk_df(0, n_docs, n_sparse + 1))
 
     live = _tf.mkdtemp(prefix="pmr_soak_sparse_")
@@ -339,6 +359,17 @@ def sparse_touch_soak(
     timings: list[dict] = []
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
+    env_saved = {}
+    if scattered:
+        # force LSM compaction to fire several times inside the soak:
+        # each batch logs `window` rows against n_docs bucket rows, so
+        # frac = 5·window/n_docs triggers roughly every 5-6 batches
+        for k, v in {
+            "PMR_STATE_LOG_COMPACT_MIN_LOGS": "4",
+            "PMR_STATE_LOG_COMPACT_FRAC": str(5 * window / n_docs),
+        }.items():
+            env_saved[k] = os.environ.get(k)
+            os.environ[k] = v
     t0 = time.time()
     try:
         got = sp._refeed_batched_runner(
@@ -376,11 +407,16 @@ def sparse_touch_soak(
             )
         )
         mismatches = got.exceptAll(expect).count() + expect.exceptAll(got).count()
-        state_rows = sp.read_state_table(
-            spark, os.path.join(state_dir, "state")
-        ).count()
+        table = os.path.join(state_dir, "state")
+        state_rows = sp.read_state_table(spark, table).count()
+        logs_left = len(sp._log_dirs(table))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        for k, v in env_saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
         shutil.rmtree(live, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(state_dir, ignore_errors=True)
@@ -392,8 +428,9 @@ def sparse_touch_soak(
     early = sum(merges[:half]) / half
     late = sum(merges[-half:]) / half
     med = statistics.median(merges) if merges else None
-    return {
-        "op": "refeed_batched_sparse",
+    compacts = [t["compact_s"] for t in timings if t.get("compact_s")]
+    out = {
+        "op": "refeed_batched_scattered" if scattered else "refeed_batched_sparse",
         "n_docs": n_docs,
         "touch_per_batch": window,
         "sparse_batches": len(sparse),
@@ -414,9 +451,24 @@ def sparse_touch_soak(
         "sparse_under_dense": (
             med is not None
             and dense_merge is not None
-            and med <= 0.35 * dense_merge
+            and med <= (0.5 if scattered else 0.35) * dense_merge
         ),
     }
+    if scattered:
+        out.update(
+            {
+                "log_path_batches": sum(
+                    1 for t in sparse if t.get("path") == "log"
+                ),
+                "all_sparse_on_log_path": all(
+                    t.get("path") == "log" for t in sparse
+                ),
+                "compactions": len(compacts),
+                "compact_s_max": max(compacts, default=None),
+                "log_dirs_after_final_dense": logs_left,
+            }
+        )
+    return out
 
 
 def main() -> None:
@@ -453,13 +505,18 @@ def main() -> None:
     # must each cost a small fraction of a dense batch's merge — the r10
     # layout paid the full-table rewrite for every one of them
     out["durable_batched_sparse"] = sparse_touch_soak(spark)
+    # r12 delta-log: the same soak with UNIFORMLY SCATTERED touches —
+    # the shape bucket pruning can't help — must route every sparse
+    # batch to the log path, stay flat, survive several forced LSM
+    # compactions, and still fold to the exact reference values
+    out["durable_batched_scattered"] = sparse_touch_soak(spark, scattered=True)
     # ok folds EVERY section's invariants (ADVICE r10: it used to cover
     # only the batched depth soaks and was never wired to the exit code,
     # so a regression passed return-code automation): the batched soaks'
     # flat-latency + value checks, plus the durable refeed soak having
     # actually sustained committed batches with every sunk row durable.
     dr = out["durable_refeed"]
-    sp_soak = out["durable_batched_sparse"]
+    sc_soak = out["durable_batched_scattered"]
     out["ok"] = (
         all(
             r["latency_flat"]
@@ -469,11 +526,16 @@ def main() -> None:
             for r in (out["durable_batched"], out["durable_batched_deep"])
         )
         and (dr["batches"] > 0 and dr["rows_sunk"] > 0 and dr["rows_in"] > 0)
-        and sp_soak["latency_flat"]
-        and sp_soak["sparse_under_dense"]
-        and sp_soak["value_mismatches"] == 0
-        and sp_soak["rows_out"] == sp_soak["rows_expected"]
-        and sp_soak["state_rows_final"] == sp_soak["n_docs"]
+        and all(
+            s["latency_flat"]
+            and s["sparse_under_dense"]
+            and s["value_mismatches"] == 0
+            and s["rows_out"] == s["rows_expected"]
+            and s["state_rows_final"] == s["n_docs"]
+            for s in (out["durable_batched_sparse"], sc_soak)
+        )
+        and sc_soak["all_sparse_on_log_path"]
+        and sc_soak["compactions"] >= 1
     )
     line = json.dumps(out)
     print(line)
