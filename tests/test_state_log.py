@@ -399,3 +399,80 @@ def test_bucket_names_above_five_digits_are_listed(tmp_path):
     assert os.path.basename(
         stream_ops._bucket_path(t, 123456)
     ) == "b123456"
+
+
+def test_accumulator_log_path_equals_batch_reference(
+    spark, tmp_path, monkeypatch
+):
+    """The delta-log path must hold for BOTH registered state ops: run
+    the W2 accumulator (growing payload, cluster_write='auto') with a
+    scattered second batch forced onto the log path — the final per-doc
+    accumulation must equal the batch incremental_concat reference and
+    the log row must carry the doc's complete folded payload."""
+    from pyspark.sql import functions as F
+
+    from proactive_map_reduce_spark.operators import mapstage
+
+    chunks, live = _mk_fixture(spark, tmp_path)
+    table = str(tmp_path / "state" / "state")
+
+    def run(timings=None):
+        stream = (
+            spark.readStream.schema(stream_ops.CHUNK_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(live)
+        )
+        return stream_ops._accumulate_batched_runner(
+            stream,
+            out_dir=str(tmp_path / "out"),
+            state_dir=str(tmp_path / "state"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            timings=timings,
+            n_buckets=8,
+            bucket_span=1,
+        )
+
+    _force_bucket_path(monkeypatch)
+    _stage_file(spark, tmp_path, live, chunks.filter("chunk_id = 0"), "s0.parquet")
+    run().count()
+
+    _allow_log_path(monkeypatch)
+    scattered = chunks.filter(f"chunk_id = 1 and doc_id in {SCATTERED_DOCS}")
+    _stage_file(spark, tmp_path, live, scattered, "s1.parquet")
+    timings: list[dict] = []
+    out = run(timings)
+    assert timings[-1]["path"] == "log"
+
+    # final (deepest) accumulation per doc vs the batch reference
+    fixture = chunks.filter(
+        f"chunk_id = 0 or (chunk_id = 1 and doc_id in {SCATTERED_DOCS})"
+    )
+    batch_ref = {
+        r["doc_id"]: r["acc"]
+        for r in mapstage.llm_map(fixture)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_id", "out_text"))
+                ).getField("out_text"),
+                " ",
+            ).alias("acc")
+        )
+        .collect()
+    }
+    deepest = {}
+    for r in out.collect():
+        cur = deepest.get(r["doc_id"])
+        if cur is None or r["n_chunks_seen"] > cur[0]:
+            deepest[r["doc_id"]] = (r["n_chunks_seen"], r["acc_text"])
+    assert {d: t for d, (_, t) in deepest.items()} == batch_ref
+
+    # the log row carries the COMPLETE folded payload (both chunks)
+    logs = stream_ops._log_dirs(table)
+    assert len(logs) == 1
+    log_rows = {
+        r["doc_id"]: r for r in spark.read.parquet(logs[0]).collect()
+    }
+    assert set(log_rows) == set(SCATTERED_DOCS)
+    assert all(len(r["ps"]) == 2 for r in log_rows.values())
