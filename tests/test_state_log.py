@@ -476,3 +476,44 @@ def test_accumulator_log_path_equals_batch_reference(
     }
     assert set(log_rows) == set(SCATTERED_DOCS)
     assert all(len(r["ps"]) == 2 for r in log_rows.values())
+
+
+def test_repeated_scattered_batches_fold_log_on_log(
+    spark, tmp_path, monkeypatch
+):
+    """Two consecutive log-path batches touching the SAME docs: the
+    second batch's old-state read must pick the FIRST batch's log row
+    (not the stale bucket row) and fold on top of it — the log-on-log
+    case the single-batch tests don't reach. Values must equal the
+    reference fold over all three stages."""
+    chunks, live = _mk_fixture(spark, tmp_path)
+    table = str(tmp_path / "state" / "state")
+
+    _force_bucket_path(monkeypatch)
+    _stage_file(spark, tmp_path, live, chunks.filter("chunk_id = 0"), "s0.parquet")
+    _runner(spark, live, tmp_path).count()
+
+    _allow_log_path(monkeypatch)
+    for cid in (1, 2):
+        _stage_file(
+            spark, tmp_path, live,
+            chunks.filter(f"chunk_id = {cid} and doc_id in {SCATTERED_DOCS}"),
+            f"s{cid}.parquet",
+        )
+    timings: list[dict] = []
+    final = _got(_runner(spark, live, tmp_path, timings))
+    assert [t["path"] for t in timings[-2:]] == ["log", "log"]
+    assert len(stream_ops._log_dirs(table)) == 2
+
+    fixture = chunks.filter(
+        f"chunk_id = 0 or doc_id in {SCATTERED_DOCS}"
+    )
+    assert final == _refeed_reference_fold(fixture)
+
+    # last-wins picks the batch-2 log row for the scattered docs
+    st = {
+        r["doc_id"]: r["last_batch_id"]
+        for r in stream_ops.read_state_table(spark, table).collect()
+    }
+    assert all(st[d] == 2 for d in SCATTERED_DOCS)
+    assert all(v == 0 for d, v in st.items() if d not in SCATTERED_DOCS)
