@@ -529,12 +529,18 @@ def _init_table(
     ALL of batch 0 — a kill after creation but before the first real
     mark write (which spans the whole batch-0 merge) would otherwise
     leave a markless table that :func:`_guard_runner_dirs` mistakes for
-    foreign state, falsely refusing a legitimate same-checkpoint resume."""
-    if int(n_buckets) < 1 or int(span) < 1:
-        raise ValueError(f"invalid bucketing params n_buckets={n_buckets} span={span}")
+    foreign state, falsely refusing a legitimate same-checkpoint resume.
+
+    The param validation runs AFTER the existing-meta early return
+    (ADVICE r12): on resume the caller args are ignored in favor of the
+    pinned meta values, so an invalid first-creation default (e.g.
+    ``PMR_STATE_BUCKETS=0`` left in the environment) must not fail a
+    legitimate resume whose real params are already pinned."""
     meta = _table_meta(table)
     if meta is not None:
         return int(meta["n_buckets"]), int(meta["span"])
+    if int(n_buckets) < 1 or int(span) < 1:
+        raise ValueError(f"invalid bucketing params n_buckets={n_buckets} span={span}")
     if os.path.isdir(table):
         raise ValueError(
             f"state table {table!r} exists without _meta.json — either a "
@@ -608,19 +614,85 @@ def _log_dirs(table: str) -> list[str]:
     )
 
 
+def _log_id(path: str) -> int:
+    return int(_LOG_NAME_RE.fullmatch(os.path.basename(path)).group(1))
+
+
+def _rows_path(table: str) -> str:
+    return os.path.join(table, "_rows.json")
+
+
+def _read_rows(table: str) -> dict | None:
+    """Cached table row counts — ADVICE r12: the compaction trigger used
+    to ``count()`` every bucket file per batch once logs existed; the
+    counts only change on bucket-path merges / log appends / compaction,
+    so those sites maintain this sidecar instead. Advisory only: a crash
+    between a swap and the sidecar write leaves it slightly stale, which
+    merely shifts WHEN the (heuristic) trigger fires — a full reseed
+    happens at every sweep completion."""
+    try:
+        with open(_rows_path(table)) as f:
+            d = json.load(f)
+        return {"bucket_rows": int(d["bucket_rows"]), "log_rows": int(d["log_rows"])}
+    except Exception:
+        return None
+
+
+def _write_rows(table: str, bucket_rows: int, log_rows: int) -> None:
+    tmp = _rows_path(table) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "bucket_rows": int(max(bucket_rows, 0)),
+                "log_rows": int(max(log_rows, 0)),
+            },
+            f,
+        )
+    os.replace(tmp, _rows_path(table))
+
+
+def _sweep_path(table: str) -> str:
+    return os.path.join(table, "_compact.json")
+
+
+def _read_sweep(table: str) -> dict | None:
+    try:
+        with open(_sweep_path(table)) as f:
+            d = json.load(f)
+        return {"cursor": int(d["cursor"]), "high": int(d["high"])}
+    except Exception:
+        return None
+
+
+def _write_sweep(table: str, cursor: int, high: int) -> None:
+    tmp = _sweep_path(table) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"cursor": int(cursor), "high": int(high)}, f)
+    os.replace(tmp, _sweep_path(table))
+
+
 def _last_wins(df: DataFrame) -> DataFrame:
     """Newest state row per key: max ``last_batch_id`` wins. Sound for
     buckets ∪ logs because a delta-log row is the key's COMPLETE folded
     state (not an increment), and rows tied on (doc_id, last_batch_id)
     — a replayed log rewrite, or a compaction crash that left a log
     shadowing its folded bucket — are byte-identical by construction,
-    so the arbitrary tie-break cannot change values."""
+    so the arbitrary tie-break cannot change values.
+
+    NULL-key rows pass through UNDEDUPED (ADVICE r12): the bucket path's
+    full_outer merge legitimately accumulates one state row per null-key
+    batch (null join keys never match), and null-key batches are gated
+    off the log path — so a null doc_id can never have a newer log row
+    to win against, and collapsing the distinct null rows to one would
+    silently change the established bucket-path semantics."""
+    nn = df.filter(F.col("doc_id").isNotNull())
     w = Window.partitionBy("doc_id").orderBy(F.col("last_batch_id").desc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
+    deduped = (
+        nn.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    return deduped.unionByName(df.filter(F.col("doc_id").isNull()))
 
 
 def _read_state(
@@ -637,11 +709,21 @@ def _read_state(
         return base
     logdf = spark.read.schema(schema).parquet(*logs)
     if bucket_ids is not None:
-        meta = _table_meta(table) or {}
+        meta = _table_meta(table)
+        if meta is None:
+            # Logs cannot legitimately exist without _meta.json (the log
+            # path only engages on an initialized table); guessing (1,1)
+            # here would silently DROP the pruned read's log rows — stale
+            # state — instead of failing loudly (ADVICE r12).
+            raise ValueError(
+                f"state table {table!r} has _log dirs but no _meta.json — "
+                "corrupted table: the pruned log filter needs the pinned "
+                "bucketing params"
+            )
         logdf = logdf.filter(
-            _bucket_expr(
-                int(meta.get("n_buckets", 1)), int(meta.get("span", 1))
-            ).isin([int(k) for k in bucket_ids])
+            _bucket_expr(int(meta["n_buckets"]), int(meta["span"])).isin(
+                [int(k) for k in bucket_ids]
+            )
         )
     return _last_wins(base.unionByName(logdf))
 
@@ -736,6 +818,35 @@ def _use_log_path(touched: int, n_keys: int, n_buckets: int) -> bool:
     )
 
 
+def _compact_should_start(spark, table: str, schema, logs: list[str]) -> bool:
+    """The LSM compaction trigger: start a sweep when the log has
+    outgrown the table (``log_rows > frac × bucket_rows``, default 1.0,
+    evaluated only once ≥ PMR_STATE_LOG_COMPACT_MIN_LOGS dirs exist) or
+    the dir count alone exceeds PMR_STATE_LOG_MAX_LOGS (read-fanout
+    bound). Row counts come from the ``_rows.json`` sidecar (ADVICE
+    r12 — the old per-batch ``count()`` over every bucket file was an
+    O(table files) recurring cost on the hot merge path); the sidecar is
+    seeded with one footer-metadata count the first time it is needed
+    and maintained incrementally by the merge/compaction sites."""
+    min_logs = _env_num("PMR_STATE_LOG_COMPACT_MIN_LOGS", "4", int)
+    max_logs = _env_num("PMR_STATE_LOG_MAX_LOGS", "64", int)
+    if len(logs) < min(min_logs, max_logs):
+        return False
+    if len(logs) >= max_logs:
+        return True
+    frac = _env_num("PMR_STATE_LOG_COMPACT_FRAC", "1.0", float)
+    rows = _read_rows(table)
+    if rows is None:
+        bdirs = _bucket_dirs(table)
+        bucket_rows = (
+            spark.read.schema(schema).parquet(*bdirs).count() if bdirs else 0
+        )
+        log_rows = spark.read.schema(schema).parquet(*logs).count()
+        _write_rows(table, bucket_rows, log_rows)
+        rows = {"bucket_rows": bucket_rows, "log_rows": log_rows}
+    return rows["log_rows"] > frac * max(rows["bucket_rows"], 1)
+
+
 def _compact_logs(
     spark: SparkSession,
     table: str,
@@ -743,71 +854,108 @@ def _compact_logs(
     nb: int,
     span: int,
     batch_id: int,
+    max_buckets: int | None = None,
 ) -> float | None:
-    """LSM compaction: fold every delta-log row into its home bucket,
-    then drop the logs. Runs at merge start when the log has outgrown
-    the table (``log_rows > frac × bucket_rows``, default 1.0,
-    evaluated only once ≥ PMR_STATE_LOG_COMPACT_MIN_LOGS dirs exist —
-    parquet row counts are footer metadata, no data pass) or the dir
-    count alone exceeds PMR_STATE_LOG_MAX_LOGS (read-fanout bound).
+    """LSM compaction: fold delta-log rows into their home buckets, then
+    drop the folded logs. INCREMENTAL (r13 — the r12 full fold ran
+    serially inside one unlucky micro-batch, an O(state) stall the soak
+    measured at 11.3 s for 200k keys): a sweep walks the bucket space in
+    ranges of ``max_buckets`` buckets per call, folding only the swept
+    logs' rows whose home bucket falls in the range; the durable cursor
+    (``_compact.json``, atomic-replace) makes each step resumable and
+    idempotent. Log dirs are deleted only when the cursor completes the
+    full circle — until then their already-folded rows are byte-identical
+    shadows of the buckets, invisible under last-wins. Logs appended
+    AFTER the sweep started (dir id > the sweep's pinned ``high``) are
+    never folded or deleted by it — they are the next sweep's input.
+
+    ``max_buckets=None`` (tools/tests calling directly) runs the whole
+    sweep — fold everything + delete — in this one call, the r12
+    semantics. The merge path passes a bounded step so the worst batch
+    pays one range-fold instead of the full O(state) fold.
 
     Crash-safe by the same contract as a batch merge: per-bucket swap
-    with ``.old_<batch_id>`` + rollback-only :func:`_recover_state`;
-    the mark is untouched (compaction is a physical no-op). Log dirs
-    are deleted only after EVERY swap lands — a crash at any earlier
-    point leaves buckets ∪ logs last-wins-identical (swapped buckets
-    shadow their log rows byte-for-byte), and a crash mid-delete
-    leaves shadowed logs the next compaction sweeps up."""
+    with ``.old_<batch_id>`` + rollback-only :func:`_recover_state`; the
+    mark is untouched (compaction is a physical no-op). A crash at any
+    point leaves buckets ∪ logs last-wins-identical: unfolded log rows
+    are still authoritative, folded ones are byte-identical shadows, and
+    a lost cursor write merely re-folds a range idempotently. A crash
+    mid-delete leaves shadowed logs; the completion step re-runs on the
+    next call (the cursor file survives until the deletes land)."""
     logs = _log_dirs(table)
-    if not logs:
-        return None
-    min_logs = _env_num("PMR_STATE_LOG_COMPACT_MIN_LOGS", "4", int)
-    max_logs = _env_num("PMR_STATE_LOG_MAX_LOGS", "64", int)
-    if len(logs) < min(min_logs, max_logs):
-        return None
+    sweep = _read_sweep(table)
+    if sweep is None:
+        if not logs or not _compact_should_start(spark, table, schema, logs):
+            return None
+        sweep = {"cursor": 0, "high": _log_id(logs[-1])}
+        _write_sweep(table, 0, sweep["high"])
     t0 = time.time()
-    logdf = spark.read.schema(schema).parquet(*logs)
-    if len(logs) < max_logs:
-        frac = _env_num("PMR_STATE_LOG_COMPACT_FRAC", "1.0", float)
+    cursor, high = sweep["cursor"], sweep["high"]
+    sweep_logs = [p for p in logs if _log_id(p) <= high]
+    step = int(max_buckets) if max_buckets else nb
+    while cursor < nb and sweep_logs:
+        hi = min(cursor + step, nb)
+        bexpr = _bucket_expr(nb, span)
+        logdf = (
+            spark.read.schema(schema)
+            .parquet(*sweep_logs)
+            .filter((bexpr >= cursor) & (bexpr < hi))
+        )
+        touched = sorted(
+            logdf.agg(F.collect_set(bexpr).alias("bs")).collect()[0]["bs"]
+        )
+        if touched:
+            dirs = _bucket_dirs(table, touched)
+            old = (
+                spark.read.schema(schema).parquet(*dirs)
+                if dirs
+                else spark.createDataFrame([], schema)
+            )
+            merged = (
+                _last_wins(old.unionByName(logdf))
+                .withColumn("__bucket", bexpr)
+                .repartition(F.col("__bucket"))
+            )
+            tmp = table + f".tmp_{batch_id}"
+            merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+            olds = []
+            for k in touched:
+                src = os.path.join(tmp, f"__bucket={k}")
+                if not os.path.isdir(src):
+                    continue
+                dst = _bucket_path(table, k)
+                if os.path.isdir(dst):
+                    os.rename(dst, dst + f".old_{batch_id}")
+                    olds.append(dst + f".old_{batch_id}")
+                os.rename(src, dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            for p in olds:
+                shutil.rmtree(p, ignore_errors=True)
+        cursor = hi
+        _write_sweep(table, cursor, high)
+        if max_buckets:
+            break
+    if cursor >= nb or not sweep_logs:
+        # completion: every swept log is fully shadowed — delete them,
+        # reseed the row-count sidecar (footer metadata only, amortized
+        # into sweep completion), drop the cursor
+        for p in sweep_logs:
+            shutil.rmtree(p, ignore_errors=True)
+        remaining = _log_dirs(table)
         bdirs = _bucket_dirs(table)
         bucket_rows = (
             spark.read.schema(schema).parquet(*bdirs).count() if bdirs else 0
         )
-        if logdf.count() <= frac * max(bucket_rows, 1):
-            return None
-    bexpr = _bucket_expr(nb, span)
-    touched = sorted(
-        logdf.agg(F.collect_set(bexpr).alias("bs")).collect()[0]["bs"]
-    )
-    dirs = _bucket_dirs(table, touched)
-    old = (
-        spark.read.schema(schema).parquet(*dirs)
-        if dirs
-        else spark.createDataFrame([], schema)
-    )
-    merged = (
-        _last_wins(old.unionByName(logdf))
-        .withColumn("__bucket", bexpr)
-        .repartition(F.col("__bucket"))
-    )
-    tmp = table + f".tmp_{batch_id}"
-    merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
-    olds = []
-    for k in touched:
-        src = os.path.join(tmp, f"__bucket={k}")
-        if not os.path.isdir(src):
-            continue
-        dst = _bucket_path(table, k)
-        if os.path.isdir(dst):
-            os.rename(dst, dst + f".old_{batch_id}")
-            olds.append(dst + f".old_{batch_id}")
-        os.rename(src, dst)
-    # every swap has landed: the logs are fully shadowed — delete them
-    for p in logs:
-        shutil.rmtree(p, ignore_errors=True)
-    shutil.rmtree(tmp, ignore_errors=True)
-    for p in olds:
-        shutil.rmtree(p, ignore_errors=True)
+        log_rows = (
+            spark.read.schema(schema).parquet(*remaining).count()
+            if remaining
+            else 0
+        )
+        _write_rows(table, bucket_rows, log_rows)
+        try:
+            os.remove(_sweep_path(table))
+        except OSError:
+            pass
     return round(time.time() - t0, 3)
 
 
@@ -1019,7 +1167,16 @@ def _batched_state_runner(
             return
         nb, span = _init_table(table, nb0, span0, gen=gen)
         bexpr = _bucket_expr(nb, span)
-        compact_s = _compact_logs(spark, table, state_schema, nb, span, batch_id)
+        # bounded compaction step (r13): the merge path never pays the
+        # full O(state) fold in one batch — each batch advances the
+        # sweep by at most `step` buckets, so the worst batch wall is
+        # merge + one range-fold instead of merge + full compaction
+        step = _env_num(
+            "PMR_STATE_LOG_COMPACT_STEP_BUCKETS", str(max(64, nb // 8)), int
+        )
+        compact_s = _compact_logs(
+            spark, table, state_schema, nb, span, batch_id, max_buckets=step
+        )
         # compaction is its own reported phase: shift the merge clock so
         # merge_s/touch_s stay comparable across batches that did and
         # didn't compact (the soaks' flatness stats read merge_s)
@@ -1074,6 +1231,15 @@ def _batched_state_runner(
             os.rename(ltmp, dst)
             with open(up._mark_path(table), "w") as f:
                 json.dump({"batch_id": batch_id, "stream": gen}, f)
+            rows = _read_rows(table)
+            if rows is not None:
+                # the delta holds one complete row per batch key, so its
+                # size is the probe's countDistinct — no extra job
+                _write_rows(
+                    table,
+                    rows["bucket_rows"],
+                    rows["log_rows"] + int(probe["nk"] or 0),
+                )
             if timings is not None:
                 timings.append(
                     {
@@ -1126,6 +1292,18 @@ def _batched_state_runner(
             else spark.createDataFrame([], state_schema)
         )
         op["emit"](staged, batch_id).write.mode("overwrite").parquet(edir)
+        # row-cache maintenance (only once the log machinery has seeded
+        # the sidecar — dense-only streams never pay these two footer
+        # jobs, which touch ONLY the batch's buckets, not the table)
+        rows_cache = _read_rows(table)
+        if rows_cache is not None:
+            pre_dirs = _bucket_dirs(table, touched)
+            pre_cnt = (
+                spark.read.schema(state_schema).parquet(*pre_dirs).count()
+                if pre_dirs
+                else 0
+            )
+            new_cnt = staged.count()
         t3 = time.time()
         olds = []
         for k, src in staged_dirs:
@@ -1136,6 +1314,12 @@ def _batched_state_runner(
             os.rename(src, dst)
         with open(up._mark_path(table), "w") as f:
             json.dump({"batch_id": batch_id, "stream": gen}, f)
+        if rows_cache is not None:
+            _write_rows(
+                table,
+                rows_cache["bucket_rows"] + new_cnt - pre_cnt,
+                rows_cache["log_rows"],
+            )
         shutil.rmtree(tmp, ignore_errors=True)
         for p in olds:
             shutil.rmtree(p, ignore_errors=True)

@@ -517,3 +517,213 @@ def test_repeated_scattered_batches_fold_log_on_log(
     }
     assert all(st[d] == 2 for d in SCATTERED_DOCS)
     assert all(v == 0 for d, v in st.items() if d not in SCATTERED_DOCS)
+
+
+# ---------------------------------------------------------------- r13 --
+
+
+def test_incremental_sweep_bounds_each_step_and_preserves_values(
+    spark, tmp_path, monkeypatch
+):
+    """r13: the merge-path compaction is a bounded-range SWEEP — each
+    ``max_buckets`` call folds one bucket range and advances the durable
+    cursor; logs are deleted only when the cursor completes the circle.
+    Mid-sweep reads stay exact (folded rows are byte-identical shadows
+    under last-wins), and a log appended AFTER the sweep started is
+    neither folded nor deleted by it."""
+    chunks, live = _mk_fixture(spark, tmp_path)
+    table = str(tmp_path / "state" / "state")
+
+    _force_bucket_path(monkeypatch)
+    _stage_file(spark, tmp_path, live, chunks.filter("chunk_id = 0"), "s0.parquet")
+    _runner(spark, live, tmp_path).count()
+    _allow_log_path(monkeypatch)
+    for cid in (1, 2):
+        _stage_file(
+            spark, tmp_path, live,
+            chunks.filter(f"chunk_id = {cid} and doc_id in {SCATTERED_DOCS}"),
+            f"s{cid}.parquet",
+        )
+    _runner(spark, live, tmp_path).count()
+    assert len(stream_ops._log_dirs(table)) == 2
+    pre = {
+        (r["doc_id"],): (r["last_batch_id"], r["chain"], r["acc_words"])
+        for r in stream_ops.read_state_table(spark, table).collect()
+    }
+
+    monkeypatch.setenv("PMR_STATE_LOG_COMPACT_MIN_LOGS", "1")
+    monkeypatch.setenv("PMR_STATE_LOG_COMPACT_FRAC", "0.0")
+    meta = stream_ops._table_meta(table)
+    nb = meta["n_buckets"]
+
+    # step 1 of a 3-bucket-per-call sweep: cursor advances, logs stay
+    assert (
+        stream_ops._compact_logs(
+            spark, table, stream_ops._REFEED_STATE, nb, meta["span"], 90,
+            max_buckets=3,
+        )
+        is not None
+    )
+    sweep = stream_ops._read_sweep(table)
+    assert sweep == {"cursor": 3, "high": 2}
+    assert len(stream_ops._log_dirs(table)) == 2
+    mid = {
+        (r["doc_id"],): (r["last_batch_id"], r["chain"], r["acc_words"])
+        for r in stream_ops.read_state_table(spark, table).collect()
+    }
+    assert mid == pre  # shadows are byte-identical under last-wins
+
+    # a NEW log lands mid-sweep (id 91 > high 2): the sweep must not
+    # touch it. Reuse batch-2's log rows under the new id — content is
+    # irrelevant to the deletion contract, the id is what's pinned.
+    newer = stream_ops._log_path(table, 91)
+    shutil.copytree(stream_ops._log_dirs(table)[-1], newer)
+
+    # remaining steps complete the sweep and delete ONLY swept logs
+    guard = 0
+    while stream_ops._read_sweep(table) is not None:
+        stream_ops._compact_logs(
+            spark, table, stream_ops._REFEED_STATE, nb, meta["span"],
+            92 + guard, max_buckets=3,
+        )
+        guard += 1
+        assert guard <= 6
+    left = stream_ops._log_dirs(table)
+    assert [stream_ops._log_id(p) for p in left] == [91]
+    post = {
+        (r["doc_id"],): (r["last_batch_id"], r["chain"], r["acc_words"])
+        for r in stream_ops.read_state_table(spark, table).collect()
+    }
+    # log-91 is a byte-copy of log-2's rows (last_batch_id 2): last-wins
+    # resolves to the same values the pre-sweep read produced
+    assert post == pre
+
+
+def test_sweep_lost_cursor_refolds_idempotently(spark, tmp_path, monkeypatch):
+    """A crash that loses the cursor write (step done, _compact.json
+    stale) must only cost an idempotent re-fold — values unchanged."""
+    chunks, live = _mk_fixture(spark, tmp_path)
+    table = str(tmp_path / "state" / "state")
+
+    _force_bucket_path(monkeypatch)
+    _stage_file(spark, tmp_path, live, chunks.filter("chunk_id = 0"), "s0.parquet")
+    _runner(spark, live, tmp_path).count()
+    _allow_log_path(monkeypatch)
+    scattered = chunks.filter(f"chunk_id = 1 and doc_id in {SCATTERED_DOCS}")
+    _stage_file(spark, tmp_path, live, scattered, "s1.parquet")
+    _runner(spark, live, tmp_path).count()
+    pre = {
+        (r["doc_id"],): (r["last_batch_id"], r["chain"], r["acc_words"])
+        for r in stream_ops.read_state_table(spark, table).collect()
+    }
+
+    monkeypatch.setenv("PMR_STATE_LOG_COMPACT_MIN_LOGS", "1")
+    monkeypatch.setenv("PMR_STATE_LOG_COMPACT_FRAC", "0.0")
+    meta = stream_ops._table_meta(table)
+    stream_ops._compact_logs(
+        spark, table, stream_ops._REFEED_STATE, meta["n_buckets"],
+        meta["span"], 95, max_buckets=3,
+    )
+    # simulated crash: the step landed but the cursor write was lost
+    stream_ops._write_sweep(table, 0, stream_ops._read_sweep(table)["high"])
+    while stream_ops._read_sweep(table) is not None:
+        stream_ops._compact_logs(
+            spark, table, stream_ops._REFEED_STATE, meta["n_buckets"],
+            meta["span"], 96, max_buckets=3,
+        )
+    assert stream_ops._log_dirs(table) == []
+    assert {
+        (r["doc_id"],): (r["last_batch_id"], r["chain"], r["acc_words"])
+        for r in stream_ops.read_state_table(spark, table).collect()
+    } == pre
+
+
+def test_rows_sidecar_tracks_appends_and_reseeds_on_compaction(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12: the compaction trigger must not re-count every bucket
+    file per batch. The _rows.json sidecar is seeded once (first trigger
+    evaluation), each log-path batch adds its probe count with zero extra
+    jobs, and sweep completion reseeds both numbers."""
+    chunks, live = _mk_fixture(spark, tmp_path)
+    table = str(tmp_path / "state" / "state")
+
+    _force_bucket_path(monkeypatch)
+    _stage_file(spark, tmp_path, live, chunks.filter("chunk_id = 0"), "s0.parquet")
+    _runner(spark, live, tmp_path).count()
+    assert stream_ops._read_rows(table) is None  # dense-only: no sidecar
+
+    _allow_log_path(monkeypatch)
+    # min_logs=1 makes batch 2's trigger evaluation SEED the sidecar
+    # (frac high enough that compaction itself never fires)
+    monkeypatch.setenv("PMR_STATE_LOG_COMPACT_MIN_LOGS", "1")
+    monkeypatch.setenv("PMR_STATE_LOG_COMPACT_FRAC", "100.0")
+    for cid in (1, 2):
+        _stage_file(
+            spark, tmp_path, live,
+            chunks.filter(f"chunk_id = {cid} and doc_id in {SCATTERED_DOCS}"),
+            f"s{cid}.parquet",
+        )
+    _runner(spark, live, tmp_path).count()
+    rows = stream_ops._read_rows(table)
+    # seeded at batch 2 entry (12 bucket rows, 5 log rows from batch 1),
+    # then batch 2's own append added its probe count (5 more)
+    assert rows == {"bucket_rows": 12, "log_rows": 10}
+
+    # sweep completion reseeds: logs folded+deleted -> log_rows 0
+    monkeypatch.setenv("PMR_STATE_LOG_COMPACT_FRAC", "0.0")
+    meta = stream_ops._table_meta(table)
+    stream_ops._compact_logs(
+        spark, table, stream_ops._REFEED_STATE, meta["n_buckets"],
+        meta["span"], 97,
+    )
+    assert stream_ops._read_sweep(table) is None
+    assert stream_ops._read_rows(table) == {"bucket_rows": 12, "log_rows": 0}
+
+
+def test_last_wins_passes_null_key_rows_through(spark):
+    """ADVICE r12: distinct null-doc_id state rows (the bucket path's
+    full_outer merge accumulates one per null-key batch) must survive a
+    last-wins read — collapsing them to the max-last_batch_id row would
+    silently change the established bucket-path null semantics."""
+    df = spark.createDataFrame(
+        [(None, 1, "a"), (None, 2, "b"), (7, 1, "x"), (7, 2, "y")],
+        "doc_id long, last_batch_id int, payload string",
+    )
+    got = sorted(
+        [
+            (r["doc_id"], r["last_batch_id"], r["payload"])
+            for r in stream_ops._last_wins(df).collect()
+        ],
+        key=lambda t: (t[0] is not None, t),
+    )
+    assert got == [
+        (None, 1, "a"), (None, 2, "b"), (7, 2, "y"),
+    ]
+
+
+def test_pruned_read_raises_on_logs_without_meta(spark, tmp_path):
+    """ADVICE r12: logs cannot legitimately exist without _meta.json —
+    a pruned read must fail loudly instead of guessing (1,1) bucket
+    params and silently dropping the batch's log rows."""
+    table = str(tmp_path / "state")
+    os.makedirs(os.path.join(table, "_log"), exist_ok=True)
+    spark.createDataFrame(
+        [(1, 0, "c", 1, [])],
+        stream_ops._REFEED_STATE,
+    ).write.parquet(stream_ops._log_path(table, 0))
+    with pytest.raises(ValueError, match="no _meta.json"):
+        stream_ops._read_state(
+            spark, table, stream_ops._REFEED_STATE, bucket_ids=[0]
+        )
+
+
+def test_init_table_resume_ignores_invalid_caller_defaults(tmp_path):
+    """ADVICE r12: on resume the caller args are ignored in favor of the
+    pinned meta — an invalid first-creation default (PMR_STATE_BUCKETS=0
+    left in the environment) must not fail a legitimate resume."""
+    table = str(tmp_path / "state")
+    assert stream_ops._init_table(table, 8, 4) == (8, 4)
+    assert stream_ops._init_table(table, 0, 0) == (8, 4)  # resume: pinned
+    with pytest.raises(ValueError, match="invalid bucketing"):
+        stream_ops._init_table(str(tmp_path / "other"), 0, 1)
