@@ -556,6 +556,7 @@ def _init_table(
     if gen is not None and not os.path.exists(up._mark_path(table)):
         with open(up._mark_path(table), "w") as f:
             json.dump({"batch_id": -1, "stream": gen}, f)
+    _write_rows(table, 0, 0)  # sidecar maintained from birth (r13)
     return int(n_buckets), int(span)
 
 
@@ -616,6 +617,26 @@ def _log_dirs(table: str) -> list[str]:
 
 def _log_id(path: str) -> int:
     return int(_LOG_NAME_RE.fullmatch(os.path.basename(path)).group(1))
+
+
+def _dir_rows(dirs) -> int:
+    """Exact row count of parquet dirs from file FOOTERS, driver-side —
+    no Spark job. Used by the sidecar/trigger/rescale accounting where a
+    count is needed over a handful of just-written or about-to-swap
+    dirs; on a remote filesystem this is the same footer fetch a Spark
+    metadata-only count performs, minus the job-scheduling overhead."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for d in dirs:
+        try:
+            names = os.listdir(d)
+        except OSError:
+            continue
+        for f in names:
+            if f.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+    return n
 
 
 def _rows_path(table: str) -> str:
@@ -756,7 +777,36 @@ def _recover_state(table: str) -> None:
     crash before the log's atomic rename) are deleted the same way;
     committed ``log-<b>`` dirs are never touched here (they are state,
     removed only by compaction after their rows are folded into
-    buckets)."""
+    buckets).
+
+    An interrupted table-level RESCALE swap (r13, :func:`_maybe_rescale`)
+    heals first, rollback-only: a missing table with its ``.rs_old_``
+    sibling is restored from it; stranded ``.rs_new_`` stages and
+    leftover ``.rs_old_`` dirs (swap completed) are deleted. The rescale
+    is a physical no-op -- rolling it back merely re-triggers it."""
+    parent = os.path.dirname(table) or "."
+    base = os.path.basename(table)
+    try:
+        sibs = os.listdir(parent)
+    except OSError:
+        sibs = []
+    rs_old = sorted(nm for nm in sibs if nm.startswith(base + ".rs_old_"))
+    rs_new = sorted(nm for nm in sibs if nm.startswith(base + ".rs_new_"))
+    rs_old_dirs = [
+        nm for nm in rs_old if os.path.isdir(os.path.join(parent, nm))
+    ]
+    if not os.path.isdir(table) and rs_old_dirs:
+        os.rename(os.path.join(parent, rs_old_dirs[-1]), table)
+        rs_old.remove(rs_old_dirs[-1])
+    for nm in rs_new + rs_old:
+        p = os.path.join(parent, nm)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
     if os.path.isdir(table):
         for nm in sorted(os.listdir(table)):
             m = _BUCKET_OLD_RE.fullmatch(nm)
@@ -818,7 +868,7 @@ def _use_log_path(touched: int, n_keys: int, n_buckets: int) -> bool:
     )
 
 
-def _compact_should_start(spark, table: str, schema, logs: list[str]) -> bool:
+def _compact_should_start(table: str, logs: list[str]) -> bool:
     """The LSM compaction trigger: start a sweep when the log has
     outgrown the table (``log_rows > frac × bucket_rows``, default 1.0,
     evaluated only once ≥ PMR_STATE_LOG_COMPACT_MIN_LOGS dirs exist) or
@@ -836,14 +886,12 @@ def _compact_should_start(spark, table: str, schema, logs: list[str]) -> bool:
         return True
     frac = _env_num("PMR_STATE_LOG_COMPACT_FRAC", "1.0", float)
     rows = _read_rows(table)
-    if rows is None:
-        bdirs = _bucket_dirs(table)
-        bucket_rows = (
-            spark.read.schema(schema).parquet(*bdirs).count() if bdirs else 0
-        )
-        log_rows = spark.read.schema(schema).parquet(*logs).count()
-        _write_rows(table, bucket_rows, log_rows)
-        rows = {"bucket_rows": bucket_rows, "log_rows": log_rows}
+    if rows is None:  # pre-r13 table: seed once from footers
+        rows = {
+            "bucket_rows": _dir_rows(_bucket_dirs(table)),
+            "log_rows": _dir_rows(logs),
+        }
+        _write_rows(table, rows["bucket_rows"], rows["log_rows"])
     return rows["log_rows"] > frac * max(rows["bucket_rows"], 1)
 
 
@@ -885,7 +933,7 @@ def _compact_logs(
     logs = _log_dirs(table)
     sweep = _read_sweep(table)
     if sweep is None:
-        if not logs or not _compact_should_start(spark, table, schema, logs):
+        if not logs or not _compact_should_start(table, logs):
             return None
         sweep = {"cursor": 0, "high": _log_id(logs[-1])}
         _write_sweep(table, 0, sweep["high"])
@@ -941,22 +989,99 @@ def _compact_logs(
         # into sweep completion), drop the cursor
         for p in sweep_logs:
             shutil.rmtree(p, ignore_errors=True)
-        remaining = _log_dirs(table)
-        bdirs = _bucket_dirs(table)
-        bucket_rows = (
-            spark.read.schema(schema).parquet(*bdirs).count() if bdirs else 0
+        _write_rows(
+            table, _dir_rows(_bucket_dirs(table)), _dir_rows(_log_dirs(table))
         )
-        log_rows = (
-            spark.read.schema(schema).parquet(*remaining).count()
-            if remaining
-            else 0
-        )
-        _write_rows(table, bucket_rows, log_rows)
         try:
             os.remove(_sweep_path(table))
         except OSError:
             pass
     return round(time.time() - t0, 3)
+
+
+def _maybe_rescale(
+    spark: SparkSession,
+    table: str,
+    schema: T.StructType,
+    nb: int,
+    span: int,
+    batch_id: int,
+) -> tuple[int, float | None]:
+    """Auto-grow the bucket count when the table has outgrown its layout
+    (r13, verdict item 4): the shipped default N=16 is right for small
+    state but measurably wrong at 1M keys (SCALING.md matrix — sparse
+    pruning degrades to near-dense cost), and a fixed N=1024 pays dense
+    write fanout at small state. When mean bucket rows push the POWER-OF-2
+    ideal for PMR_STATE_TARGET_BUCKET_ROWS (default 1024) to ≥4× the
+    current N, rewrite the table once under the new bucket expression —
+    UPSCALE-ONLY with 4× hysteresis, so a lifetime of growth pays at
+    most log₄(N_max) rescales and a noisy row count near a boundary
+    cannot flip-flop the layout.
+
+    The rewrite folds buckets ∪ logs (one full pass — the same cost a
+    full compaction pays, which is why rescale subsumes it: the new
+    table starts log-free) into a COMPLETE staged sibling
+    ``<table>.rs_new_<batch>`` (buckets under the new expr, new pinned
+    meta, copied mark, fresh row sidecar), then swaps at the TABLE level:
+    rename table → ``.rs_old_<batch>``, staged → table, delete old.
+    Rollback-only recovery (:func:`_recover_state`): a crash before the
+    first rename deletes the stage; between the renames restores the
+    old table and deletes the stage; after the second rename deletes
+    the leftover old. The mark is untouched — rescale is a physical
+    no-op, so an interrupted one simply re-triggers.
+
+    Skipped while a compaction sweep is mid-flight (the sweep's cursor
+    is meaningless under a different N; rescale catches the next
+    sweep-free batch and folds the logs itself)."""
+    if _read_sweep(table) is not None:
+        return nb, None
+    target = _env_num("PMR_STATE_TARGET_BUCKET_ROWS", "1024", int)
+    maxb = _env_num("PMR_STATE_MAX_BUCKETS", "65536", int)
+    rows = _read_rows(table)
+    if rows is None:
+        rows = {
+            "bucket_rows": _dir_rows(_bucket_dirs(table)),
+            "log_rows": _dir_rows(_log_dirs(table)),
+        }
+        _write_rows(table, rows["bucket_rows"], rows["log_rows"])
+    total = rows["bucket_rows"] + rows["log_rows"]
+    if total <= 0:
+        return nb, None
+    import math
+
+    desired = 2 ** round(math.log2(max(total / max(target, 1), 1.0)))
+    desired = max(1, min(int(desired), maxb))
+    if desired < 4 * nb:
+        return nb, None
+    t0 = time.time()
+    cur = _read_state(spark, table, schema)
+    new = table + f".rs_new_{batch_id}"
+    shutil.rmtree(new, ignore_errors=True)
+    (
+        cur.withColumn("__bucket", _bucket_expr(desired, span))
+        .repartition(F.col("__bucket"))
+        .write.mode("overwrite")
+        .partitionBy("__bucket")
+        .parquet(new)
+    )
+    for nm in os.listdir(new):
+        if nm.startswith("__bucket="):
+            k = int(nm.split("=", 1)[1])
+            os.rename(os.path.join(new, nm), os.path.join(new, f"b{k:05d}"))
+    with open(os.path.join(new, "_meta.json"), "w") as f:
+        json.dump({"n_buckets": int(desired), "span": int(span)}, f)
+    # the batch mark is a SIBLING file (<table>.batchmark) — the
+    # table-level renames never touch it, so it stays authoritative
+    # through the swap with no copy needed
+    with open(os.path.join(new, "_rows.json"), "w") as f:
+        json.dump(
+            {"bucket_rows": _dir_rows(_bucket_dirs(new)), "log_rows": 0}, f
+        )
+    old = table + f".rs_old_{batch_id}"
+    os.rename(table, old)
+    os.rename(new, table)
+    shutil.rmtree(old, ignore_errors=True)
+    return int(desired), round(time.time() - t0, 3)
 
 
 def _guard_runner_dirs(ckpt: str, out_dir: str, table: str) -> None:
@@ -1147,6 +1272,10 @@ def _batched_state_runner(
     state_schema = op["state"]
     nb0 = n_buckets or _DEFAULT_BUCKETS
     span0 = bucket_span or _DEFAULT_SPAN
+    # auto-rescale only when the CALLER did not pin a layout: an explicit
+    # n_buckets is a measurement/config contract (probes, soaks) the
+    # runner must not silently rewrite
+    autoscale = n_buckets is None and _env_num("PMR_STATE_AUTOSCALE", "1", int) >= 1
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.time()
@@ -1166,6 +1295,11 @@ def _batched_state_runner(
                 op["emit"](cur, batch_id).write.mode("overwrite").parquet(edir)
             return
         nb, span = _init_table(table, nb0, span0, gen=gen)
+        rescale_s = None
+        if autoscale:
+            nb, rescale_s = _maybe_rescale(
+                spark, table, state_schema, nb, span, batch_id
+            )
         bexpr = _bucket_expr(nb, span)
         # bounded compaction step (r13): the merge path never pays the
         # full O(state) fold in one batch — each batch advances the
@@ -1177,10 +1311,11 @@ def _batched_state_runner(
         compact_s = _compact_logs(
             spark, table, state_schema, nb, span, batch_id, max_buckets=step
         )
-        # compaction is its own reported phase: shift the merge clock so
-        # merge_s/touch_s stay comparable across batches that did and
-        # didn't compact (the soaks' flatness stats read merge_s)
-        t0 += compact_s or 0.0
+        # compaction/rescale are their own reported phases: shift the
+        # merge clock so merge_s/touch_s stay comparable across batches
+        # that did and didn't pay them (the soaks' flatness stats read
+        # merge_s)
+        t0 += (compact_s or 0.0) + (rescale_s or 0.0)
         # The touched-bucket probe runs on the RAW batch (doc_id only —
         # the model map is applied below, inside the merge-write job,
         # so the probe never pays the pandas-UDF cost) as a collect_set
@@ -1240,6 +1375,10 @@ def _batched_state_runner(
                     rows["bucket_rows"],
                     rows["log_rows"] + int(probe["nk"] or 0),
                 )
+            else:  # pre-r13 table: seed from footers
+                _write_rows(
+                    table, _dir_rows(_bucket_dirs(table)), _dir_rows(_log_dirs(table))
+                )
             if timings is not None:
                 timings.append(
                     {
@@ -1250,6 +1389,7 @@ def _batched_state_runner(
                         "emit_s": round(t3 - t2, 3),
                         "swap_s": round(time.time() - t3, 3),
                         "compact_s": compact_s,
+                        "rescale_s": rescale_s,
                         "buckets_touched": len(touched),
                         "n_buckets": nb,
                     }
@@ -1292,18 +1432,13 @@ def _batched_state_runner(
             else spark.createDataFrame([], state_schema)
         )
         op["emit"](staged, batch_id).write.mode("overwrite").parquet(edir)
-        # row-cache maintenance (only once the log machinery has seeded
-        # the sidecar — dense-only streams never pay these two footer
-        # jobs, which touch ONLY the batch's buckets, not the table)
+        # row-cache maintenance: driver-side footer counts over ONLY the
+        # batch's pre-swap buckets and just-written staged dirs — no
+        # Spark job, O(touched files)
         rows_cache = _read_rows(table)
         if rows_cache is not None:
-            pre_dirs = _bucket_dirs(table, touched)
-            pre_cnt = (
-                spark.read.schema(state_schema).parquet(*pre_dirs).count()
-                if pre_dirs
-                else 0
-            )
-            new_cnt = staged.count()
+            pre_cnt = _dir_rows(_bucket_dirs(table, touched))
+            new_cnt = _dir_rows([p for _, p in staged_dirs])
         t3 = time.time()
         olds = []
         for k, src in staged_dirs:
@@ -1320,6 +1455,10 @@ def _batched_state_runner(
                 rows_cache["bucket_rows"] + new_cnt - pre_cnt,
                 rows_cache["log_rows"],
             )
+        else:  # pre-r13 table: seed from footers after the swap
+            _write_rows(
+                table, _dir_rows(_bucket_dirs(table)), _dir_rows(_log_dirs(table))
+            )
         shutil.rmtree(tmp, ignore_errors=True)
         for p in olds:
             shutil.rmtree(p, ignore_errors=True)
@@ -1333,6 +1472,7 @@ def _batched_state_runner(
                     "emit_s": round(t3 - t2, 3),
                     "swap_s": round(time.time() - t3, 3),
                     "compact_s": compact_s,
+                    "rescale_s": rescale_s,
                     "buckets_touched": len(staged_dirs),
                     "n_buckets": nb,
                 }

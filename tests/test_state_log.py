@@ -651,11 +651,12 @@ def test_rows_sidecar_tracks_appends_and_reseeds_on_compaction(
     _force_bucket_path(monkeypatch)
     _stage_file(spark, tmp_path, live, chunks.filter("chunk_id = 0"), "s0.parquet")
     _runner(spark, live, tmp_path).count()
-    assert stream_ops._read_rows(table) is None  # dense-only: no sidecar
+    # maintained from birth: init seeds (0,0), the dense batch-0 merge
+    # adds its staged rows via footer counts
+    assert stream_ops._read_rows(table) == {"bucket_rows": 12, "log_rows": 0}
 
     _allow_log_path(monkeypatch)
-    # min_logs=1 makes batch 2's trigger evaluation SEED the sidecar
-    # (frac high enough that compaction itself never fires)
+    # frac high enough that compaction itself never fires
     monkeypatch.setenv("PMR_STATE_LOG_COMPACT_MIN_LOGS", "1")
     monkeypatch.setenv("PMR_STATE_LOG_COMPACT_FRAC", "100.0")
     for cid in (1, 2):
@@ -727,3 +728,73 @@ def test_init_table_resume_ignores_invalid_caller_defaults(tmp_path):
     assert stream_ops._init_table(table, 0, 0) == (8, 4)  # resume: pinned
     with pytest.raises(ValueError, match="invalid bucketing"):
         stream_ops._init_table(str(tmp_path / "other"), 0, 1)
+
+
+def test_autoscale_grows_buckets_and_preserves_values(
+    spark, tmp_path, monkeypatch
+):
+    """r13: with no caller-pinned layout, the runner auto-grows N
+    (power-of-2, upscale-only, 4x hysteresis) when mean bucket rows
+    outgrow PMR_STATE_TARGET_BUCKET_ROWS — the rewrite must preserve
+    every value, pin the new N in meta, and leave no .rs_ staging."""
+    chunks, live = _mk_fixture(spark, tmp_path, n_docs=80)
+    table = str(tmp_path / "state" / "state")
+    monkeypatch.setenv("PMR_STATE_TARGET_BUCKET_ROWS", "1")
+    _force_bucket_path(monkeypatch)
+
+    def run(timings=None):
+        stream = (
+            spark.readStream.schema(stream_ops.CHUNK_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(live)
+        )
+        return stream_ops._refeed_batched_runner(
+            stream,
+            out_dir=str(tmp_path / "out"),
+            state_dir=str(tmp_path / "state"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            timings=timings,
+            bucket_span=1,  # n_buckets unset -> autoscale eligible
+        )
+
+    _stage_file(spark, tmp_path, live, chunks.filter("chunk_id = 0"), "s0.parquet")
+    timings: list[dict] = []
+    run(timings).count()
+    # batch 0 created the table at the default N; no state yet -> no rescale
+    assert timings[0]["rescale_s"] is None
+    nb0 = timings[0]["n_buckets"]
+
+    _stage_file(
+        spark, tmp_path, live,
+        chunks.filter("chunk_id = 1 and doc_id < 10"), "s1.parquet",
+    )
+    timings2: list[dict] = []
+    final = _got(run(timings2))
+    # 80 rows / target 1 -> desired 64 >= 4 x 16: batch 1 rescaled first
+    assert timings2[-1]["rescale_s"] is not None
+    assert timings2[-1]["n_buckets"] == 64 > nb0
+    assert stream_ops._table_meta(table)["n_buckets"] == 64
+    parent = os.path.dirname(table)
+    assert not [n for n in os.listdir(parent) if ".rs_" in n]
+    fixture = chunks.filter("chunk_id = 0 or (chunk_id = 1 and doc_id < 10)")
+    assert final == _refeed_reference_fold(fixture)
+    assert stream_ops.read_state_table(spark, table).count() == 80
+
+
+def test_pinned_layout_never_autoscales(spark, tmp_path, monkeypatch):
+    """An explicit caller n_buckets is a measurement/config contract:
+    even with an absurdly small target the runner must not rewrite it."""
+    chunks, live = _mk_fixture(spark, tmp_path, n_docs=80)
+    table = str(tmp_path / "state" / "state")
+    monkeypatch.setenv("PMR_STATE_TARGET_BUCKET_ROWS", "1")
+    _force_bucket_path(monkeypatch)
+    _stage_file(spark, tmp_path, live, chunks.filter("chunk_id = 0"), "s0.parquet")
+    _runner(spark, live, tmp_path).count()  # n_buckets=8 pinned
+    _stage_file(
+        spark, tmp_path, live,
+        chunks.filter("chunk_id = 1 and doc_id < 10"), "s1.parquet",
+    )
+    timings: list[dict] = []
+    _runner(spark, live, tmp_path, timings).count()
+    assert timings[-1]["rescale_s"] is None
+    assert stream_ops._table_meta(table)["n_buckets"] == 8

@@ -1224,3 +1224,67 @@ def test_bucketed_table_refuses_legacy_layout(spark, tmp_path):
     t2 = str(tmp_path / "state2")
     assert stream_ops._init_table(t2, 8, 256) == (8, 256)
     assert stream_ops._init_table(t2, 64, 4096) == (8, 256)
+
+
+def test_rescale_crash_windows_roll_back(spark, tmp_path, monkeypatch):
+    """r13 auto-rescale crash safety: the table-level swap is rollback-
+    only. (i) a stranded ``.rs_new_`` stage (crash before the first
+    rename) is deleted with the table untouched; (ii) a crash BETWEEN
+    the two renames (table gone, .rs_old + .rs_new both present)
+    restores the table from .rs_old and deletes the stage; (iii) a
+    leftover .rs_old beside an intact table (crash before the final
+    delete) is swept. Values identical after every healing."""
+    docs = spark.createDataFrame(
+        [(i, "a b c d") for i in range(12)], "doc_id long, text string"
+    )
+    chunks = chunking.partition_equal(chunking.split_words(docs), 2)
+    live = str(tmp_path / "live")
+    os.makedirs(live, exist_ok=True)
+    tmp = str(tmp_path / "stage0")
+    chunks.filter("chunk_id = 0").coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(tmp, part), os.path.join(live, "s0.parquet"))
+
+    stream = (
+        spark.readStream.schema(stream_ops.CHUNK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(live)
+    )
+    stream_ops._refeed_batched_runner(
+        stream,
+        out_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_buckets=8,
+        bucket_span=1,
+    ).count()
+    table = str(tmp_path / "state" / "state")
+
+    def snap():
+        return {
+            (r["doc_id"],): (r["last_batch_id"], r["chain"], r["acc_words"])
+            for r in stream_ops.read_state_table(spark, table).collect()
+        }
+
+    pre = snap()
+
+    # (i) stranded stage, table intact
+    shutil.copytree(table, table + ".rs_new_5")
+    stream_ops._recover_state(table)
+    assert not os.path.isdir(table + ".rs_new_5")
+    assert snap() == pre
+
+    # (ii) between the renames: table gone, old + complete new present
+    shutil.copytree(table, table + ".rs_new_6")
+    os.rename(table, table + ".rs_old_6")
+    stream_ops._recover_state(table)
+    assert os.path.isdir(table)
+    assert not os.path.isdir(table + ".rs_old_6")
+    assert not os.path.isdir(table + ".rs_new_6")
+    assert snap() == pre
+
+    # (iii) swap completed, old left behind
+    shutil.copytree(table, table + ".rs_old_7")
+    stream_ops._recover_state(table)
+    assert not os.path.isdir(table + ".rs_old_7")
+    assert snap() == pre

@@ -25,7 +25,10 @@ Two measurements, one artifact (SOAK_STREAM.json):
    200k keys of BUCKETED state — each sparse merge must cost a small
    fraction of a dense batch's (the r10 layout rewrote the whole table
    for every one), stay flat across the soak, and fold to exactly the
-   zero-seed values.
+   zero-seed values. The ``scattered`` variants (r12 at 200k keys, r13
+   at 1M) additionally pin the delta-log routing, the incremental
+   compaction-sweep stall bound (worst batch wall ≤ 2× the median
+   sparse merge), and value exactness across forced compactions.
 
 Complements tools/bench_stream.py (file-replay throughput) and
 tools/soak_refeed.py (depth-soak value checks).
@@ -455,6 +458,16 @@ def sparse_touch_soak(
         ),
     }
     if scattered:
+        # r13 stall bound: compaction is an incremental bucket-range
+        # sweep, so the WORST sparse batch (merge + its compaction step
+        # + emit + swap) must stay within ~2x the median sparse merge —
+        # the r12 full fold ran 11.3 s serially inside one micro-batch
+        walls = [
+            t["merge_s"] + (t.get("compact_s") or 0.0) + t["emit_s"] + t["swap_s"]
+            for t in sparse
+        ]
+        worst_wall = max(walls, default=None)
+        med_wall = statistics.median(walls) if walls else None
         out.update(
             {
                 "log_path_batches": sum(
@@ -463,8 +476,20 @@ def sparse_touch_soak(
                 "all_sparse_on_log_path": all(
                     t.get("path") == "log" for t in sparse
                 ),
+                "compaction_steps": len(compacts),
                 "compactions": len(compacts),
                 "compact_s_max": max(compacts, default=None),
+                "worst_batch_wall_s": (
+                    round(worst_wall, 3) if worst_wall is not None else None
+                ),
+                "median_batch_wall_s": (
+                    round(med_wall, 3) if med_wall is not None else None
+                ),
+                "wall_bound_2x_median": (
+                    worst_wall is not None
+                    and med_wall is not None
+                    and worst_wall <= 2.0 * max(med_wall, 1.0)
+                ),
                 "log_dirs_after_final_dense": logs_left,
             }
         )
@@ -510,6 +535,13 @@ def main() -> None:
     # batch to the log path, stay flat, survive several forced LSM
     # compactions, and still fold to the exact reference values
     out["durable_batched_scattered"] = sparse_touch_soak(spark, scattered=True)
+    # r13: the same scattered contract at the 1M-key scale the probe
+    # claims (SCALE_PROBE w2_sparse measured ONE batch there; this is
+    # the multi-batch flatness + compaction-cadence evidence). Fewer
+    # batches — each touches 10k keys strided over the full id space.
+    out["durable_batched_scattered_1m"] = sparse_touch_soak(
+        spark, n_docs=1_000_000, n_sparse=12, scattered=True
+    )
     # ok folds EVERY section's invariants (ADVICE r10: it used to cover
     # only the batched depth soaks and was never wired to the exit code,
     # so a regression passed return-code automation): the batched soaks'
@@ -517,6 +549,7 @@ def main() -> None:
     # actually sustained committed batches with every sunk row durable.
     dr = out["durable_refeed"]
     sc_soak = out["durable_batched_scattered"]
+    sc_1m = out["durable_batched_scattered_1m"]
     out["ok"] = (
         all(
             r["latency_flat"]
@@ -532,10 +565,14 @@ def main() -> None:
             and s["value_mismatches"] == 0
             and s["rows_out"] == s["rows_expected"]
             and s["state_rows_final"] == s["n_docs"]
-            for s in (out["durable_batched_sparse"], sc_soak)
+            for s in (out["durable_batched_sparse"], sc_soak, sc_1m)
         )
-        and sc_soak["all_sparse_on_log_path"]
-        and sc_soak["compactions"] >= 1
+        and all(
+            s["all_sparse_on_log_path"]
+            and s["compactions"] >= 1
+            and s["wall_bound_2x_median"]
+            for s in (sc_soak, sc_1m)
+        )
     )
     line = json.dumps(out)
     print(line)
