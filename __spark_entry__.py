@@ -158,9 +158,7 @@ _REWRITTEN = {
     # back (streaming/proactive). Values identical (mode-equivalence,
     # log crash-window + compaction tests, 1M-key probe zero-mismatch);
     # the runner's read plan changed, so the driver should re-derive
-    # both rows. (Supersedes the r11 bucketing pins.)
-    "q_stateful_accumulate": 12,
-    "q_stream_refeed_chain": 12,
+    # both rows. (Superseded by the r13 entries below.)
     # round-12 perf pass: q_flagship's scoring now normalizes each side
     # ONCE via scoring.pair_scores (layered projections pin single
     # evaluation of the 3-regex chain) instead of re-deriving it per
@@ -171,6 +169,16 @@ _REWRITTEN = {
     "q_metrics_avg": 12,
     "q_best_of_answers": 12,
     "q_union_outputs": 12,
+    # round-13 scale pass: the W2 runner's LSM compaction became an
+    # incremental bucket-range sweep (durable cursor, bounded per-batch
+    # step), the row-count sidecar replaced the per-batch bucket count,
+    # and the table AUTO-RESCALES its bucket count (power-of-2,
+    # upscale-only) when un-pinned state outgrows the layout — values
+    # identical (mode-equivalence, sweep/rescale crash-window tests,
+    # 1M-key scattered soak zero-mismatch), but the runner changed, so
+    # the driver should re-derive both rows. (Supersedes the r12 pins.)
+    "q_stateful_accumulate": 13,
+    "q_stream_refeed_chain": 13,
 }
 
 
