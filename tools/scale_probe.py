@@ -437,6 +437,11 @@ def probe_w2_sparse(spark, n_docs: int = 1_000_000) -> dict:
     configs = {
         "unbucketed": {"n_buckets": 1, "bucket_span": 1024},
         "bucketed": {"n_buckets": 1024, "bucket_span": 1024},
+        # r13: no caller-pinned layout — starts at the shipped default
+        # N=16 (cheap dense admission) and must AUTO-RESCALE to the
+        # measured-best N=1024 once the dense build lands, giving the
+        # same clustered pruning / log routing as the pinned config
+        "autoscale": {"n_buckets": None, "bucket_span": 1024},
     }
     out: dict = {"n_docs": n_docs, "stages": [n for n, _ in stages]}
     old = spark.conf.get("spark.sql.shuffle.partitions")
@@ -475,6 +480,7 @@ def probe_w2_sparse(spark, n_docs: int = 1_000_000) -> dict:
                     for k in (
                         "merge_s", "touch_s", "emit_s", "swap_s",
                         "buckets_touched", "n_buckets", "path", "compact_s",
+                        "rescale_s",
                     )
                 }
                 for t in timings
@@ -514,6 +520,21 @@ def probe_w2_sparse(spark, n_docs: int = 1_000_000) -> dict:
     out["merge_frac_scattered_1pct_vs_dense"] = round(
         b["scattered_1pct"]["merge_s"] / max(b["dense"]["merge_s"], 1e-9), 3
     )
+    a = out["autoscale"]["per_stage"]
+    out["autoscale_final_n_buckets"] = a["dense"]["n_buckets"]
+    out["autoscale_rescale_s"] = next(
+        (s["rescale_s"] for s in a.values() if s.get("rescale_s")), None
+    )
+    # admission win: the dense BUILD ran at the small default N before
+    # any rescale; pruning parity: post-rescale clustered 1% within the
+    # pinned-1024 config's fraction-of-dense bound
+    out["autoscale_build_n_buckets"] = a["dense_build"]["n_buckets"]
+    out["autoscale_merge_frac_clustered_1pct_vs_dense"] = round(
+        a["clustered_1pct"]["merge_s"] / max(a["dense"]["merge_s"], 1e-9), 3
+    )
+    out["autoscale_merge_frac_scattered_1pct_vs_dense"] = round(
+        a["scattered_1pct"]["merge_s"] / max(a["dense"]["merge_s"], 1e-9), 3
+    )
     return out
 
 
@@ -542,7 +563,7 @@ def main() -> int:
 
     base = rows["1x"]
     checks: list[str] = []
-    for cfg in ("unbucketed", "bucketed"):
+    for cfg in ("unbucketed", "bucketed", "autoscale"):
         r = w2s[cfg]
         if r["value_mismatches"]:
             checks.append(f"w2_sparse {cfg}: {r['value_mismatches']} mismatches")
@@ -568,6 +589,29 @@ def main() -> int:
         checks.append(
             "w2_sparse: scattered 1% merge cost "
             f"{w2s['merge_frac_scattered_1pct_vs_dense']:.0%} of dense (>50%)"
+        )
+    # r13 autoscale bounds: the un-pinned layout must converge to the
+    # pinned config's N, have BUILT dense at the small default N, and
+    # match the pinned config's pruning/routing bounds afterwards
+    if w2s["autoscale_final_n_buckets"] != 1024:
+        checks.append(
+            f"w2_sparse autoscale: final N {w2s['autoscale_final_n_buckets']}"
+            " != 1024"
+        )
+    if w2s["autoscale_build_n_buckets"] >= 1024:
+        checks.append(
+            "w2_sparse autoscale: dense build already at large N "
+            f"({w2s['autoscale_build_n_buckets']}) — no admission win"
+        )
+    if w2s["autoscale_merge_frac_clustered_1pct_vs_dense"] > 0.35:
+        checks.append(
+            "w2_sparse autoscale: clustered 1% merge cost "
+            f"{w2s['autoscale_merge_frac_clustered_1pct_vs_dense']:.0%}"
+            " of dense (>35%)"
+        )
+    if w2s["autoscale"]["per_stage"]["scattered_1pct"]["path"] != "log":
+        checks.append(
+            "w2_sparse autoscale: scattered 1% batch did not take the log path"
         )
     # merge_bucketed_over_unbucketed_at_1pct is RECORDED but not bounded:
     # it divides wall seconds from two different JVM sessions, and the
