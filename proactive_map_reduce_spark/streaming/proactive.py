@@ -1037,6 +1037,7 @@ def _maybe_rescale(
         return nb, None
     target = _env_num("PMR_STATE_TARGET_BUCKET_ROWS", "1024", int)
     maxb = _env_num("PMR_STATE_MAX_BUCKETS", "65536", int)
+    floor_rows = _env_num("PMR_STATE_RESCALE_MIN_ROWS", "262144", int)
     rows = _read_rows(table)
     if rows is None:
         rows = {
@@ -1045,7 +1046,14 @@ def _maybe_rescale(
         }
         _write_rows(table, rows["bucket_rows"], rows["log_rows"])
     total = rows["bucket_rows"] + rows["log_rows"]
-    if total <= 0:
+    if total < max(floor_rows, 1):
+        # Small-state tables NEVER upscale (measured r13: a 50k-row
+        # all-dense W2 table rescaled to N=64 ran 2x slower at sf1 —
+        # 64 buckets sits in the unclustered dynamic-partition write
+        # fanout gap, and pruning buys nothing when every batch is
+        # dense and the full rewrite is cheap anyway). Above the floor
+        # the table is big enough that bucket pruning and the log path
+        # carry real weight, which is what N exists for.
         return nb, None
     import math
 

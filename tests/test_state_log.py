@@ -740,6 +740,7 @@ def test_autoscale_grows_buckets_and_preserves_values(
     chunks, live = _mk_fixture(spark, tmp_path, n_docs=80)
     table = str(tmp_path / "state" / "state")
     monkeypatch.setenv("PMR_STATE_TARGET_BUCKET_ROWS", "1")
+    monkeypatch.setenv("PMR_STATE_RESCALE_MIN_ROWS", "1")
     _force_bucket_path(monkeypatch)
 
     def run(timings=None):
@@ -787,6 +788,7 @@ def test_pinned_layout_never_autoscales(spark, tmp_path, monkeypatch):
     chunks, live = _mk_fixture(spark, tmp_path, n_docs=80)
     table = str(tmp_path / "state" / "state")
     monkeypatch.setenv("PMR_STATE_TARGET_BUCKET_ROWS", "1")
+    monkeypatch.setenv("PMR_STATE_RESCALE_MIN_ROWS", "1")
     _force_bucket_path(monkeypatch)
     _stage_file(spark, tmp_path, live, chunks.filter("chunk_id = 0"), "s0.parquet")
     _runner(spark, live, tmp_path).count()  # n_buckets=8 pinned
@@ -798,3 +800,43 @@ def test_pinned_layout_never_autoscales(spark, tmp_path, monkeypatch):
     _runner(spark, live, tmp_path, timings).count()
     assert timings[-1]["rescale_s"] is None
     assert stream_ops._table_meta(table)["n_buckets"] == 8
+
+
+def test_autoscale_floor_keeps_small_tables_at_default_n(
+    spark, tmp_path, monkeypatch
+):
+    """r13 regression guard: below PMR_STATE_RESCALE_MIN_ROWS the
+    un-pinned layout must NOT upscale — a 50k-row all-dense W2 table
+    rescaled to N=64 measured 2x slower at sf1 (unclustered write
+    fanout), and pruning buys nothing at that size."""
+    chunks, live = _mk_fixture(spark, tmp_path, n_docs=80)
+    table = str(tmp_path / "state" / "state")
+    monkeypatch.setenv("PMR_STATE_TARGET_BUCKET_ROWS", "1")
+    # default floor (262144) far above the 80-row table
+    _force_bucket_path(monkeypatch)
+
+    def run(timings=None):
+        stream = (
+            spark.readStream.schema(stream_ops.CHUNK_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(live)
+        )
+        return stream_ops._refeed_batched_runner(
+            stream,
+            out_dir=str(tmp_path / "out"),
+            state_dir=str(tmp_path / "state"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            timings=timings,
+            bucket_span=1,
+        )
+
+    _stage_file(spark, tmp_path, live, chunks.filter("chunk_id = 0"), "s0.parquet")
+    run().count()
+    _stage_file(
+        spark, tmp_path, live,
+        chunks.filter("chunk_id = 1 and doc_id < 10"), "s1.parquet",
+    )
+    timings: list[dict] = []
+    run(timings).count()
+    assert timings[-1]["rescale_s"] is None
+    assert stream_ops._table_meta(table)["n_buckets"] == stream_ops._DEFAULT_BUCKETS
