@@ -55,12 +55,21 @@ def split_words(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     chunk-id → groupBy pipeline has exactly ONE shuffle (the final group),
     not two. At 100 TB that's the difference between one wide exchange and
     two.
+
+    The split array is materialized in its OWN projection below the
+    generate (r13): a single-select form puts ``size(split(text))`` in
+    the post-explode Project, where it re-splits the full document text
+    once PER WORD ROW — O(len²) work per document (measured at sf0.1:
+    the word-split stage drops ~6× when split evaluates once per doc).
     """
     from ..sources.tables import ensure_parallelism
 
     ws = F.split(F.col(text_col), " ")
-    return ensure_parallelism(df).select(
-        id_col, F.size(ws).alias("n_words_doc"), F.posexplode(ws).alias("pos", "word")
+    base = ensure_parallelism(df).select(
+        id_col, ws.alias("__ws"), F.size(ws).alias("n_words_doc")
+    )
+    return base.select(
+        id_col, "n_words_doc", F.posexplode("__ws").alias("pos", "word")
     )
 
 
@@ -118,32 +127,54 @@ def partition_equal_arrays(
     a narrow ×num_steps explode, NO shuffle of word rows at all. At 100 TB
     that removes the widest exchange of the pipeline. Output rows match
     `partition_equal` exactly (empty chunks are not emitted).
+
+    Shape (r13): the chunks are built as ONE per-document array of
+    (chunk_id, chunk_text, n_words) structs, empty chunks dropped with
+    the array ``filter`` higher-order function, and the survivors
+    exploded. The earlier explode-then-filter form let Catalyst push the
+    ``n_words > 0`` filter below the chunk projection, re-inlining the
+    whole ``slice(split(text)…)`` expression into a per-chunk-row Filter
+    — ``split(text)`` evaluated ~2× per chunk row (~8× per document).
+    Here split/size/floor land in their own projection (referenced more
+    than once → never re-inlined), each slice is taken once, and the
+    row filter is gone from the relational plan entirely. Measured at
+    sf0.1: chunk build 0.238 → 0.147 s median; values bit-identical.
     """
     ws = F.split(F.col(text_col), " ")
-    base = df.select(
-        F.col(id_col), ws.alias("ws"), F.size(ws).alias("n"),
-        F.floor(F.size(ws) / num_steps).alias("ps"),
-        F.explode(F.sequence(F.lit(0), F.lit(num_steps - 1))).alias("chunk_id"),
-    )
     last = num_steps - 1
-    start = (F.col("chunk_id") * F.col("ps") + 1).cast("int")
-    length = F.when(
-        F.col("chunk_id") == last, F.col("n") - F.col("chunk_id") * F.col("ps")
-    ).otherwise(F.col("ps")).cast("int")
-    chunk = F.when(
-        F.col("ps") == 0,
-        F.when(F.col("chunk_id") == last, F.col("ws")).otherwise(
-            F.array().cast("array<string>")
+    base = df.select(
+        F.col(id_col), ws.alias("__ws"), F.size(ws).alias("__n"),
+        F.floor(F.size(ws) / num_steps).alias("__ps"),
+    )
+    n, ps = F.col("__n"), F.col("__ps")
+
+    def chunk_of(i):
+        start = (i.cast("bigint") * ps + 1).cast("int")
+        length = F.when(
+            i == last, n.cast("bigint") - i.cast("bigint") * ps
+        ).otherwise(ps).cast("int")
+        return F.when(
+            ps == 0,
+            F.when(i == last, F.col("__ws")).otherwise(
+                F.array().cast("array<string>")
+            ),
+        ).otherwise(F.slice("__ws", start, length))
+
+    arrs = F.transform(F.sequence(F.lit(0), F.lit(last)), chunk_of)
+    structs = F.transform(
+        arrs,
+        lambda a, i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.array_join(a, " ").alias("chunk_text"),
+            F.size(a).cast("bigint").alias("n_words"),
         ),
-    ).otherwise(F.slice("ws", start, length))
-    return (
-        base.select(
-            id_col,
-            F.col("chunk_id").cast("int").alias("chunk_id"),
-            F.array_join(chunk, " ").alias("chunk_text"),
-            F.size(chunk).cast("bigint").alias("n_words"),
-        )
-        .filter(F.col("n_words") > 0)
+    )
+    kept = F.filter(structs, lambda c: c["n_words"] > 0)
+    return base.select(F.col(id_col), F.explode(kept).alias("__c")).select(
+        id_col,
+        F.col("__c.chunk_id").alias("chunk_id"),
+        F.col("__c.chunk_text").alias("chunk_text"),
+        F.col("__c.n_words").alias("n_words"),
     )
 
 

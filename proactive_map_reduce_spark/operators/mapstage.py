@@ -56,11 +56,27 @@ def standin_model(batch: pd.DataFrame) -> pd.DataFrame:
     """Deterministic 'LLM': reverses word order of `chunk_text` → `out_text`.
 
     Token-count preserving; SQL equivalent is list_reverse(split(text)).
+
+    One ``str.split`` per row feeds BOTH outputs (r13): the reversal
+    preserves token count, so ``n_out_tokens`` comes from the same split
+    instead of ``llm_map``'s fallback re-splitting ``out_text`` — the
+    batch makes one pass over the text bytes, not two. A plain list
+    comprehension over ``.tolist()`` replaces two ``Series.map`` calls
+    (no per-row pandas apply machinery); values are unchanged.
     """
     out = batch.copy()
-    out["out_text"] = out["chunk_text"].map(
-        lambda t: " ".join(reversed(t.split(" "))) if isinstance(t, str) else t
-    )
+    texts = out["chunk_text"].tolist()
+    rev, n_toks = [], []
+    for t in texts:
+        if isinstance(t, str):
+            ws = t.split(" ")
+            rev.append(" ".join(reversed(ws)))
+            n_toks.append(len(ws))
+        else:
+            rev.append(t)
+            n_toks.append(0)
+    out["out_text"] = rev
+    out["n_out_tokens"] = n_toks
     return out
 
 
