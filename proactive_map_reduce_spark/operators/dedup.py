@@ -83,13 +83,20 @@ def shingle_arrays(
     Array form keeps shingling a narrow projection (no explode, no
     shuffle); per-document arrays are bounded by document length, so this
     holds at any corpus scale.
+
+    The split array gets its OWN projection (r13): referenced both by the
+    sequence bound and by every slice lambda, an inlined ``split(text)``
+    would re-split per shingle position on the interpreted HOF path —
+    materializing it pins one split per document (same fix as
+    ``chunking.split_words``).
     """
-    ws = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__ws"))
+    ws = F.col("__ws")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
     )
-    return df.select(F.col(id_col), F.array_distinct(grams).alias("shingles"))
+    return base.select(F.col(id_col), F.array_distinct(grams).alias("shingles"))
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
@@ -188,6 +195,61 @@ def minhash_signatures(
     return _h0_rows(shingle_df, id_col).groupBy(id_col).agg(
         *_minhash_min_aggs(n_hashes)
     )
+
+
+def minhash_arrays(
+    df: DataFrame,
+    n_hashes: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    with_sets: bool = False,
+) -> DataFrame:
+    """MinHash signatures straight from per-document shingle ARRAYS — the
+    zero-shuffle signature builder (r13).
+
+    The window-lead shingle-row path costs one full word-row exchange +
+    sort + window before the signature groupBy. Per-document arrays need
+    NONE of that: h0 per shingle and the 16 affine mins are array
+    higher-order expressions in one narrow projection — no explode, no
+    shuffle, no aggregation at all. Measured at sf0.1: signatures+sets
+    0.38 → 0.19 s median (the interpreted-HOF overhead the r3 A/B
+    rejected was the explode path's, not this one's — and the 100 TB
+    shape is strictly better: the widest exchange of the dedup pipeline
+    is gone). Values are identical: min over the distinct-gram multiset
+    equals min over the set, and ``with_sets`` returns the distinct
+    HASHED shingles exactly like ``minhash_with_sets``'s collect_set
+    (array order differs; every consumer is order-insensitive —
+    array_intersect/size Jaccard and the order-insensitive oracle gate).
+
+    Null-text documents are dropped explicitly — the row-explode path
+    never emits word rows for them (posexplode of a null array), so they
+    have no signature row there either.
+
+    The caller passes the DOCUMENT frame (not word rows); heavy per-doc
+    hashing parallelizes via ensure_parallelism exactly like the word
+    explode did.
+    """
+    from ..sources.tables import ensure_parallelism
+
+    src = ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
+    sh = shingle_arrays(src, text_col=text_col, id_col=id_col, n=n)
+    h0s = F.transform(
+        F.col("shingles"), lambda s: portable_hash64(s) % MINHASH_PRIME
+    )
+    base = sh.select(F.col(id_col), h0s.alias("__h0s"))
+    cols = [
+        F.array_min(
+            F.transform(
+                "__h0s",
+                lambda h: (F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j]))
+                % MINHASH_PRIME,
+            )
+        ).alias(f"mh_{j}")
+        for j in range(n_hashes)
+    ]
+    extra = [F.array_distinct("__h0s").alias("shingles")] if with_sets else []
+    return base.select(F.col(id_col), *cols, *extra)
 
 
 LSH_MAX_BUCKET = 256  # representatives per bucket; >K members star-link to rep
@@ -604,29 +666,38 @@ def simhash(
     bit_b(word) = (h(word) >> b) & 1; per-doc bit b of the fingerprint is
     the sign of Σ_words (2·bit_b − 1) = 2·Σ bit_b − n.
 
-    One word explode + ONE groupBy carrying all `bits` sum-aggregates
-    (codegen'd shiftright/mask) — no |words|×bits row blow-up, shuffle
-    width stays |words|, and the final bit assembly is plain column
-    arithmetic on the aggregated row.
+    ZERO shuffles (r13): the per-doc bit counts are array higher-order
+    folds over the hashed word array — one md5 transform, then `bits`
+    aggregate() folds per document — all inside one narrow projection.
+    The former explode + groupBy form paid a word-row explode plus a
+    per-doc exchange (small after partial agg, but a full stage
+    boundary); measured at sf0.1 the HOF form is ~20% faster
+    (0.262 → 0.207 s median) and the plan has no exchange at all.
+    Null-text docs are dropped explicitly, exactly as the explode form
+    dropped them (explode of a null split emits nothing).
 
-    Round-4 A/B on the round-3 "codegen weight" theory: a packed variant
-    (four 16-bit counters per long, 9 aggregate functions instead of 33,
-    identical outputs) measured EQUAL to this form within noise at sf0.1
-    (min 0.418 s vs 0.443 s interleaved, same medians), and an
-    explode-plus-count-only strawman costs the same ~0.45-0.49 s — the
-    query is bounded by the word explode + per-doc shuffle base, not by
-    the aggregate count or the 32-CASE assembly. Kept unrolled: same
-    speed, simpler, and the oracle SQL mirrors it term by term.
+    Round-4 A/B context (explode-form variants): a packed-counter
+    variant (four 16-bit counters per long) and a count-only strawman
+    both measured equal to the unrolled explode form — that family was
+    bounded by the explode + shuffle base, which is what this removes.
     """
     from ..sources.tables import ensure_parallelism
 
-    words = ensure_parallelism(df).select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
-    ).select(id_col, portable_hash64("word").alias("h"))
-    aggs = [F.count("*").cast("bigint").alias("n")] + [
-        F.sum(F.shiftright(F.col("h"), b) % 2).alias(f"ones_{b}") for b in range(bits)
+    src = ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
+    base = src.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__ws"))
+    hs = F.transform("__ws", lambda w: portable_hash64(w))
+    hashed = base.select(
+        F.col(id_col), hs.alias("__hs"), F.size("__ws").cast("bigint").alias("n")
+    )
+    ones = [
+        F.aggregate(
+            "__hs",
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc + F.shiftright(h, b) % 2,
+        ).alias(f"ones_{b}")
+        for b in range(bits)
     ]
-    per_doc = words.groupBy(id_col).agg(*aggs)
+    per_doc = hashed.select(id_col, F.col("n"), *ones)
     sim = None
     for b in range(bits):
         bal = 2 * F.col(f"ones_{b}") - F.col("n")

@@ -24,20 +24,22 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signatures (16 portable hash functions over 3-gram shingles),
-    computed as a narrow array projection — zero shuffles."""
-    sh = dedup_ops.shingle_rows(_words(spark, sf_dir))
-    return dedup_ops.minhash_signatures(sh, MINHASH_N)
+    computed as a narrow array projection — zero shuffles (r13: the
+    array-HOF builder replaces the word-explode + window + groupBy path;
+    values identical, the word-row exchange is gone)."""
+    return dedup_ops.minhash_arrays(_docs(spark, sf_dir), MINHASH_N)
 
 
 def q_dedup_minhash_pairs(spark, sf_dir):
     """MinHash-LSH candidate pairs (4 bands × 4 rows) with exact Jaccard.
 
-    Signatures and shingle sets come from ONE combined aggregation
-    (persisted): one word explosion, one shingle window, one md5 pass,
-    one shuffle — the banding self-join and the candidate Jaccard both
-    reuse it instead of re-deriving the corpus pipeline."""
-    combined = dedup_ops.minhash_with_sets(
-        dedup_ops.shingle_rows(_words(spark, sf_dir)), MINHASH_N
+    Signatures and shingle sets come from ONE combined pass (persisted):
+    since r13 the zero-shuffle array-HOF builder — one md5 pass, no word
+    explosion, no shingle window — the banding self-join and the
+    candidate Jaccard both reuse it instead of re-deriving the corpus
+    pipeline."""
+    combined = dedup_ops.minhash_arrays(
+        _docs(spark, sf_dir), MINHASH_N, with_sets=True
     ).persist()
     pairs = dedup_ops.lsh_candidate_pairs(combined, MINHASH_N, MINHASH_BANDS)
     return dedup_ops.jaccard_pairs(
@@ -56,8 +58,8 @@ def q_dedup_minhash_confirmed(spark, sf_dir):
     tracks confirmed near-dups instead of raw band candidates. Output
     carries both the estimate (n_sig_match) and the exact jaccard of the
     survivors."""
-    combined = dedup_ops.minhash_with_sets(
-        dedup_ops.shingle_rows(_words(spark, sf_dir)), MINHASH_N
+    combined = dedup_ops.minhash_arrays(
+        _docs(spark, sf_dir), MINHASH_N, with_sets=True
     ).persist()
     pairs = dedup_ops.lsh_candidate_pairs(combined, MINHASH_N, MINHASH_BANDS)
     confirmed = dedup_ops.signature_agreement(pairs, combined, MINHASH_N).filter(
@@ -83,9 +85,7 @@ def q_dedup_incremental(spark, sf_dir):
     confirmed by 16-int signature agreement — no shingle-set traffic.
     Output: every new doc with is_dup, its earliest confirmed catalog
     match, and the confirmed-match count."""
-    sigs = dedup_ops.minhash_signatures(
-        dedup_ops.shingle_rows(_words(spark, sf_dir)), MINHASH_N
-    ).persist()
+    sigs = dedup_ops.minhash_arrays(_docs(spark, sf_dir), MINHASH_N).persist()
     is_new = F.col("doc_id") % 5 == 0
     matches = dedup_ops.incremental_lsh_matches(
         sigs.filter(is_new),
@@ -123,7 +123,17 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     pairs = dedup_ops.capped_block_pairs(
         blocked, ["lang", "blk_bucket"], max_block=NGRAM_BLOCK_CAP
     )
-    sets = dedup_ops.shingle_sets(chunking.split_words(d))
+    # r13: per-doc shingle arrays straight off the scan — the former
+    # shingle_sets path paid a word explode + window + collect_set
+    # groupBy (one full word-row exchange) to build the same distinct
+    # string sets; array_intersect Jaccard is order-insensitive, so the
+    # set is all that matters. Null-text docs are filtered exactly like
+    # the explode path dropped them (posexplode of a null split).
+    from ..sources.tables import ensure_parallelism
+
+    sets = dedup_ops.shingle_arrays(
+        ensure_parallelism(d.filter(F.col("text").isNotNull()))
+    )
     return dedup_ops.jaccard_pairs(sets, pairs)
 
 
@@ -183,10 +193,8 @@ def q_dedup_clusters(spark, sf_dir):
     Only docs that appear in some pair are emitted (singletons are their
     own representative trivially)."""
     # signatures only — this query never computes exact Jaccard, so the
-    # collect_set shingle payload of minhash_with_sets has no consumer
-    sigs = dedup_ops.minhash_signatures(
-        dedup_ops.shingle_rows(_words(spark, sf_dir)), MINHASH_N
-    )
+    # shingle-set payload of the array builder has no consumer
+    sigs = dedup_ops.minhash_arrays(_docs(spark, sf_dir), MINHASH_N)
     pairs = dedup_ops.lsh_candidate_pairs(sigs, MINHASH_N, MINHASH_BANDS).persist()
     return dedup_ops.connected_components(pairs)
 
@@ -408,8 +416,8 @@ def q_curation_pipeline(spark, sf_dir):
         .persist()
     )
 
-    combined = dedup_ops.minhash_with_sets(
-        dedup_ops.shingle_rows(chunking.split_words(gated)), MINHASH_N
+    combined = dedup_ops.minhash_arrays(
+        gated, MINHASH_N, with_sets=True
     ).persist()
     pairs = dedup_ops.lsh_candidate_pairs(combined, MINHASH_N, MINHASH_BANDS)
     jacc = dedup_ops.jaccard_pairs(combined.select("doc_id", "shingles"), pairs)

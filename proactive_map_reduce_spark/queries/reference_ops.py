@@ -222,10 +222,18 @@ def q_flagship(spark, sf_dir):
     (= whole-text reverse) → set-F1 + exact-match + subset accuracy.
     Composes S1,P1b,C1,M1,R1,S2-join,A6,A7,F3 into one plan.
     """
+    from ..sources.tables import ensure_parallelism
+
     docs = _docs(spark, sf_dir)
     mapped = mapstage.llm_map(_chunks(spark, sf_dir))
     final = red.incremental_concat(mapped)
-    gt = docs.select(
+    # The aggregated map output broadcasts; the gt side is the PROBE side
+    # of that join, and the 3-regex normalization of both documents runs
+    # in ITS tasks. A single-file fixture scan gives it ONE input split,
+    # serializing the scoring stage on one core (measured: ~0.69 s of the
+    # sf0.1 wall single-threaded; ~0.4 s back with the repartition). On
+    # thousands-of-splits production inputs ensure_parallelism is a no-op.
+    gt = ensure_parallelism(docs).select(
         "doc_id",
         "lang",
         F.array_join(F.reverse(F.split("text", " ")), " ").alias("gt_text"),
@@ -569,9 +577,13 @@ def q_bleu(spark, sf_dir):
     integers in closed form. Same formula as functions.scoring.bleu_score
     (pinned equal by tests/test_scoring.py)."""
     from ..functions.scoring import bleu_table
+    from ..sources.tables import ensure_parallelism
 
     mapped = red.incremental_concat(mapstage.llm_map(_chunks(spark, sf_dir)))
-    return bleu_table(mapped, _docs(spark, sf_dir))
+    # gold-side gram explode + hashing runs in the doc scan's tasks — a
+    # single-split fixture serializes it on one core (r13; no-op on
+    # multi-split production inputs)
+    return bleu_table(mapped, ensure_parallelism(_docs(spark, sf_dir)))
 
 
 def q_rouge(spark, sf_dir):
@@ -581,9 +593,15 @@ def q_rouge(spark, sf_dir):
     it via a recursive-CTE row DP), and the f-measure derives from that
     integer with IEEE-exact arithmetic identically on both engines."""
     from ..functions.scoring import lcs_udf
+    from ..sources.tables import ensure_parallelism
 
     mapped = red.incremental_concat(mapstage.llm_map(_chunks(spark, sf_dir)))
-    joined = mapped.join(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id")
+    # the O(n·m) LCS Arrow UDF runs in the probe tasks of this join —
+    # parallelize the single-split doc side (r13; the sf1 gate measured
+    # q_rouge as a 4.9 s single-task pole)
+    joined = mapped.join(
+        ensure_parallelism(_docs(spark, sf_dir).select("doc_id", "text")), "doc_id"
+    )
     from ..functions.scoring import LCS_MAX_TOKENS
 
     staged = joined.select(

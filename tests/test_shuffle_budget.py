@@ -39,7 +39,7 @@ BUDGETS = {
     # exchange — measured 10 at pin time. The contract: composing the
     # four curation stages must never cost more than the sum of their
     # parts (no hidden re-derivation shuffles).
-    "q_curation_pipeline": 10,
+    "q_curation_pipeline": 7,
     "q_decode_detok": 2,
     # 5-gram decontamination: shingle window (doc_id) + two distincts
     # (train/bench gram sets) + the per-doc rollup; the gram join itself
@@ -47,23 +47,20 @@ BUDGETS = {
     "q_decontaminate": 4,
     "q_dedup_embedding": 0,
     "q_dedup_exact": 1,
-    # candidates (5) + the signature-agreement join pair (2): the guard
-    # pays two narrow 16-int joins so the shingle-set join only sees
-    # confirmed near-dups
-    "q_dedup_minhash_confirmed": 7,
-    # batch-vs-catalog ingestion dedup: ONE signature pipeline (shared
-    # by both sides of the batch gate), band window for the catalog cap,
-    # candidate band join + the two signature-agreement joins, the
-    # per-new-doc rollup, and the final left join — measured 8 at pin
+    # r13 array-HOF signatures: zero shuffles to the combined
+    # signature+set table; what remains is the band window and the
+    # pair distinct (agreement + jaccard joins broadcast)
+    "q_dedup_minhash_confirmed": 2,
+    # batch-vs-catalog ingestion dedup: r13 zero-shuffle signature
+    # build leaves the catalog band window, the candidate distinct, the
+    # per-new-doc rollup, and the final left join — measured 4 at pin
     # time, all keyed on uniform hash/id columns
-    "q_dedup_incremental": 8,
-    "q_dedup_minhash_pairs": 5,
-    # r8 star-cap rewrite: +2 exchanges vs the old blocked self-join —
-    # the (lang, blk_bucket) window sort that ranks block members and
-    # the pair-distinct after expansion. Two bounded exchanges bought
-    # the O(K²+B) candidate bound (59.2M → 108,560 pairs at sf1); the
-    # old 2-exchange plan was the repo's last uncapped quadratic.
-    "q_dedup_ngram_jaccard": 4,
+    "q_dedup_incremental": 4,
+    "q_dedup_minhash_pairs": 2,
+    # star-cap block window + pair-distinct; the shingle sets are the
+    # r13 zero-shuffle array form (the old explode+collect_set path
+    # paid two more exchanges for the same distinct sets)
+    "q_dedup_ngram_jaccard": 2,
     "q_doc_fingerprint": 0,
     "q_embed_documents": 0,
     "q_embedding_centroids": 2,
@@ -97,7 +94,7 @@ BUDGETS = {
     "q_mean_over_files": 2,
     "q_metrics_avg": 2,
     "q_middle_drop_truncate": 3,
-    "q_minhash_signatures": 1,
+    "q_minhash_signatures": 0,
     "q_multimodal_features": 0,
     "q_multimodal_frames": 0,
     "q_multimodal_resize": 0,
@@ -146,7 +143,7 @@ BUDGETS = {
     "q_sessionize": 1,
     "q_set_f1": 0,
     "q_ship_priority": 1,
-    "q_simhash": 1,
+    "q_simhash": 0,
     "q_similarity_lsh": 1,
     "q_similarity_topk": 1,
     # KMV distinct (distinct → per-(partition,lang) min-k cut → per-lang
@@ -196,19 +193,22 @@ SINGLE_PARTITION = {
 # Pinned so a STRAY repartition() in a refactor — the same node kind —
 # still fails loudly in the query where it appears.
 ROUNDROBIN = {
-    "q_best_of_answers": 1, "q_bleu": 1, "q_corpus_stats": 1,
+    # flagship family carries 2: the chunk pipeline's word side AND the
+    # deliberate r13 gt-probe-side repartition (the scoring regexes run
+    # in the probe tasks of the broadcast join; one split = one core)
+    "q_best_of_answers": 1, "q_bleu": 3, "q_corpus_stats": 1,  # bleu: gold side used twice (grams + brevity)
     "q_curation_pipeline": 3, "q_decode_detok": 2, "q_decontaminate": 2,
     "q_dedup_incremental": 4, "q_dedup_minhash_confirmed": 5,
     "q_dedup_minhash_pairs": 3, "q_dedup_ngram_jaccard": 2,
-    "q_first_line_answer": 1, "q_flagship": 1, "q_flatten_nested_times": 1,
+    "q_first_line_answer": 1, "q_flagship": 2, "q_flatten_nested_times": 1,
     "q_incremental_concat": 1, "q_kv_concat": 1, "q_llm_map": 1,
-    "q_mean_over_files": 1, "q_metrics_avg": 1, "q_middle_drop_truncate": 2,
+    "q_mean_over_files": 2, "q_metrics_avg": 2, "q_middle_drop_truncate": 2,
     "q_minhash_signatures": 1, "q_partition_equal": 1,
     "q_positional_shift": 1, "q_prefix_scan_inputs": 1,
     "q_prompt_assemble": 1, "q_qa_pipeline": 3, "q_rechunk_fixed": 1,
-    "q_rouge": 1, "q_simhash": 1, "q_sketch_stats": 1,
+    "q_rouge": 2, "q_simhash": 1, "q_sketch_stats": 1,
     "q_speedup_model": 1, "q_split_ratio_schedule": 1,
-    "q_token_counter_overlap": 2, "q_tokenize": 1, "q_union_outputs": 1,
+    "q_token_counter_overlap": 2, "q_tokenize": 1, "q_union_outputs": 2,
     "q_vocab_oov": 2, "q_word_split": 1,
 }
 
