@@ -344,17 +344,25 @@ def q_metrics_avg(spark, sf_dir):
 def q_best_of_answers(spark, sf_dir):
     """A2: score prediction against each gold answer, take the max
     (pipeline_70b_samsum.py:311)."""
+    from ..sources.tables import ensure_parallelism
+
     docs = _docs(spark, sf_dir)
     mapped = mapstage.llm_map(_chunks(spark, sf_dir))
     pred = red.incremental_concat(mapped).select("doc_id", F.col("final_text").alias("pred"))
-    gt = docs.select(
+    # probe-side parallelism, same reasoning as q_flagship (r13): the
+    # four normalization chains run in this join's probe tasks
+    gt = ensure_parallelism(docs).select(
         "doc_id",
         F.col("text").alias("ans_same"),
         F.array_join(F.reverse(F.split("text", " ")), " ").alias("ans_rev"),
         F.array_join(F.slice(F.split("text", " "), 1, 10), " ").alias("ans_head"),
     )
     j = pred.join(gt, "doc_id")
-    p = norm_tokens("pred")
+    # normalize the prediction ONCE: inlined, the 3-regex chain over the
+    # full document re-ran per greatest() arm (3×/row); the layered
+    # projection pins one evaluation (same mechanism as pair_scores)
+    j = j.withColumn("__p", norm_tokens("pred"))
+    p = F.col("__p")
     return j.select(
         "doc_id",
         F.greatest(

@@ -196,7 +196,7 @@ ROUNDROBIN = {
     # flagship family carries 2: the chunk pipeline's word side AND the
     # deliberate r13 gt-probe-side repartition (the scoring regexes run
     # in the probe tasks of the broadcast join; one split = one core)
-    "q_best_of_answers": 1, "q_bleu": 3, "q_corpus_stats": 1,  # bleu: gold side used twice (grams + brevity)
+    "q_best_of_answers": 2, "q_bleu": 3, "q_corpus_stats": 1,  # bleu: gold side used twice (grams + brevity)
     "q_curation_pipeline": 3, "q_decode_detok": 2, "q_decontaminate": 2,
     "q_dedup_incremental": 4, "q_dedup_minhash_confirmed": 5,
     "q_dedup_minhash_pairs": 3, "q_dedup_ngram_jaccard": 2,
