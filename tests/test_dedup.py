@@ -358,3 +358,80 @@ def test_connected_components_releases_round_storage(spark):
     # allowance: the final round's checkpoint (+ the initial one if the
     # loop exited on round 1) — NOT one block per round
     assert after - before <= 2, (before, after, dedup.CC_STATS)
+
+
+# --- r13 array-HOF builder equivalence ---------------------------------------
+
+
+def _mixed_corpus(spark):
+    """Edge-heavy fixture: normal docs, short docs (1/2/3 words), empty
+    string, null text, unicode — the cases where the array and the
+    explode shingle paths could diverge."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the bank"),
+        (2, "one"),
+        (3, "two words"),
+        (4, "three word doc"),
+        (5, ""),
+        (6, None),
+        (7, "naïve café Ünïcode 分词 test words here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_minhash_arrays_matches_window_form(spark):
+    """minhash_arrays (zero-shuffle HOF builder) must agree row-for-row
+    with the window-lead explode reference — signatures exactly, shingle
+    payloads as SETS (collect_set vs array_distinct order differs; every
+    consumer is order-insensitive)."""
+    docs = _mixed_corpus(spark)
+    ref = {
+        r["doc_id"]: (
+            tuple(r[f"mh_{j}"] for j in range(16)),
+            frozenset(r["shingles"]),
+        )
+        for r in dedup.minhash_with_sets(
+            dedup.shingle_rows(chunking.split_words(docs))
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: (
+            tuple(r[f"mh_{j}"] for j in range(16)),
+            frozenset(r["shingles"]),
+        )
+        for r in dedup.minhash_arrays(docs, 16, with_sets=True).collect()
+    }
+    assert got == ref
+    assert 6 not in got  # null text emits no signature row on either path
+
+
+def test_simhash_hof_matches_explode_reference(spark):
+    """The r13 zero-shuffle simhash (array folds) must equal the explode +
+    groupBy reference it replaced, including dropping null-text docs."""
+    from proactive_map_reduce_spark.functions.hashing import portable_hash64
+
+    docs = _mixed_corpus(spark)
+    bits = 32
+    words = docs.select(
+        F.col("doc_id"), F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).select("doc_id", portable_hash64("word").alias("h"))
+    aggs = [F.count("*").cast("bigint").alias("n")] + [
+        F.sum(F.shiftright(F.col("h"), b) % 2).alias(f"ones_{b}")
+        for b in range(bits)
+    ]
+    per_doc = words.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for b in range(bits):
+        bal = 2 * F.col(f"ones_{b}") - F.col("n")
+        term = F.when(bal >= 0, F.lit(2 ** b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sim = term if sim is None else sim + term
+    ref = {
+        r["doc_id"]: r["simhash"]
+        for r in per_doc.select("doc_id", sim.cast("bigint").alias("simhash")).collect()
+    }
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert got == ref
+    assert 6 not in got
