@@ -78,6 +78,7 @@ def pair_scores(
     from .text import normalize_text
 
     nf, ng, tf, tg = "__norm_pred", "__norm_gold", "__toks_pred", "__toks_gold"
+    ni = "__n_inter"
 
     def toks(c: Column) -> Column:
         # empty normalization → ZERO tokens (the reference's no-answer),
@@ -93,9 +94,13 @@ def pair_scores(
         .withColumn(tg, F.array_distinct(toks(F.col(ng))))
     )
     p, g = F.col(tf), F.col(tg)
+    # intersect size layered like the norms (r14): inlined, the f1 CASE
+    # references it twice (zero-test + ratio) and array_intersect builds
+    # its lookup set per evaluation — the pin halves that per-row work.
+    df = df.withColumn(ni, F.size(F.array_intersect(p, g)))
     either_empty = (F.size(p) == 0) | (F.size(g) == 0)
     both_empty = (F.size(p) == 0) & (F.size(g) == 0)
-    inter = F.size(F.array_intersect(p, g))
+    inter = F.col(ni)
     f1 = (
         F.when(either_empty, both_empty.cast("double"))
         .when(inter == 0, F.lit(0.0))
@@ -108,7 +113,7 @@ def pair_scores(
         df.withColumn(f1_col, f1)
         .withColumn(em_col, (F.col(nf) == F.col(ng)).cast("int"))
         .withColumn(sub_col, sub)
-        .drop(nf, ng, tf, tg)
+        .drop(nf, ng, tf, tg, ni)
     )
 
 

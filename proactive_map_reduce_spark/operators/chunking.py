@@ -39,6 +39,28 @@ from pyspark.sql import types as T
 _SENT_MARK = ""
 
 
+
+def gen_barrier(arr: Column, elem_type: str) -> Column:
+    """Identity wrapper for an array column feeding explode/posexplode.
+
+    Exploding a bare array ATTRIBUTE whose value is computed by an
+    expensive projection makes Catalyst (InferFiltersFromGenerate) add a
+    ``size(arr) > 0 AND isnotnull(arr)`` filter below the Generate, and
+    predicate pushdown then substitutes the alias — re-evaluating the
+    whole array-building expression inside the Filter, 1-2 extra times
+    per input row, usually BELOW the parallelizing exchange (r13's
+    q_tokenize -14% regression was exactly this). The inference rule
+    only fires on bare attributes, so ``concat(arr, array())`` — a
+    semantics-preserving identity for both null and non-null arrays,
+    and an expression no optimizer rule folds away — suppresses it.
+    ``coalesce(arr, array())`` is NOT a reliable barrier: NullPropagation
+    deletes it whenever the input is provably non-nullable (e.g. a
+    transform-over-sequence gram array). Cost: one array copy per input
+    ROW (pre-explode), noise next to the explode itself.
+    """
+    return F.concat(arr, F.array().cast(f"array<{elem_type}>"))
+
+
 def split_sentences(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """P1: one row per sentence with its 0-based position (terminators kept)."""
     marked = F.regexp_replace(F.col(text_col), "([.!?])[ \t\n\r\f]+", "$1" + _SENT_MARK)
@@ -61,15 +83,30 @@ def split_words(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     the post-explode Project, where it re-splits the full document text
     once PER WORD ROW — O(len²) work per document (measured at sf0.1:
     the word-split stage drops ~6× when split evaluates once per doc).
+
+    r14 (the r13 rewrite's one regression, q_tokenize −14%): exploding
+    a bare array ATTRIBUTE makes Catalyst infer a pre-Generate filter
+    ``size(__ws) > 0 AND isnotnull(__ws)``, and predicate pushdown then
+    re-inlines ``split(text)`` into that filter — three split
+    evaluations per document instead of one. Two-part fix, values
+    identical: (a) an explicit ``text IS NOT NULL`` pre-filter (null
+    text never produced word rows — posexplode of a null array emits
+    nothing; the explicit form reaches the parquet scan as a pushed
+    IsNotNull) and (b) ``gen_barrier(__ws)`` as the generator input —
+    not a bare attribute, so the inference rule skips it (it only fires
+    on attributes). After-plan: the Filter condition contains no
+    ``split`` call at all.
     """
     from ..sources.tables import ensure_parallelism
 
     ws = F.split(F.col(text_col), " ")
-    base = ensure_parallelism(df).select(
+    base = ensure_parallelism(df.filter(F.col(text_col).isNotNull())).select(
         id_col, ws.alias("__ws"), F.size(ws).alias("n_words_doc")
     )
     return base.select(
-        id_col, "n_words_doc", F.posexplode("__ws").alias("pos", "word")
+        id_col,
+        "n_words_doc",
+        F.posexplode(gen_barrier(F.col("__ws"), "string")).alias("pos", "word"),
     )
 
 

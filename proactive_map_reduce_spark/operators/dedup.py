@@ -89,8 +89,16 @@ def shingle_arrays(
     would re-split per shingle position on the interpreted HOF path —
     materializing it pins one split per document (same fix as
     ``chunking.split_words``).
+
+    Null text is filtered HERE (r14, ADVICE): without the filter a null
+    document yields a bogus ``shingles = [null]`` row that every caller
+    had to remember to pre-filter away (the explode shingle paths emit
+    nothing for null text). Callers that still pre-filter are redundant
+    but harmless — Catalyst collapses the duplicate condition.
     """
-    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__ws"))
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__ws")
+    )
     ws = F.col("__ws")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),

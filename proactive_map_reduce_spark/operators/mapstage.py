@@ -63,9 +63,15 @@ def standin_model(batch: pd.DataFrame) -> pd.DataFrame:
     batch makes one pass over the text bytes, not two. A plain list
     comprehension over ``.tolist()`` replaces two ``Series.map`` calls
     (no per-row pandas apply machinery); values are unchanged.
+
+    r14: the output frame is BUILT from the columns the seam returns
+    instead of ``batch.copy()`` — the copy duplicated every input
+    column (including the pointer array of the large ``chunk_text``
+    column, which ``llm_map`` immediately drops) and re-indexed the
+    frame, pure per-batch overhead at the Python boundary (guide §4).
+    The id columns are reused zero-copy from the input batch.
     """
-    out = batch.copy()
-    texts = out["chunk_text"].tolist()
+    texts = batch["chunk_text"].tolist()
     rev, n_toks = [], []
     for t in texts:
         if isinstance(t, str):
@@ -75,9 +81,14 @@ def standin_model(batch: pd.DataFrame) -> pd.DataFrame:
         else:
             rev.append(t)
             n_toks.append(0)
-    out["out_text"] = rev
-    out["n_out_tokens"] = n_toks
-    return out
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "chunk_id": batch["chunk_id"],
+            "out_text": rev,
+            "n_out_tokens": n_toks,
+        }
+    )
 
 
 def llm_map(

@@ -197,29 +197,54 @@ def brute_force_topk(
                 [],
                 "query_id bigint, neighbor_id bigint, cos_sim double, rank int",
             )
-        # THREE single Literal nodes (ids, vectors, norms), indexed by the
-        # explode position — not an array of per-query structs built from
-        # |Q|·dim scalar literal nodes. The values are identical, but the
-        # analyzed tree shrinks from ~600 nodes to ~10: Catalyst's
-        # per-action optimize of this plan measured ~0.3 s with unrolled
-        # scalar literals vs ~0.05 s with packed ones (the whole
-        # remaining bench-floor gap for this query).
-        qids = F.lit([int(r[id_col]) for r in qrows])
-        qvecs = F.lit([[float(x) for x in r["v"]] for r in qrows])
-        qnorms = F.lit([float(r["nv"]) for r in qrows])
+        # ONE literal in the plan (r14): the queries ride in as
+        # `inline(array(named_struct('query_id', …, 'qv', array(…),
+        # 'nq', …)))` — a single foldable Generate input, so (query_id,
+        # qv, nq) come out as plain GENERATE ATTRIBUTES. The r13 packed
+        # form (three array literals indexed by the explode position)
+        # optimized small, but CollapseProject re-inlined the whole
+        # |Q|×dim vector literal into EVERY one of the `dim` dot-product
+        # terms (`GetArrayItem(literal, qi)` counts as cheap), blowing
+        # the physical plan to ~666 KB — the per-action optimizer walk
+        # and codegen setup over that tree, not the arithmetic, was the
+        # cost. Struct-field extraction over a Generate attribute
+        # carries no literal, so the plan stays ~15 KB with IDENTICAL
+        # arithmetic (same chunked IEEE association, same doubles — the
+        # literals round-trip through repr() exactly like the C4
+        # schedule constants). Measured at sf0.1, interleaved same
+        # session: 0.343 → 0.221 s median; rows verified identical.
+        # Floats ride through repr(); non-finite components (never in a
+        # real norm path, but vectors can carry garbage) spell the SQL
+        # cast form instead.
+        def _d(x: float) -> str:
+            import math as _math
+
+            if _math.isnan(x):
+                return "CAST('NaN' AS DOUBLE)"
+            if _math.isinf(x):
+                return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+            return repr(float(x)) + "D"
+
+        structs = ", ".join(
+            "named_struct('query_id', {i}L, 'qv', array({vec}), 'nq', {nq})".format(
+                i=int(r[id_col]),
+                vec=", ".join(_d(x) for x in r["v"]),
+                nq=_d(r["nv"]),
+            )
+            for r in qrows
+        )
         scored = (
             base.select(
-                id_col, "v", "nv", F.posexplode(qids).alias("qi", "query_id")
+                id_col, "v", "nv", F.expr(f"inline(array({structs}))")
             )
             .filter(F.col(id_col) != F.col("query_id"))
-            .withColumn("qv", qvecs[F.col("qi")])
             .select(
                 "query_id",
                 F.col(id_col).alias("neighbor_id"),
                 F.round(
                     cos_expr(
                         unrolled_dot("qv", "v", dim),
-                        qnorms[F.col("qi")] * F.col("nv"),
+                        F.col("nq") * F.col("nv"),
                     ),
                     6,
                 ).alias("cos_sim"),

@@ -540,24 +540,43 @@ def q_decontaminate(spark, sf_dir):
     training document sharing any {DECONTAM_NGRAM}-gram with the held-out
     benchmark set (stand-in: docs with doc_id % 17 == 0).
 
-    Shape: 5-gram shingles on BOTH sides via the same codegen window
-    pipeline as minhash (explode → lead() grams → hash to int64), then
-    an equi-join on the uniform gram hash and a per-doc rollup. At
-    100 TB the benchmark side is tiny (eval suites), so the join
-    broadcasts; candidate work is proportional to true collisions —
-    never a cross product. Output: per contaminated train doc, how many
-    distinct benchmark grams hit and with how many benchmark docs it
-    collides.
+    Shape (r14, the last window-shingle consumer): 5-gram shingles on
+    BOTH sides as per-document ARRAYS (`dedup.shingle_arrays`, the same
+    zero-shuffle builder the minhash family moved to in r13) — the
+    distinct hashed-gram set is built array-locally, so the former
+    explode → doc_id exchange → sort → 4×lead window pipeline (one full
+    word-row shuffle PER SIDE) is gone; what remains exchanged is the
+    two countDistinct aggregations. Gram strings are identical to the
+    window form (all full n-grams plus one partial gram for docs
+    shorter than n — the documented shingle_arrays/shingle_rows
+    parity), per-doc array_distinct of the hashes equals the former
+    row-level distinct, and null text emits nothing on both forms. The
+    explode feeding the join goes through the coalesce barrier (same
+    r14 split_words fix) so the gram transform is not re-inlined into
+    an inferred pre-Generate filter. At 100 TB the benchmark side is
+    tiny (eval suites), so the join broadcasts; candidate work is
+    proportional to true collisions — never a cross product. Output:
+    per contaminated train doc, how many distinct benchmark grams hit
+    and with how many benchmark docs it collides.
     """
+    from ..sources.tables import ensure_parallelism
+
     d = _docs(spark, sf_dir)
     is_bench = F.col("doc_id") % 17 == 0
-    grams = dedup_ops.shingle_rows(
-        chunking.split_words(d), n=DECONTAM_NGRAM
-    ).select("doc_id", portable_hash64("shingle").alias("g"))
-    bench = grams.filter(is_bench).select(
-        F.col("doc_id").alias("bench_id"), "g"
-    ).distinct()
-    train = grams.filter(~is_bench).distinct()
+    sh = dedup_ops.shingle_arrays(
+        ensure_parallelism(d), n=DECONTAM_NGRAM
+    ).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform("shingles", lambda s: portable_hash64(s))
+        ).alias("__gs"),
+    )
+    grams = sh.select(
+        "doc_id",
+        F.explode(chunking.gen_barrier(F.col("__gs"), "bigint")).alias("g"),
+    )
+    bench = grams.filter(is_bench).select(F.col("doc_id").alias("bench_id"), "g")
+    train = grams.filter(~is_bench)
     hits = train.join(F.broadcast(bench), "g")
     return hits.groupBy("doc_id").agg(
         F.countDistinct("g").cast("bigint").alias("n_contaminated_grams"),

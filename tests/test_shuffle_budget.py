@@ -41,10 +41,12 @@ BUDGETS = {
     # parts (no hidden re-derivation shuffles).
     "q_curation_pipeline": 7,
     "q_decode_detok": 2,
-    # 5-gram decontamination: shingle window (doc_id) + two distincts
-    # (train/bench gram sets) + the per-doc rollup; the gram join itself
-    # broadcasts the benchmark side
-    "q_decontaminate": 4,
+    # 5-gram decontamination (r14 array-HOF shingles): the per-doc
+    # distinct gram sets are built array-locally — the former per-side
+    # shingle window exchanges are gone; what remains is the
+    # countDistinct pair (expand agg + per-doc rollup). The gram join
+    # itself broadcasts the benchmark side.
+    "q_decontaminate": 2,
     "q_dedup_embedding": 0,
     "q_dedup_exact": 1,
     # r13 array-HOF signatures: zero shuffles to the combined
