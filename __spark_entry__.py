@@ -33,20 +33,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # staleness queue until a CORRECTNESS_r*.json from that round (or later)
 # has them green, then fall back to normal staleness ordering.
 _REWRITTEN = {
-    "q_dedup_minhash_pairs": 4,   # LSH mega-bucket cap + doc_a<doc_b contract
+    # "q_dedup_minhash_pairs": 4,  (superseded by the r14 entry below)   # LSH mega-bucket cap + doc_a<doc_b contract
     # (q_dedup_clusters' r4 pin superseded by its r8 entry below)
-    "q_curation_pipeline": 4,     # embeds the capped minhash stage
+    # "q_curation_pipeline": 4,  (superseded by the r14 entry below)     # embeds the capped minhash stage
     "q_corpus_mix": 4,            # oracle moved to TRY_CAST
-    "q_first_line_answer": 4,     # leading-\n strip matches oracle ltrim
-    "q_decode_detok": 4,          # shares the first-line extraction path
-    "q_bleu": 4,                  # empty-token drop + one-row-per-gold-doc
+    # "q_first_line_answer": 4,  (superseded by the r14 entry below)     # leading-\n strip matches oracle ltrim
+    # "q_decode_detok": 4,  (superseded by the r14 entry below)          # shares the first-line extraction path
+    # "q_bleu": 4,  (superseded by the r14 entry below)                  # empty-token drop + one-row-per-gold-doc
     # reference-parity pass: normalized-answer tokenization for the
     # F1/accuracy family, int() top-k with tail-excluded rank pool
     # (q_flagship/q_metrics_avg/q_best_of_answers/q_union_outputs moved
     # to their r12 entries below)
     "q_subset_accuracy": 4,
     "q_token_counter_overlap": 4,
-    "q_mean_over_files": 4,
+    # "q_mean_over_files": 4,  (superseded by the r14 entry below)
     "q_topk_importance": 4,
     # oracle determinism fixes (session cumsum order, asof tie-break)
     "q_asof_join": 4,
@@ -60,7 +60,7 @@ _REWRITTEN = {
     "q_quality_topn_per_lang": 4,
     "q_event_interarrival": 4,
     "q_sentence_dedup": 4,
-    "q_vocab_oov": 4,
+    # "q_vocab_oov": 4,  (superseded by the r14 entry below)
     "q_salted_join": 4,
     "q_promo_revenue": 4,
     "q_ship_priority": 4,
@@ -91,7 +91,7 @@ _REWRITTEN = {
     # KMV divisor clamp, empty-doc decoding-speed guard — in-domain
     # values unchanged (gate-verified), but the PLANS changed, so the
     # driver should re-derive green rows on the new expressions.
-    "q_similarity_topk": 5,
+    # "q_similarity_topk": 5,  (superseded by the r14 entry below)
     "q_similarity_lsh": 5,
     "q_similarity_ivf": 5,
     "q_similarity_ivf_sampled": 5,
@@ -119,7 +119,7 @@ _REWRITTEN = {
     "q_embedding_centroids": 5,
     "q_multimodal_features": 5,
     "q_scan_csv_roundtrip": 5,
-    "q_rouge": 5,
+    # "q_rouge": 5,  (superseded by the r14 entry below)
     # round-5 nulls VALUE gate (adversarial_gate.py --nulls): explicit
     # null contracts — quarantine-with-NULLs (lang_id, pii, multimodal,
     # scores) or documented drop (token-domain operators), and the
@@ -127,7 +127,7 @@ _REWRITTEN = {
     "q_lang_id": 5,
     "q_pii_redact": 5,
     "q_any_answer_contained": 5,
-    "q_minhash_signatures": 5,
+    # "q_minhash_signatures": 5,  (superseded by the r14 entry below)
     "q_multimodal_resize": 5,
     "q_repetition_signals": 5,
     "q_set_f1": 5,
@@ -138,12 +138,12 @@ _REWRITTEN = {
     # queries delegate to the same extracted helper with expression-
     # identical plans (pair-count-verified at sf0.01/sf0.1), so they are
     # NOT pinned.
-    "q_dedup_ngram_jaccard": 8,
+    # "q_dedup_ngram_jaccard": 8,  (superseded by the r14 entry below)
     # round-8 scale pass: connected_components gained per-round
     # localCheckpoint lineage truncation + a pointer-doubling shortcut
     # join (O(log diameter) rounds) — identical min-label fixpoint
     # (sf0.01/sf0.1 hash-green, path-graph convergence test), new plan.
-    "q_dedup_clusters": 8,
+    # "q_dedup_clusters": 8,  (superseded by the r14 entry below)
     # round-11 scale pass: the compacted W2 state table is now BUCKETED
     # by span-hashed doc_id (streaming/proactive: bucket subdirs with
     # per-bucket atomic swap; a micro-batch reads/rewrites only the
@@ -165,10 +165,10 @@ _REWRITTEN = {
     # metric — values bit-identical (oracle re-verified, equality test),
     # ~27% less wall at sf0.1. The two consumers of the flagship
     # fragment re-derive on the new plan too.
-    "q_flagship": 12,
-    "q_metrics_avg": 12,
-    "q_best_of_answers": 12,
-    "q_union_outputs": 12,
+    # "q_flagship": 12,  (superseded by the r14 entry below)
+    # "q_metrics_avg": 12,  (superseded by the r14 entry below)
+    # "q_best_of_answers": 12,  (superseded by the r14 entry below)
+    # "q_union_outputs": 12,  (superseded by the r14 entry below)
     # round-13 scale pass: the W2 runner's LSM compaction became an
     # incremental bucket-range sweep (durable cursor, bounded per-batch
     # step), the row-count sidecar replaced the per-batch bucket count,
@@ -179,6 +179,50 @@ _REWRITTEN = {
     # the driver should re-derive both rows. (Supersedes the r12 pins.)
     "q_stateful_accumulate": 13,
     "q_stream_refeed_chain": 13,
+    # round-13/14 optimization passes (r13 verdict item: the r13 batch
+    # rewrites got no pins, so the driver was never told to re-derive
+    # them; r14 adds its own). Values identical throughout (oracle
+    # gates at two scales + equivalence tests), PLANS changed:
+    # - r13: split-once word/chunk pipelines, array-HOF minhash/simhash,
+    #   probe-side parallelism on the scoring joins, best-of norm-once;
+    # - r14: explicit null pre-filter + generate-input barrier on the
+    #   word pipeline (kills the inferred re-split Filter), array-HOF
+    #   decontamination grams, inline-struct query literals in the
+    #   similarity pair stage, pinned intersect size in pair_scores.
+    "q_word_split": 14,
+    "q_tokenize": 14,
+    "q_sentence_split": 14,
+    "q_partition_equal": 14,
+    "q_rechunk_fixed": 14,
+    "q_middle_drop_truncate": 14,
+    "q_positional_shift": 14,
+    "q_kv_concat": 14,
+    "q_corpus_stats": 14,
+    "q_vocab_oov": 14,
+    "q_decode_detok": 14,
+    "q_qa_pipeline": 14,
+    "q_decontaminate": 14,
+    "q_similarity_topk": 14,
+    "q_simhash": 14,
+    "q_flagship": 14,
+    "q_metrics_avg": 14,
+    "q_union_outputs": 14,
+    "q_mean_over_files": 14,
+    "q_best_of_answers": 14,
+    "q_bleu": 14,
+    "q_rouge": 14,
+    "q_minhash_signatures": 14,
+    "q_dedup_minhash_pairs": 14,
+    "q_dedup_minhash_confirmed": 14,
+    "q_dedup_incremental": 14,
+    "q_dedup_clusters": 14,
+    "q_dedup_ngram_jaccard": 14,
+    "q_curation_pipeline": 14,
+    "q_llm_map": 14,
+    "q_first_line_answer": 14,
+    "q_incremental_concat": 14,
+    "q_prefix_scan_refeed": 14,
+    "q_cache_fetch_or_compute": 14,
 }
 
 

@@ -551,7 +551,7 @@ def q_decontaminate(spark, sf_dir):
     shorter than n — the documented shingle_arrays/shingle_rows
     parity), per-doc array_distinct of the hashes equals the former
     row-level distinct, and null text emits nothing on both forms. The
-    explode feeding the join goes through the coalesce barrier (same
+    explode feeding the join goes through ``chunking.gen_barrier`` (same
     r14 split_words fix) so the gram transform is not re-inlined into
     an inferred pre-Generate filter. At 100 TB the benchmark side is
     tiny (eval suites), so the join broadcasts; candidate work is

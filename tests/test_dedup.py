@@ -435,3 +435,68 @@ def test_simhash_hof_matches_explode_reference(spark):
     got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
     assert got == ref
     assert 6 not in got
+
+
+# --- r14 barrier / null-precondition pins -------------------------------------
+
+
+def test_shingle_arrays_drops_null_text(spark):
+    """r14 (ADVICE): shingle_arrays filters null text itself — a null
+    document must emit NO row (not a bogus shingles=[null] row callers
+    had to remember to pre-filter)."""
+    docs = _mixed_corpus(spark)
+    rows = {r["doc_id"]: r["shingles"] for r in dedup.shingle_arrays(docs).collect()}
+    assert 6 not in rows
+    assert all(None not in sh for sh in rows.values())
+    # short docs keep their one partial gram; empty string keeps ['']
+    assert rows[2] == ["one"]
+    assert rows[5] == [""]
+
+
+def test_decontaminate_arrays_matches_window_form(spark):
+    """The r14 array-HOF decontamination (per-doc distinct hashed-gram
+    arrays) must agree row-for-row with the r13 window-lead shingle-row
+    form it replaced, on the edge corpus (dup docs → shared grams, short
+    docs → partial grams, empty/null text, unicode)."""
+    from proactive_map_reduce_spark.functions.hashing import portable_hash64
+    from proactive_map_reduce_spark.operators.chunking import gen_barrier
+
+    docs = _mixed_corpus(spark)
+    n = 3  # 3-grams: the fixture docs are short; same recipe as n=5
+    is_bench = F.col("doc_id") % 2 == 0
+
+    def rollup(train, bench):
+        hits = train.join(F.broadcast(bench), "g")
+        return {
+            r["doc_id"]: (r["n_contaminated_grams"], r["n_bench_docs_hit"])
+            for r in hits.groupBy("doc_id")
+            .agg(
+                F.countDistinct("g").cast("bigint").alias("n_contaminated_grams"),
+                F.countDistinct("bench_id").cast("bigint").alias("n_bench_docs_hit"),
+            )
+            .collect()
+        }
+
+    old_grams = dedup.shingle_rows(chunking.split_words(docs), n=n).select(
+        "doc_id", portable_hash64("shingle").alias("g")
+    )
+    ref = rollup(
+        old_grams.filter(~is_bench).distinct(),
+        old_grams.filter(is_bench).select(F.col("doc_id").alias("bench_id"), "g").distinct(),
+    )
+
+    new_grams = (
+        dedup.shingle_arrays(docs, n=n)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform("shingles", lambda s: portable_hash64(s))
+            ).alias("__gs"),
+        )
+        .select("doc_id", F.explode(gen_barrier(F.col("__gs"), "bigint")).alias("g"))
+    )
+    got = rollup(
+        new_grams.filter(~is_bench),
+        new_grams.filter(is_bench).select(F.col("doc_id").alias("bench_id"), "g"),
+    )
+    assert got == ref and got  # non-empty: dup docs guarantee collisions

@@ -211,3 +211,21 @@ def test_incremental_dedup_is_equi_join_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert audit.python_eval_nodes(df) == 0
+
+
+def test_explode_filters_carry_no_array_rebuild(spark):
+    """r14 gen_barrier pin: exploding a computed array must not let the
+    optimizer's inferred Generate filter re-inline the array-building
+    expression (split / gram hashing) into a Filter — that re-evaluates
+    the expensive chain 1-2 extra times per document, below the
+    parallelizing exchange (the r13 q_tokenize regression). The plans'
+    Filter conditions must stay free of split()/transform() calls."""
+    for name in ("q_tokenize", "q_word_split", "q_decontaminate"):
+        plan = audit.formatted_plan(Q.REGISTRY[name](spark, SF0001))
+        conditions = [
+            ln for ln in plan.splitlines() if ln.strip().startswith("Condition :")
+        ]
+        assert conditions, name
+        for ln in conditions:
+            assert "split(" not in ln, (name, ln)
+            assert "transform(" not in ln, (name, ln)

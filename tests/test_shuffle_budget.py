@@ -7,6 +7,14 @@ shuffle into a narrow pipeline (e.g. a lost broadcast hint, a
 repartition hidden in a refactor) must fail loudly here, not in a
 cluster bill. Budgets are the measured counts at pin time (pre-AQE
 static plan; AQE's ReusedExchange can only lower the runtime number).
+
+Fixture-size assumption (r14, ADVICE): several low pins (e.g. the
+minhash family's agreement/jaccard joins, decontamination's benchmark
+side) encode that a join side BROADCASTS, which holds only while the
+sf0.001 fixture estimate stays under autoBroadcastJoinThreshold. If a
+fixture-size bump flips one to sort-merge, the budget here fails with
++1-2 exchanges — that failure means "a pinned broadcast became a
+shuffle join", not a code regression; re-pin or hint explicitly.
 """
 
 from __future__ import annotations

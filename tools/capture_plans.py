@@ -18,9 +18,19 @@ from bench import HEADLINE  # noqa: E402
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        print(__doc__.strip().splitlines()[2], file=sys.stderr)
+        raise SystemExit(2)
     tag = sys.argv[1]
     suffix = sys.argv[2]
     names = sys.argv[3:] or HEADLINE
+
+    from proactive_map_reduce_spark.queries import REGISTRY as _REG
+
+    unknown = [n for n in names if n not in _REG]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        raise SystemExit(2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from proactive_map_reduce_spark.plans import audit
