@@ -223,6 +223,17 @@ _REWRITTEN = {
     "q_incremental_concat": 14,
     "q_prefix_scan_refeed": 14,
     "q_cache_fetch_or_compute": 14,
+    # r14 streaming-sink pass: the large-output replay queries drain
+    # through the executor-side parquet sink (_run_to_parquet) instead
+    # of the memory sink's driver funnel + collect/createDataFrame
+    # round-trip — rows identical (sink modes pinned equal; oracle green
+    # at two scales), read-back plan changed (parquet scan instead of a
+    # local relation). sf1 walls: dedup 24→9.5 s, enrich 12.7→2.1 s,
+    # stage 5.3→3.2 s, join neutral (small output).
+    "q_stage_pipeline": 14,
+    "q_stream_dedup": 14,
+    "q_stream_static_enrich": 14,
+    "q_stream_stream_join": 14,
 }
 
 

@@ -17,10 +17,18 @@ def q_stage_pipeline(spark, sf_dir):
     """W1: staged proactive execution — chunk stages arrive one micro-batch
     at a time through a Structured Streaming file source and run the same
     black-box map stage. Value-identical to batch q_llm_map (same oracle),
-    executed by the real streaming engine (test_proactive.py:227-368)."""
-    return stream_ops.stage_pipeline(spark, _chunks(spark, sf_dir)).select(
-        "doc_id", "chunk_id", "out_text", "n_out_tokens"
-    )
+    executed by the real streaming engine (test_proactive.py:227-368).
+
+    r14: drains through the parquet sink (``_run_to_parquet``, the
+    documented production mode — executor-side writes, lazy distributed
+    read-back) instead of the memory sink, whose driver funnel +
+    collect/createDataFrame round-trip paid O(result rows) of
+    driver-side Python serialization for the corpus-sized map output.
+    Rows identical — the sink modes are pinned equal by
+    tests/test_streaming.py::test_stage_pipeline_sink_modes."""
+    return stream_ops.stage_pipeline(
+        spark, _chunks(spark, sf_dir), sink="parquet"
+    ).select("doc_id", "chunk_id", "out_text", "n_out_tokens")
 
 
 def q_stateful_accumulate(spark, sf_dir):

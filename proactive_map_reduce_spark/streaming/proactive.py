@@ -2252,7 +2252,13 @@ def stream_dedup(
         .parquet(root)
     )
     try:
-        return _run_to_memory(stream, transform).filter(F.col("event_id") >= 0)
+        # r14: the duplicated event stream re-emits ~the whole corpus —
+        # the memory sink funneled every result row through the driver
+        # AND a JVM→Python→JVM round-trip (collect + createDataFrame);
+        # the executor-side parquet sink returns a distributed scan
+        # instead (guide §5 "the driver should do almost no data work").
+        # Values identical; only the sink changes.
+        return _run_to_parquet(stream, transform).filter(F.col("event_id") >= 0)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2327,7 +2333,9 @@ def stream_stream_join(
         .parquet(root)
     )
     try:
-        return _run_to_memory(stream, transform).filter(
+        # r14: executor-side sink — the join's pair fan-out is the
+        # largest streaming result; see stream_dedup's sink note.
+        return _run_to_parquet(stream, transform).filter(
             (F.col("l_id") >= 0) & (F.col("r_id") >= 0)
         )
     finally:
@@ -2366,6 +2374,8 @@ def stream_static_enrich(
 
     stream = spark.readStream.schema(EVENT_SCHEMA).parquet(root)
     try:
-        return _run_to_memory(stream, transform)
+        # r14: executor-side sink — the enrichment emits one row per
+        # matched event (~the stream itself); see stream_dedup's note.
+        return _run_to_parquet(stream, transform)
     finally:
         shutil.rmtree(root, ignore_errors=True)
